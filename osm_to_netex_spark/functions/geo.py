@@ -1,0 +1,292 @@
+"""Geospatial cell-index & predicate math, Catalyst-native and DuckDB-portable.
+
+Two from-scratch hierarchical cell schemes (the ``h3``/``s2sphere`` libraries
+are not available in this environment, so the math is implemented directly;
+semantics are engine-defined and deterministic):
+
+* **quad** ("S2-style"): equirectangular quadtree.  At resolution ``r`` the
+  world is a 2^r × 2^r lat/lon grid; ``cell = r·2^58 + iy·2^29 + ix``.
+  Parent = (r-1, iy>>1, ix>>1) — strictly hierarchical.  Valid r ∈ [0, 28].
+* **hex** ("H3-style"): pointy-top hexagons on the equirectangular plane with
+  H3-like sizing ``circumradius_deg(r) = 10 · 7^(-r/2)`` (res 7 ≈ 1.2 km, the
+  north rule's res 7–9 polyfill window).  Axial (q, r) via cube rounding;
+  ``cell = res·2^54 + (q+2^25)·2^27 + (rz+2^25)``.  Valid res ∈ [0, 12].
+
+Everything is emitted as SQL strings for both dialects (see
+``functions.portable``) so the engine plan and the DuckDB oracle share one
+formula source; Spark wrappers hand the string to ``F.expr`` → pure JVM
+whole-stage codegen, no Python in the hot path.
+
+The reference never computes any of this (SURVEY §2.1 negative findings —
+zones are copied, not spatially joined); these operators are the north-rule
+engine surface (SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, functions as F
+
+from .portable import (
+    DUCK,
+    flit,
+    SPARK,
+    element_at,
+    filter_,
+    floor_bigint,
+    haversine_m,
+    reduce_,
+    seq,
+    size,
+    transform,
+)
+
+QUAD_RES_BITS = 58
+QUAD_AXIS_BITS = 29
+HEX_RES_BITS = 54
+HEX_Q_BITS = 27
+HEX_OFFSET = 2**25
+
+EARTH_RADIUS_M = 6371008.8
+# ~meters per degree latitude; used for deg<->m conversions in candidate radii
+M_PER_DEG = EARTH_RADIUS_M * math.pi / 180.0
+
+
+def hex_size_deg(res: int) -> float:
+    """Hex circumradius in degrees at a resolution (H3-like √7 aperture)."""
+    return 10.0 * (7.0 ** (-res / 2.0))
+
+
+def _intdiv(a: str, b: str, d: str) -> str:
+    return f"({a} div {b})" if d == SPARK else f"({a} // {b})"
+
+
+# ---------------------------------------------------------------------------
+# quad ("S2-style") cells
+# ---------------------------------------------------------------------------
+def quad_ixy(lat: str, lon: str, res: int, d: str) -> tuple[str, str]:
+    n = 2**res
+    ix = f"least(greatest({floor_bigint(f'(({lon}) + 180.0e0) / 360.0e0 * {n}')}, 0), {n - 1})"
+    iy = f"least(greatest({floor_bigint(f'(({lat}) + 90.0e0) / 180.0e0 * {n}')}, 0), {n - 1})"
+    return ix, iy
+
+
+def quad_pack(ix: str, iy: str, res: int) -> str:
+    return f"(cast({res} as bigint) * {2**QUAD_RES_BITS} + ({iy}) * {2**QUAD_AXIS_BITS} + ({ix}))"
+
+
+def quad_cell(lat: str, lon: str, res: int, d: str) -> str:
+    """Packed quad cell id of a point."""
+    ix, iy = quad_ixy(lat, lon, res, d)
+    return quad_pack(ix, iy, res)
+
+
+def quad_unpack(cell: str, res: int, d: str) -> tuple[str, str]:
+    rem = f"(({cell}) - {res * 2**QUAD_RES_BITS})"
+    iy = _intdiv(rem, str(2**QUAD_AXIS_BITS), d)
+    ix = f"({rem} % {2**QUAD_AXIS_BITS})"
+    return ix, iy
+
+
+def quad_parent(cell: str, res: int, d: str) -> str:
+    """Parent cell at res-1."""
+    ix, iy = quad_unpack(cell, res, d)
+    return quad_pack(_intdiv(ix, "2", d), _intdiv(iy, "2", d), res - 1)
+
+
+def quad_kring(cell: str, res: int, k: int, d: str) -> str:
+    """All quad cells within Chebyshev distance k (border cells clipped)."""
+    n = 2**res
+    ix, iy = quad_unpack(cell, res, d)
+    row = transform(
+        seq(str(-k), str(k), d),
+        "dx",
+        quad_pack(f"(({ix}) + dx)", f"(({iy}) + dy)", res),
+        d,
+    )
+    rows = transform(seq(str(-k), str(k), d), "dy", row, d)
+    flat = f"flatten({rows})"
+    lo = res * 2**QUAD_RES_BITS
+    # clip: derived ix/iy must stay in [0, n): reject by unpacking each candidate
+    return filter_(
+        flat,
+        "c",
+        f"((c - {lo}) % {2**QUAD_AXIS_BITS}) >= 0 AND ((c - {lo}) % {2**QUAD_AXIS_BITS}) < {n} "
+        f"AND {_intdiv(f'(c - {lo})', str(2**QUAD_AXIS_BITS), d)} >= 0 "
+        f"AND {_intdiv(f'(c - {lo})', str(2**QUAD_AXIS_BITS), d)} < {n}",
+        d,
+    )
+
+
+# ---------------------------------------------------------------------------
+# pos_list helpers (packed polygon rings: [lat0,lon0,lat1,lon1,...])
+# ---------------------------------------------------------------------------
+def poslist_lats(pl: str, d: str) -> str:
+    npts = _intdiv(size(pl, d), "2", d)
+    return transform(seq("1", npts, d), "i", element_at(pl, "2*i - 1", d), d)
+
+
+def poslist_lons(pl: str, d: str) -> str:
+    npts = _intdiv(size(pl, d), "2", d)
+    return transform(seq("1", npts, d), "i", element_at(pl, "2*i", d), d)
+
+
+def arr_min(lst: str, d: str) -> str:
+    return f"array_min({lst})" if d == SPARK else f"list_aggregate({lst}, 'min')"
+
+
+def arr_max(lst: str, d: str) -> str:
+    return f"array_max({lst})" if d == SPARK else f"list_aggregate({lst}, 'max')"
+
+
+def quad_cover_bbox(pl: str, res: int, d: str) -> str:
+    """Conservative quad covering of a polygon: every res-r cell intersecting
+    the polygon's bbox.  Superset of any cell containing an interior point →
+    always a correct pruning index for PIP (exactness is restored by the
+    ray-cast refinement).  SQL-expressible in both dialects.
+    """
+    n = 2**res
+    lats, lons = poslist_lats(pl, d), poslist_lons(pl, d)
+    ix_lo = f"least(greatest({floor_bigint(f'({arr_min(lons, d)} + 180.0e0) / 360.0e0 * {n}')}, 0), {n - 1})"
+    ix_hi = f"least(greatest({floor_bigint(f'({arr_max(lons, d)} + 180.0e0) / 360.0e0 * {n}')}, 0), {n - 1})"
+    iy_lo = f"least(greatest({floor_bigint(f'({arr_min(lats, d)} + 90.0e0) / 180.0e0 * {n}')}, 0), {n - 1})"
+    iy_hi = f"least(greatest({floor_bigint(f'({arr_max(lats, d)} + 90.0e0) / 180.0e0 * {n}')}, 0), {n - 1})"
+    row = transform(seq(ix_lo, ix_hi, d), "qx", quad_pack("qx", "qy", res), d)
+    return f"flatten({transform(seq(iy_lo, iy_hi, d), 'qy', row, d)})"
+
+
+# ---------------------------------------------------------------------------
+# hex ("H3-style") cells
+# ---------------------------------------------------------------------------
+def hex_qr(lat: str, lon: str, res: int, d: str) -> tuple[str, str]:
+    """Axial (q, r) of the hex containing a point, via cube rounding."""
+    s = hex_size_deg(res)
+    sqrt3_3 = math.sqrt(3.0) / 3.0
+    qf = f"(({flit(sqrt3_3)} * ({lon}) - ({lat}) / 3.0e0) / {flit(s)})"
+    rf = f"((2.0e0 / 3.0e0 * ({lat})) / {flit(s)})"
+    yf = f"(-({qf}) - ({rf}))"
+    rx, ry, rz = (
+        f"cast(round({qf}) as bigint)",
+        f"cast(round({yf}) as bigint)",
+        f"cast(round({rf}) as bigint)",
+    )
+    dx = f"abs({rx} - {qf})"
+    dy = f"abs({ry} - {yf})"
+    dz = f"abs({rz} - {rf})"
+    big = f"({dx} > {dy} AND {dx} > {dz})"
+    q = f"(CASE WHEN {big} THEN (-({ry}) - ({rz})) ELSE {rx} END)"
+    r = f"(CASE WHEN (NOT {big}) AND (NOT ({dy} > {dz})) THEN (-({rx}) - ({ry})) ELSE {rz} END)"
+    return q, r
+
+
+def hex_pack(q: str, r: str, res: int) -> str:
+    return (
+        f"(cast({res} as bigint) * {2**HEX_RES_BITS} + (({q}) + {HEX_OFFSET}) * {2**HEX_Q_BITS} "
+        f"+ (({r}) + {HEX_OFFSET}))"
+    )
+
+
+def hex_cell(lat: str, lon: str, res: int, d: str) -> str:
+    q, r = hex_qr(lat, lon, res, d)
+    return hex_pack(q, r, res)
+
+
+def hex_unpack(cell: str, res: int, d: str) -> tuple[str, str]:
+    rem = f"(({cell}) - {res * 2**HEX_RES_BITS})"
+    q = f"({_intdiv(rem, str(2**HEX_Q_BITS), d)} - {HEX_OFFSET})"
+    r = f"(({rem} % {2**HEX_Q_BITS}) - {HEX_OFFSET})"
+    return q, r
+
+
+def hex_kring(cell: str, res: int, k: int, d: str) -> str:
+    """All hex cells within axial hex-distance k (H3 kRing semantics)."""
+    q, r = hex_unpack(cell, res, d)
+    row = transform(
+        filter_(seq(str(-k), str(k), d), "dr", f"abs(dq + dr) <= {k}", d),
+        "dr",
+        hex_pack(f"(({q}) + dq)", f"(({r}) + dr)", res),
+        d,
+    )
+    return f"flatten({transform(seq(str(-k), str(k), d), 'dq', row, d)})"
+
+
+def hex_cover_bbox(pl: str, res: int, d: str) -> str:
+    """Conservative hex covering of a polygon: hexes whose axial coordinates
+    fall in the axial range spanned by the bbox corners, padded by 1 ring.
+    Superset of hexes containing any polygon point (pad covers the skew of
+    the axial transform across the bbox).
+    """
+    lats, lons = poslist_lats(pl, d), poslist_lons(pl, d)
+    lat_lo, lat_hi = arr_min(lats, d), arr_max(lats, d)
+    lon_lo, lon_hi = arr_min(lons, d), arr_max(lons, d)
+    # axial q grows with lon and shrinks with lat → corners give extrema
+    q_ll, r_ll = hex_qr(lat_lo, lon_lo, res, d)
+    q_lh, r_lh = hex_qr(lat_lo, lon_hi, res, d)
+    q_hl, r_hl = hex_qr(lat_hi, lon_lo, res, d)
+    q_hh, r_hh = hex_qr(lat_hi, lon_hi, res, d)
+    q_lo = f"(least({q_ll}, {q_lh}, {q_hl}, {q_hh}) - 1)"
+    q_hi = f"(greatest({q_ll}, {q_lh}, {q_hl}, {q_hh}) + 1)"
+    r_lo = f"(least({r_ll}, {r_lh}, {r_hl}, {r_hh}) - 1)"
+    r_hi = f"(greatest({r_ll}, {r_lh}, {r_hl}, {r_hh}) + 1)"
+    row = transform(seq(r_lo, r_hi, d), "hr", hex_pack("hq", "hr", res), d)
+    return f"flatten({transform(seq(q_lo, q_hi, d), 'hq', row, d)})"
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (ray casting over packed pos_list)
+# ---------------------------------------------------------------------------
+def point_in_polygon(lat: str, lon: str, pl: str, d: str) -> str:
+    """Even-odd ray cast: true iff (lat, lon) is inside the closed ring ``pl``
+    ([lat0,lon0,...,lat0,lon0]).  The horizontal ray goes toward +lon.
+    Boundary points follow the half-open edge rule of the classic algorithm.
+    Branch order guards the division: the inner CASE only evaluates when
+    yi != yj (lazy CASE in both engines), so ANSI division-by-zero is safe.
+    """
+    npts = _intdiv(size(pl, d), "2", d)
+    yi = element_at(pl, "2*i - 1", d)
+    xi = element_at(pl, "2*i", d)
+    yj = element_at(pl, "2*i + 1", d)
+    xj = element_at(pl, "2*i + 2", d)
+    term = (
+        f"(CASE WHEN (({yi}) > ({lat})) <> (({yj}) > ({lat})) THEN "
+        f"(CASE WHEN ({lon}) < (({xj}) - ({xi})) * (({lat}) - ({yi})) / (({yj}) - ({yi})) + ({xi}) "
+        f"THEN 1 ELSE 0 END) ELSE 0 END)"
+    )
+    crossings = reduce_(seq("1", f"({npts} - 1)", d), "0", "acc", "i", f"acc + {term}", d)
+    return f"(({crossings}) % 2 = 1)"
+
+
+# ---------------------------------------------------------------------------
+# PySpark Column wrappers (F.expr over the spark-dialect strings)
+# ---------------------------------------------------------------------------
+def quad_cell_col(lat: str, lon: str, res: int) -> Column:
+    return F.expr(quad_cell(lat, lon, res, SPARK))
+
+
+def hex_cell_col(lat: str, lon: str, res: int) -> Column:
+    return F.expr(hex_cell(lat, lon, res, SPARK))
+
+
+def quad_cover_bbox_col(pos_list: str, res: int) -> Column:
+    return F.expr(quad_cover_bbox(pos_list, res, SPARK))
+
+
+def hex_cover_bbox_col(pos_list: str, res: int) -> Column:
+    return F.expr(hex_cover_bbox(pos_list, res, SPARK))
+
+
+def hex_kring_col(cell: str, res: int, k: int) -> Column:
+    return F.expr(hex_kring(cell, res, k, SPARK))
+
+
+def quad_kring_col(cell: str, res: int, k: int) -> Column:
+    return F.expr(quad_kring(cell, res, k, SPARK))
+
+
+def point_in_polygon_col(lat: str, lon: str, pos_list: str) -> Column:
+    return F.expr(point_in_polygon(lat, lon, pos_list, SPARK))
+
+
+def haversine_m_col(lat1: str, lon1: str, lat2: str, lon2: str) -> Column:
+    return F.expr(haversine_m(lat1, lon1, lat2, lon2, SPARK))
