@@ -1,0 +1,227 @@
+"""Deduplication suite over document corpora (training-data operators).
+
+All variants are shuffle-conscious:
+
+* exact: one md5-keyed groupBy (map-side combined);
+* MinHash+LSH: signature → band buckets → within-bucket self-join → exact
+  Jaccard verify.  The self-join shuffles only (band, bucket) groups — never
+  the full cross product; bucket skew is AQE-split;
+* SimHash: 32-bit fingerprint equality clusters (band-free);
+* n-gram Jaccard: exact verify path reusable standalone;
+* embedding near-dup: cosine over LSH sign-buckets (deterministic
+  hyperplanes from the portable hash) with brute-force verify.
+
+Every formula lives in functions.text / functions.portable, so the DuckDB
+oracle reproduces the exact hashes/signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as tx
+from ..functions.portable import SPARK, flit, phash60
+
+
+def normalize_expr(col: str, d: str = SPARK) -> str:
+    """Lower, trim, collapse whitespace — the exact-dup equivalence class."""
+    return f"regexp_replace(trim(lower({col})), '\\\\s+', ' ')" if d == SPARK else \
+        f"regexp_replace(trim(lower({col})), '\\s+', ' ', 'g')"
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One survivor (min id) per normalized-text equivalence class.
+
+    Returns (content_key, n_dupes, survivor_id) for classes only; callers
+    semi-join to keep survivors.  groupBy on a hash key → partial aggregation
+    map-side; no row ever carries the full text through the shuffle.
+    """
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"md5({normalize_expr(text_col)})").alias("content_key"),
+    )
+    return keyed.groupBy("content_key").agg(
+        F.count("*").alias("n_dupes"), F.min("doc_id").alias("survivor_id")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    n_perm: int = 16,
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(tx.minhash_signature(text_col, n_shingle, n_perm, SPARK)).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    n_perm: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs: LSH candidates + exact verify.
+
+    rows-per-band = n_perm / bands; band key = md5 of the signature slice.
+    """
+    rows = n_perm // bands
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(tx.minhash_signature(text_col, n_shingle, n_perm, SPARK)).alias("sig"),
+        F.expr(f"array_distinct({tx.word_shingles(text_col, n_shingle, SPARK)})").alias(
+            "shingles"
+        ),
+    )
+    banded = base.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> named_struct("
+                f"'band', b, 'bucket', md5(concat_ws(',', slice(sig, b * {rows} + 1, {rows})))))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = (
+        "cast(size(array_intersect(sh_a, sh_b)) as double) / "
+        "cast(size(array_union(sh_a, sh_b)) as double)"
+    )
+    return (
+        cand.withColumn("jaccard", F.round(F.expr(jac), 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_clusters(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(simhash, n_docs, member_ids) clusters with ≥2 members (near-dup sets)."""
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"), F.expr(tx.simhash64(text_col, SPARK)).alias("simhash")
+    )
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.array_sort(F.collect_list("doc_id")).alias("member_ids"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    threshold: float = 0.5,
+    prefilter_key: str | None = "lang",
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard ≥ threshold, optionally blocked by a key
+    column (language/source) to bound the quadratic term per block."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(prefilter_key) if prefilter_key else F.lit("_")).alias("blk"),
+        F.expr(f"array_distinct({tx.word_shingles(text_col, n_shingle, SPARK)})").alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    jac = (
+        "cast(size(array_intersect(a.sh, b.sh)) as double) / "
+        "cast(size(array_union(a.sh, b.sh)) as double)"
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("jaccard", F.round(F.expr(jac), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "jaccard"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+def cosine_expr(a: str, b: str, d: str = SPARK) -> str:
+    """Portable cosine over float-array columns (cast to double, fold l→r)."""
+    if d == SPARK:
+        dot = f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0.0e0, (s, v) -> s + v)"
+        na = f"sqrt(aggregate({a}, 0.0e0, (s, x) -> s + cast(x as double) * cast(x as double)))"
+        nb = f"sqrt(aggregate({b}, 0.0e0, (s, x) -> s + cast(x as double) * cast(x as double)))"
+    else:
+        dot = (
+            f"list_reduce(list_prepend(0.0e0, list_transform(list_zip({a}, {b}), "
+            f"p -> cast(p[1] as double) * cast(p[2] as double))), (s, v) -> s + v)"
+        )
+        na = f"sqrt(list_reduce(list_prepend(0.0e0, list_transform({a}, x -> cast(x as double) * cast(x as double))), (s, v) -> s + v))"
+        nb = f"sqrt(list_reduce(list_prepend(0.0e0, list_transform({b}, x -> cast(x as double) * cast(x as double))), (s, v) -> s + v))"
+    return f"(({dot}) / nullif(({na}) * ({nb}), 0.0e0))"
+
+
+def hyperplane_bits(vec: str, n_bits: int, dim: int, d: str = SPARK) -> str:
+    """Deterministic LSH sign-signature: bit h = sign(vec · plane_h), planes
+    from the portable hash (plane_h[i] = prand('h:i') - 0.5).  Same planes in
+    both engines → same buckets."""
+    styp = "string" if d == SPARK else "varchar"
+    plane_key = f"concat('pl:', cast(h as {styp}), ':', cast(i as {styp}))"
+    plane_i = f"({phash60(plane_key, d)} / {flit(float(2**60))} - 0.5e0)"
+    if d == SPARK:
+        dot = (
+            f"aggregate(sequence(1, {dim}), 0.0e0, (s, i) -> "
+            f"s + cast(element_at({vec}, cast(i as int)) as double) * {plane_i})"
+        )
+        bit = f"CASE WHEN ({dot}) > 0.0e0 THEN shiftleft(cast(1 as bigint), cast(h as int)) ELSE cast(0 as bigint) END"
+        return f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), (acc, h) -> acc + ({bit}))"
+    dot = (
+        f"list_reduce(list_prepend(0.0e0, list_transform(generate_series(1, {dim}), i -> "
+        f"cast(list_extract({vec}, i) as double) * {plane_i})), (s, v) -> s + v)"
+    )
+    bit = f"CASE WHEN ({dot}) > 0.0e0 THEN (cast(1 as bigint) << h) ELSE cast(0 as bigint) END"
+    return (
+        f"cast(coalesce(list_aggregate(list_transform(generate_series(0, {n_bits - 1}), "
+        f"h -> {bit}), 'sum'), 0) as bigint)"
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 32,
+    n_bits: int = 8,
+    cos_threshold: float = 0.95,
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine ≥ threshold, bucketed by LSH sign
+    signature first (candidates must agree on all n_bits) then verified."""
+    sig = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.expr(hyperplane_bits(vec_col, n_bits, dim, SPARK)).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cos = cosine_expr("a.vec", "b.vec", SPARK)
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .withColumn("cos", F.round(F.expr(cos), 6))
+        .where(F.col("cos") >= cos_threshold)
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"), "cos")
+    )

@@ -1,0 +1,90 @@
+"""Text analysis: language-ID, quality scoring, token counting, fingerprints.
+
+Pure Catalyst expressions over a text column; all values reproducible in the
+DuckDB oracle (functions.text + the stopword heuristics below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as tx
+from ..functions.portable import DUCK, SPARK
+
+# tiny built-in stopword inventories (n-gram/stopword heuristic lang-ID)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "no": ["og", "i", "det", "som", "er", "til", "av", "en", "på", "for"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "für", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pour", "dans", "que", "une"],
+}
+
+
+def _arr_lit(words: list[str], d: str) -> str:
+    inner = ", ".join(f"'{w}'" for w in words)
+    return f"array({inner})" if d == SPARK else f"[{inner}]"
+
+
+def stopword_hits(text_col: str, lang: str, d: str = SPARK) -> str:
+    """Count of tokens that are stopwords of `lang`."""
+    toks = tx.tokens(text_col, d)
+    arr = _arr_lit(STOPWORDS[lang], d)
+    if d == SPARK:
+        return f"size(filter({toks}, t -> array_contains({arr}, t)))"
+    return f"len(list_filter({toks}, t -> list_contains({arr}, t)))"
+
+
+def lang_id_expr(text_col: str, d: str = SPARK) -> str:
+    """Best language by stopword hit count; 'und' when no hits at all.
+    Deterministic tiebreak: language order en < no < de < fr (greatest-hit
+    first occurrence via iterative CASE)."""
+    langs = list(STOPWORDS)
+    hits = {lang: stopword_hits(text_col, lang, d) for lang in langs}
+    best = " , ".join(hits[lang] for lang in langs)
+    cases = " ".join(
+        f"WHEN greatest({best}) = {hits[lang]} THEN '{lang}'" for lang in langs
+    )
+    return f"(CASE WHEN greatest({best}) = 0 THEN 'und' {cases} END)"
+
+
+def quality_score_expr(text_col: str, d: str = SPARK) -> str:
+    """Composite quality ∈ [0,1]: alpha-character ratio, mean-word-length
+    band, stopword density — rounded to 6 decimals (pure arithmetic)."""
+    toks = tx.tokens(text_col, d)
+    ln = f"size({toks})" if d == SPARK else f"len({toks})"
+    nchar = f"length({text_col})"
+    alpha = f"length(regexp_replace(lower({text_col}), '[^a-z]', ''))" if d == SPARK else \
+        f"length(regexp_replace(lower({text_col}), '[^a-z]', '', 'g'))"
+    alpha_ratio = f"(cast({alpha} as double) / nullif(cast({nchar} as double), 0.0e0))"
+    mean_wl = f"(cast({alpha} as double) / nullif(cast({ln} as double), 0.0e0))"
+    wl_band = f"(CASE WHEN {mean_wl} BETWEEN 3.0e0 AND 10.0e0 THEN 1.0e0 ELSE 0.5e0 END)"
+    sw = stopword_hits(text_col, "en", d)
+    sw_ratio = f"least(1.0e0, 3.0e0 * cast({sw} as double) / nullif(cast({ln} as double), 0.0e0))"
+    return (
+        f"round(coalesce(({alpha_ratio} * 0.4e0 + {wl_band} * 0.3e0 + {sw_ratio} * 0.3e0), 0.0e0), 6)"
+    )
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, quality, n_tokens_ws, n_tokens_re, fingerprint)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(lang_id_expr(text_col)).alias("lang_pred"),
+        F.expr(quality_score_expr(text_col)).alias("quality"),
+        F.expr(f"size({tx.ws_tokens(text_col, SPARK)})").cast("long").alias("n_tokens_ws"),
+        F.expr(f"size({tx.tokens(text_col, SPARK)})").cast("long").alias("n_tokens_re"),
+        F.expr(tx.rolling_fingerprint(text_col, SPARK)).alias("fingerprint"),
+    )
+
+
+def text_stats_oracle_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    d = DUCK
+    return f"""
+        select {id_col} as doc_id,
+               {lang_id_expr(text_col, d)} as lang_pred,
+               {quality_score_expr(text_col, d)} as quality,
+               cast(len({tx.ws_tokens(text_col, d)}) as bigint) as n_tokens_ws,
+               cast(len({tx.tokens(text_col, d)}) as bigint) as n_tokens_re,
+               {tx.rolling_fingerprint(text_col, d)} as fingerprint
+        from {table}
+    """

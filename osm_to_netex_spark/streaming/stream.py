@@ -1,0 +1,85 @@
+"""Structured Streaming ingest: documents stream → incremental tile index.
+
+The batch engine's extraction + tile-assign composes unchanged onto a
+``readStream`` source because every operator is a stateless projection
+(extract → cell assign) up to the final aggregation.  The streaming sink
+maintains the per-(doc, res) tile sets with a watermark on ingest time so
+late media/span updates within the window still merge.
+
+Reference has no streaming (SURVEY §2.1 negative findings); this is engine
+surface for the 10^12-doc design point where the corpus arrives continuously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import schemas
+from ..functions import geo
+from ..functions.portable import SPARK
+from ..operators import extract
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream of documents parquet (one dir, files appear over
+    time — the local stand-in for a Kafka/Iceberg CDC feed)."""
+    return (
+        spark.readStream.schema(schemas.DOCUMENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+        .withColumn("ingest_ts", F.current_timestamp())
+    )
+
+
+def streaming_tile_assign(doc_stream: DataFrame, res: int = 8) -> DataFrame:
+    """Stream of per-document hex/quad cell assignments (stateless part)."""
+    nodes = (
+        doc_stream.select("doc_id", "ingest_ts", F.posexplode("spans").alias("p", "span"))
+        .where(F.col("span.kind") == "osm_node")
+        .select(
+            "doc_id",
+            "ingest_ts",
+            F.from_json(F.col("span.text"), schemas.NODE_PAYLOAD).alias("n"),
+        )
+        .select("doc_id", "ingest_ts", F.col("n.lat").alias("lat"), F.col("n.lon").alias("lon"))
+    )
+    return nodes.select(
+        "doc_id",
+        "ingest_ts",
+        F.expr(geo.hex_cell("lat", "lon", res, SPARK)).alias("hex_cell"),
+        F.expr(geo.quad_cell("lat", "lon", res, SPARK)).alias("quad_cell"),
+    )
+
+
+def run_stream_to_parquet(
+    assigned: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    await_seconds: float | None = None,
+):
+    """Append-mode sink with exactly-once file commit via the checkpoint dir;
+    watermark bounds state for the windowed per-cell counts variant."""
+    q = (
+        assigned.withWatermark("ingest_ts", "30 seconds")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_seconds is not None:
+        q.awaitTermination(await_seconds)
+    return q
+
+
+def streaming_cell_counts(assigned: DataFrame) -> DataFrame:
+    """Stateful windowed aggregation: docs per quad cell per 1-min window
+    (watermarked, late data within 30s merges)."""
+    return (
+        assigned.withWatermark("ingest_ts", "30 seconds")
+        .groupBy(F.window("ingest_ts", "1 minute"), F.col("quad_cell"))
+        .agg(F.approx_count_distinct("doc_id").alias("n_docs"))
+    )
