@@ -103,9 +103,16 @@ def knn_cell_pruned(
         (F.col("nhits") == k) & (F.col("maxd") <= F.lit(guarantee_m))
     ).select("quay_id")
     done = ranked.join(F.broadcast(resolved), "quay_id")
-    rest = q.join(F.broadcast(resolved), "quay_id", "left_anti")
-    fallback = knn_brute_force(rest, stops.select(F.col(stop_id).alias("stop_id"), "lat", "lon"),
-                               k, "quay_id", "stop_id")
+    rest = q.join(F.broadcast(resolved), "quay_id", "left_anti").select(
+        "quay_id", F.col("qlat").alias("lat"), F.col("qlon").alias("lon")
+    )
+    fallback = knn_brute_force(
+        rest,
+        stops.select(F.col(stop_id).alias("stop_id"), "lat", "lon"),
+        k,
+        "quay_id",
+        "stop_id",
+    )
     return done.select("quay_id", "stop_id", "dist_m", "rn").unionByName(
         fallback.select("quay_id", "stop_id", "dist_m", "rn")
     )

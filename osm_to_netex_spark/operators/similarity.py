@@ -55,7 +55,7 @@ def ivf_build(
     """(centroids, assigned) — centroids are the corpus vectors with the
     n_centroids smallest ids (deterministic, no iterative k-means needed for
     bucketing); every corpus vector is assigned to its max-cosine centroid."""
-    w = Window.orderBy(F.col(id_col).asc())
+    w = Window.orderBy(F.col("cent_id").asc())
     cents = (
         corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
         .withColumn("rk", F.row_number().over(w))

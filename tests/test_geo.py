@@ -1,0 +1,167 @@
+"""Cell-index and PIP math vs an independent numpy oracle."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_to_netex_spark.functions import geo
+from osm_to_netex_spark.functions.portable import SPARK
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    df = spark.range(400).selectExpr(
+        "id",
+        "59.0 + (cast(conv(substring(md5(concat('a', id)), 1, 15), 16, 10) as bigint) / 1152921504606846976.0e0) * 2.0e0 as lat",
+        "9.0 + (cast(conv(substring(md5(concat('b', id)), 1, 15), 16, 10) as bigint) / 1152921504606846976.0e0) * 2.0e0 as lon",
+    ).cache()
+    df.count()
+    return df
+
+
+def test_quad_cell_matches_numpy(spark, pts):
+    res = 12
+    rows = pts.select(
+        "lat", "lon", F.expr(geo.quad_cell("lat", "lon", res, SPARK)).alias("cell")
+    ).collect()
+    n = 2**res
+    for r in rows:
+        ix = min(max(int(math.floor((r.lon + 180.0) / 360.0 * n)), 0), n - 1)
+        iy = min(max(int(math.floor((r.lat + 90.0) / 180.0 * n)), 0), n - 1)
+        assert r.cell == res * 2**58 + iy * 2**29 + ix
+
+
+def _hex_oracle(lat, lon, res):
+    s = geo.hex_size_deg(res)
+    qf = (math.sqrt(3.0) / 3.0 * lon - lat / 3.0) / s
+    rf = (2.0 / 3.0 * lat) / s
+    yf = -qf - rf
+    # round-half-away-from-zero (SQL round), not banker's rounding
+    rnd = lambda v: math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+    rx, ry, rz = rnd(qf), rnd(yf), rnd(rf)
+    dx, dy, dz = abs(rx - qf), abs(ry - yf), abs(rz - rf)
+    if dx > dy and dx > dz:
+        rx = -ry - rz
+    elif dy > dz:
+        pass  # ry fixed; q=rx, r=rz unchanged
+    else:
+        rz = -rx - ry
+    return res * 2**54 + (rx + 2**25) * 2**27 + (rz + 2**25)
+
+
+def test_hex_cell_matches_numpy(spark, pts):
+    res = 8
+    rows = pts.select(
+        "lat", "lon", F.expr(geo.hex_cell("lat", "lon", res, SPARK)).alias("cell")
+    ).collect()
+    for r in rows:
+        assert r.cell == _hex_oracle(r.lat, r.lon, res), (r.lat, r.lon)
+
+
+def test_hex_cells_are_contiguous_partition(spark, pts):
+    """Every point maps to exactly one hex; neighbours of that hex do NOT
+    contain the point's hex twice (k-ring uniqueness)."""
+    res = 7
+    rows = pts.select(
+        F.expr(geo.hex_cell("lat", "lon", res, SPARK)).alias("cell"),
+        F.expr(geo.hex_kring(geo.hex_cell("lat", "lon", res, SPARK), res, 2, SPARK)).alias(
+            "ring"
+        ),
+    ).collect()
+    for r in rows:
+        assert r.cell in r.ring
+        assert len(r.ring) == len(set(r.ring)) == 19  # hex k=2 ring size 1+6+12
+
+
+def test_quad_kring_size_and_membership(spark, pts):
+    res = 10
+    rows = pts.select(
+        F.expr(geo.quad_cell("lat", "lon", res, SPARK)).alias("cell"),
+        F.expr(geo.quad_kring(geo.quad_cell("lat", "lon", res, SPARK), res, 1, SPARK)).alias(
+            "ring"
+        ),
+    ).collect()
+    for r in rows:
+        assert r.cell in r.ring
+        assert len(r.ring) == 9  # interior cells (bbox far from poles/antimeridian)
+
+
+def test_quad_parent_hierarchy(spark, pts):
+    res = 12
+    rows = pts.select(
+        F.expr(geo.quad_cell("lat", "lon", res, SPARK)).alias("child"),
+        F.expr(geo.quad_parent(geo.quad_cell("lat", "lon", res, SPARK), res, SPARK)).alias(
+            "parent"
+        ),
+        F.expr(geo.quad_cell("lat", "lon", res - 1, SPARK)).alias("direct"),
+    ).collect()
+    for r in rows:
+        assert r.parent == r.direct
+
+
+def _ray_cast(lat, lon, pl):
+    npts = len(pl) // 2
+    inside = False
+    for i in range(npts - 1):
+        yi, xi = pl[2 * i], pl[2 * i + 1]
+        yj, xj = pl[2 * i + 2], pl[2 * i + 3]
+        if (yi > lat) != (yj > lat):
+            if lon < (xj - xi) * (lat - yi) / (yj - yi) + xi:
+                inside = not inside
+    return inside
+
+
+@pytest.fixture(scope="module")
+def ring():
+    # concave star polygon, closed
+    rng = np.random.RandomState(7)
+    n = 12
+    pts = []
+    for j in range(n):
+        a = 2 * math.pi * j / n
+        r = 0.3 * (0.6 + 0.8 * rng.rand())
+        pts.append((59.8 + r * math.cos(a), 10.1 + r * math.sin(a)))
+    pts.append(pts[0])
+    return [v for p in pts for v in p]
+
+
+def test_pip_matches_numpy(spark, pts, ring):
+    pl = "array(" + ",".join(repr(v) + "e0" for v in ring) + ")"
+    rows = pts.select(
+        "lat", "lon", F.expr(geo.point_in_polygon("lat", "lon", pl, SPARK)).alias("inside")
+    ).collect()
+    hits = 0
+    for r in rows:
+        expect = _ray_cast(r.lat, r.lon, ring)
+        assert r.inside == expect, (r.lat, r.lon)
+        hits += int(expect)
+    assert hits > 0  # fixture actually exercises both branches
+
+
+def test_cover_contains_member_cells(spark, pts, ring):
+    """Superset property that makes PIP pruning safe: for every point inside
+    the polygon, the point's cell is in the polygon's cover (both schemes)."""
+    pl = "array(" + ",".join(repr(v) + "e0" for v in ring) + ")"
+    for scheme, cell_fn, cover_fn in [
+        ("quad", geo.quad_cell, geo.quad_cover_bbox),
+        ("hex", geo.hex_cell, geo.hex_cover_bbox),
+    ]:
+        res = 8
+        rows = pts.select(
+            F.expr(geo.point_in_polygon("lat", "lon", pl, SPARK)).alias("inside"),
+            F.expr(cell_fn("lat", "lon", res, SPARK)).alias("cell"),
+            F.expr(cover_fn(pl, res, SPARK)).alias("cover"),
+        ).collect()
+        for r in rows:
+            if r.inside:
+                assert r.cell in r.cover, scheme
+
+
+def test_haversine_sanity(spark):
+    # Oslo → Bergen ≈ 305 km
+    d = spark.sql(
+        f"select {geo.haversine_m('59.9139e0', '10.7522e0', '60.3913e0', '5.3221e0', 'spark')} as d"
+    ).collect()[0].d
+    assert 300_000 < d < 310_000

@@ -1,0 +1,96 @@
+"""Spatial operators: PIP binding, kNN, tiling, raster — pruned plans must
+equal their brute-force oracles exactly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_to_netex_spark.operators import assemble, extract, knn, pip, raster, tiling, zones
+
+
+@pytest.fixture(scope="module")
+def geo_fixture(spark, corpus):
+    nodes = extract.extract_nodes(corpus).cache()
+    ways = extract.extract_ways(corpus)
+    asm = assemble.assemble_poslist(ways, nodes, broadcast_nodes=True)
+    zdf = zones.map_zones(asm, "TariffZone").select("zone_id", "pos_list").cache()
+    pts = (
+        nodes.where(F.expr("tags['entity'] is not null"))
+        .select(
+            F.expr("tags['id']").alias("point_id"),
+            "lat",
+            "lon",
+            F.expr("tags['entity']").alias("entity"),
+        )
+        .cache()
+    )
+    zdf.count(), pts.count()
+    return zdf, pts
+
+
+def test_pip_cell_join_equals_brute(spark, geo_fixture):
+    zdf, pts = geo_fixture
+    for scheme in ("quad", "hex"):
+        fast = pip.bind_points_to_polygons(pts, zdf, res=8, scheme=scheme)
+        brute = pip.bind_points_brute_force(pts, zdf)
+        assert set(map(tuple, fast.collect())) == set(map(tuple, brute.collect())), scheme
+
+
+def test_pip_finds_hits_and_misses(spark, geo_fixture):
+    zdf, pts = geo_fixture
+    bound = pip.bind_points_to_polygons(pts, zdf, res=8)
+    n_bound = bound.select("point_id").distinct().count()
+    assert 0 < n_bound < pts.count()  # fixture has ins and outs
+
+
+def test_knn_pruned_equals_brute(spark, geo_fixture):
+    _, pts = geo_fixture
+    quays = pts.where("entity = 'Quay'").withColumnRenamed("point_id", "quay_id")
+    stops = pts.where("entity = 'StopPlace'").withColumnRenamed("point_id", "stop_id")
+    kb = knn.knn_brute_force(quays, stops, k=3)
+    for scheme, res in (("hex", 9), ("quad", 11)):
+        kp = knn.knn_cell_pruned(quays, stops, k=3, res=res, ring=1, scheme=scheme)
+        assert set(map(tuple, kp.select("quay_id", "stop_id", "rn").collect())) == set(
+            map(tuple, kb.select("quay_id", "stop_id", "rn").collect())
+        ), scheme
+
+
+def test_knn_collect_orders_by_distance(spark, geo_fixture):
+    _, pts = geo_fixture
+    quays = pts.where("entity = 'Quay'").withColumnRenamed("point_id", "quay_id")
+    stops = pts.where("entity = 'StopPlace'").withColumnRenamed("point_id", "stop_id")
+    kb = knn.knn_brute_force(quays, stops, k=3)
+    collected = {r.quay_id: r.stopplace_ids for r in knn.knn_collect(kb).collect()}
+    raw = kb.orderBy("quay_id", "rn").collect()
+    for qid, ids in collected.items():
+        expect = [r.stop_id for r in raw if r.quay_id == qid]
+        assert ids == expect
+
+
+def test_tile_assign_deterministic_across_partitioning(spark, corpus):
+    nodes = extract.extract_nodes(corpus)
+    a = tiling.document_tile_assign(nodes, resolutions=(7, 8))
+    b = tiling.document_tile_assign(nodes.repartition(11), resolutions=(7, 8))
+    key = lambda df: {
+        (r.doc_id, r.res): (tuple(r.h3_cells), tuple(r.s2_cells)) for r in df.collect()
+    }
+    assert key(a) == key(b)
+
+
+def test_raster_lookup_and_zonal_stats(spark, geo_fixture):
+    zdf, pts = geo_fixture
+    ras = raster.synthesize_raster(spark, res=12).cache()
+    assert ras.count() > 100
+    lk = raster.point_raster_lookup(pts, ras, res=12)
+    assert lk.where("value is null").count() == 0
+    zs = raster.zonal_stats(zdf, ras, res=12).collect()
+    assert len(zs) == zdf.count()
+    for r in zs:
+        assert r.min_value <= r.avg_value <= r.max_value
+        assert r.n_cells >= 1
+
+
+def test_cell_index_partitioning(spark, geo_fixture):
+    zdf, _ = geo_fixture
+    idx = tiling.cell_index(zdf, "zone_id", res=8, scheme="quad")
+    assert idx.count() > 0
+    assert set(idx.columns) == {"zone_id", "cell"}
