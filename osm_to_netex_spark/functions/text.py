@@ -67,19 +67,33 @@ def word_shingles(text: str, n: int, d: str) -> str:
     )
 
 
-def minhash_signature(text: str, n_shingle: int, n_perm: int, d: str) -> str:
-    """Array of n_perm minhash values over word shingles.
+MINHASH_MOD = 2**31 - 1
+MINHASH_SENTINEL = 2**60
 
-    Permutation p hashes shingle s as phash60(concat('p', s)); the signature
-    element is the min over shingles (2^60 sentinel for empty docs).
-    """
+
+def shingle_base_hashes(text: str, n_shingle: int, d: str) -> str:
+    """Array of base hashes, ONE md5 per shingle (stage this as a column)."""
     shingles = word_shingles(text, n_shingle, d)
-    sentinel = str(2**60)
-    styp = "string" if d == SPARK else "varchar"
-    h = phash60(f"concat(cast(p as {styp}), '|', s)", d)
-    hashed = transform(shingles, "s", h, d)
-    inner = f"coalesce({arr_min_big(hashed, d)}, cast({sentinel} as bigint))"
+    base = f"({phash60('s', d)} % {MINHASH_MOD})"
+    return transform(shingles, "s", base, d)
+
+
+def minhash_from_base(base_col: str, n_perm: int, d: str) -> str:
+    """Signature from a staged base-hash array column: the classic affine
+    permutation family h_p(x) = (x·(2p+1) + 7919·p) mod 2^31-1 — every
+    intermediate < 2^52 (portable under ANSI overflow checks).  Signature
+    element = min over shingles (2^60 sentinel for empty docs)."""
+    perm = f"((x * (2 * p + 1) + 7919 * p) % {MINHASH_MOD})"
+    permuted = transform(base_col, "x", perm, d)
+    inner = f"coalesce({arr_min_big(permuted, d)}, cast({MINHASH_SENTINEL} as bigint))"
     return transform(seq("0", str(n_perm - 1), d), "p", inner, d)
+
+
+def minhash_signature(text: str, n_shingle: int, n_perm: int, d: str) -> str:
+    """One-expression form (hot paths should stage shingle_base_hashes as a
+    column first — inside a single expression the base array is recomputed
+    per permutation since higher-order lambdas are not CSE'd)."""
+    return minhash_from_base(shingle_base_hashes(text, n_shingle, d), n_perm, d)
 
 
 def simhash64(text: str, d: str) -> str:

@@ -28,6 +28,7 @@ def assemble_poslist(
     nodes: DataFrame,
     broadcast_nodes: bool = False,
     strict: bool = True,
+    broadcast_ways: bool = False,
 ) -> DataFrame:
     """ways(way_id, nd_refs, tags…) × nodes(node_id, lat, lon)
     → (way_id, tags, pos_list array<double>).
@@ -43,15 +44,39 @@ def assemble_poslist(
     exploded = ways.select(
         "way_id", "tags", F.posexplode("nd_refs").alias("pos", "ref")
     )
-    joined = exploded.join(node_side, exploded.ref == node_side.node_id, "left")
+    if broadcast_ways:
+        # when ways are the small side (few zones, huge node table) broadcast
+        # the exploded refs and stream the node table map-side — no driver
+        # collect of the big side.  An outer join cannot broadcast its
+        # preserved side, so use INNER (a dropped row == an unresolved ref;
+        # strict mode detects that by count comparison instead of null scan).
+        joined = node_side.join(
+            F.broadcast(exploded), exploded.ref == node_side.node_id, "inner"
+        )
+        if strict:
+            n_refs = exploded.count()
+            n_matched = joined.count()
+            if n_matched != n_refs:
+                missing = exploded.join(
+                    node_side, exploded.ref == node_side.node_id, "left_anti"
+                ).select("way_id", "ref").limit(10).collect()
+                raise ValueError(
+                    f"unresolved nd refs (reference NPEs here, OsmToNetexMapper.java:255): {missing}"
+                )
+    else:
+        joined = exploded.join(node_side, exploded.ref == node_side.node_id, "left")
+        if strict:
+            missing = joined.where(F.col("node_id").isNull()).select("way_id", "ref")
+            offenders = missing.limit(10).collect()
+            if offenders:
+                raise ValueError(
+                    f"unresolved nd refs (reference NPEs here, OsmToNetexMapper.java:255): {offenders}"
+                )
+        else:
+            # lenient mode: drop unresolved vertices instead of erroring
+            joined = joined.where(F.col("node_id").isNotNull())
 
     if strict:
-        missing = joined.where(F.col("node_id").isNull()).select("way_id", "ref")
-        offenders = missing.limit(10).collect()
-        if offenders:
-            raise ValueError(
-                f"unresolved nd refs (reference NPEs here, OsmToNetexMapper.java:255): {offenders}"
-            )
         dupes = (
             node_side.groupBy("node_id").count().where(F.col("count") > 1).limit(10).collect()
         )

@@ -52,9 +52,14 @@ def minhash_signatures(
     n_shingle: int = 3,
     n_perm: int = 16,
 ) -> DataFrame:
+    """Staged: base hashes (1 md5/shingle) as a column, then the affine
+    permutation family — keeps md5 out of the per-permutation loop."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.expr(tx.minhash_signature(text_col, n_shingle, n_perm, SPARK)).alias("sig"),
+        F.expr(tx.shingle_base_hashes(text_col, n_shingle, SPARK)).alias("mh_base"),
+    ).select(
+        "doc_id",
+        F.expr(tx.minhash_from_base("mh_base", n_perm, SPARK)).alias("sig"),
     )
 
 
@@ -72,12 +77,17 @@ def minhash_lsh_pairs(
     rows-per-band = n_perm / bands; band key = md5 of the signature slice.
     """
     rows = n_perm // bands
+    # the verify set is the distinct *hashed* shingles (bigints travel the
+    # self-join shuffle far cheaper than n-gram strings; md5-collision error
+    # in the Jaccard estimate is ~2^-31 — negligible, and mirrored exactly by
+    # the oracle which uses the same hashed sets)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.expr(tx.minhash_signature(text_col, n_shingle, n_perm, SPARK)).alias("sig"),
-        F.expr(f"array_distinct({tx.word_shingles(text_col, n_shingle, SPARK)})").alias(
-            "shingles"
-        ),
+        F.expr(tx.shingle_base_hashes(text_col, n_shingle, SPARK)).alias("mh_base"),
+    ).select(
+        "doc_id",
+        F.expr(tx.minhash_from_base("mh_base", n_perm, SPARK)).alias("sig"),
+        F.expr("array_distinct(mh_base)").alias("shingles"),
     )
     banded = base.select(
         "doc_id",

@@ -66,6 +66,23 @@ def convert_documents(
     return ConversionResult(zones=zdf.drop("way_id"), groups=groups, envelope=envelope)
 
 
+def conversion_metrics(documents: DataFrame) -> DataFrame:
+    """A1 — count/log aggregation (OsmToNetexTransformer.java:69-70,100):
+    per-kind span counts + doc count in ONE pass (single partial-aggregated
+    job, not three .count() actions)."""
+    from pyspark.sql import functions as F
+
+    return documents.select(
+        F.explode_outer("spans").alias("span")
+    ).agg(
+        F.count(F.when(F.col("span.kind") == "osm_node", 1)).alias("n_nodes"),
+        F.count(F.when(F.col("span.kind") == "osm_way", 1)).alias("n_ways"),
+        F.count(F.when(F.col("span.kind") == "osm_relation", 1)).alias("n_relations"),
+        F.count(F.when(F.col("span.kind") == "text", 1)).alias("n_text_spans"),
+        F.count(F.when(F.col("span.kind") == "media", 1)).alias("n_media_spans"),
+    )
+
+
 def render_netex_xml(result: ConversionResult, max_rows: int = 10000) -> str:
     """Fixture-parity XML render (driver-side, test scale only).
 

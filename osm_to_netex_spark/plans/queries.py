@@ -1,0 +1,607 @@
+"""Driver-contract query suite: every operator as (Spark builder, DuckDB oracle).
+
+Each query derives its geometry deterministically FROM the shared testdata
+tables (customer → points, supplier → polygons) using only cross-engine-exact
+arithmetic from functions.portable/geo — md5 hashing, +,*,/, floor, round —
+and **no trigonometry** in any oracle-gated value (polygons are
+square-perimeter stars, distances are equirectangular-squared), so the DuckDB
+oracle reproduces the engine's outputs bit-for-bit and the driver's
+value-hash gate is a real verification, not an echo.
+
+The Spark side runs the *smart* plan (cell-pruned joins, broadcast hints,
+window top-k); the oracle runs the naive semantic definition (brute-force
+cross joins).  Agreement proves the pruning layers lose nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import geo, text as tx
+from ..functions.portable import DUCK, SPARK, concat_str, flit, phash60
+from ..operators import dedup, textstats
+
+BBOX = (59.4, 60.2, 9.6, 10.6)
+LAT_LO, LAT_HI, LON_LO, LON_HI = BBOX
+DLAT, DLON = LAT_HI - LAT_LO, LON_HI - LON_LO
+
+
+def _pr(key_parts: list[str], d: str) -> str:
+    return f"({phash60(concat_str(key_parts, d), d)} / {flit(float(2**60))})"
+
+
+# ---------------------------------------------------------------------------
+# derived geometry (shared SQL text per dialect)
+# ---------------------------------------------------------------------------
+def points_sql(d: str, table: str = "customer") -> str:
+    """Deterministic points from customer keys (point_id, lat, lon)."""
+    la = _pr(["'pt:lat:'", "c_custkey"], d)
+    lo = _pr(["'pt:lon:'", "c_custkey"], d)
+    return (
+        f"select c_custkey as point_id, "
+        f"{flit(LAT_LO)} + {la} * {flit(DLAT)} as lat, "
+        f"{flit(LON_LO)} + {lo} * {flit(DLON)} as lon "
+        f"from {table}"
+    )
+
+
+def polys_sql(d: str, table: str = "supplier") -> str:
+    """Deterministic star polygons from supplier keys (zone_id, pos_list)."""
+    pr_lat = _pr(["'z:lat:'", "s_suppkey"], d)
+    clat = f"({flit(LAT_LO + 0.05)} + {pr_lat} * {flit(DLAT - 0.1)})"
+    pr_lon = _pr(["'z:lon:'", "s_suppkey"], d)
+    pr_rad = _pr(["'z:rad:'", "s_suppkey"], d)
+    pr_nv = _pr(["'z:nv:'", "s_suppkey"], d)
+    clon = f"({flit(LON_LO + 0.05)} + {pr_lon} * {flit(DLON - 0.1)})"
+    # radius shrinks with √zone-count so aggregate zone area (and therefore
+    # PIP hit density per point) stays constant across scale factors —
+    # sqrt() is correctly-rounded IEEE, identical in both engines
+    dens = f"sqrt(100.0e0 / (select count(*) from {table}))"
+    rad = f"(({flit(0.03)} + {pr_rad} * {flit(0.12)}) * {dens})"
+    nv = f"cast(8 + floor({pr_nv} * 9) as int)"
+
+    m = "(j % nv)"
+    t4 = f"(4.0e0 * {m} / nv)"
+    side = f"cast(floor({t4}) as int)"
+    u = f"({t4} - floor({t4}))"
+    x = (
+        f"(CASE WHEN {side} = 0 THEN -1.0e0 + 2.0e0 * {u} "
+        f"WHEN {side} = 1 THEN 1.0e0 "
+        f"WHEN {side} = 2 THEN 1.0e0 - 2.0e0 * {u} "
+        f"ELSE -1.0e0 END)"
+    )
+    y = (
+        f"(CASE WHEN {side} = 0 THEN -1.0e0 "
+        f"WHEN {side} = 1 THEN -1.0e0 + 2.0e0 * {u} "
+        f"WHEN {side} = 2 THEN 1.0e0 "
+        f"ELSE 1.0e0 - 2.0e0 * {u} END)"
+    )
+    pr_vr = _pr(["'z:vr:'", "s_suppkey", "':'", m], d)
+    rj = f"(0.6e0 + 0.8e0 * {pr_vr})"
+    vlat = f"(clat + rad * {rj} * {y})"
+    vlon = f"(clon + rad * {rj} * {x})"
+
+    if d == SPARK:
+        pos = f"flatten(transform(sequence(0, nv), j -> array({vlat}, {vlon})))"
+    else:
+        pos = f"flatten(list_transform(generate_series(0, cast(nv as bigint)), j -> [{vlat}, {vlon}]))"
+    return (
+        f"select s_suppkey as zone_id, {pos} as pos_list from ("
+        f"select s_suppkey, {clat} as clat, {clon} as clon, {rad} as rad, {nv} as nv "
+        f"from {table}) t"
+    )
+
+
+def register_geometry_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in ("customer", "supplier", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+    spark.sql(f"create or replace temp view geo_points as {points_sql(SPARK)}")
+    spark.sql(f"create or replace temp view geo_polys as {polys_sql(SPARK)}")
+
+
+def duck_geometry_ctes() -> str:
+    """WITH-clause text for oracle queries (testdata views pre-registered)."""
+    return (
+        f"with geo_points as ({points_sql(DUCK)}), "
+        f"geo_polys as ({polys_sql(DUCK)})"
+    )
+
+
+# equirectangular squared distance in deg² — trig-free, exact cross-engine.
+COSLAT0 = 0.5225  # fixed constant ≈ cos(58.5°)... kept literal & identical on both sides
+
+
+def dist2(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (
+        f"(({lat2} - {lat1}) * ({lat2} - {lat1}) + "
+        f"({flit(COSLAT0)} * ({lon2} - {lon1})) * ({flit(COSLAT0)} * ({lon2} - {lon1})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — each returns a Spark DataFrame builder + matching oracle SQL
+# ---------------------------------------------------------------------------
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point cell-assign at res 7/8/9, hex + quad (north-rule headline)."""
+    register_geometry_views(spark, sf_dir)
+    exprs = []
+    for r in (7, 8, 9):
+        exprs.append(f"{geo.hex_cell('lat', 'lon', r, SPARK)} as hex_r{r}")
+        exprs.append(f"{geo.quad_cell('lat', 'lon', r, SPARK)} as quad_r{r}")
+    return spark.sql(f"select point_id, {', '.join(exprs)} from geo_points")
+
+
+def q_tile_assign_oracle() -> str:
+    exprs = []
+    for r in (7, 8, 9):
+        exprs.append(f"{geo.hex_cell('lat', 'lon', r, DUCK)} as hex_r{r}")
+        exprs.append(f"{geo.quad_cell('lat', 'lon', r, DUCK)} as quad_r{r}")
+    return f"{duck_geometry_ctes()} select point_id, {', '.join(exprs)} from geo_points"
+
+
+def q_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon covering as exploded (zone_id, scheme, res, cell) rows."""
+    register_geometry_views(spark, sf_dir)
+    parts = []
+    for scheme, fn in (("hex", geo.hex_cover_bbox), ("quad", geo.quad_cover_bbox)):
+        for r in (7, 8):
+            parts.append(
+                f"select zone_id, '{scheme}' as scheme, {r} as res, "
+                f"explode({fn('pos_list', r, SPARK)}) as cell from geo_polys"
+            )
+    return spark.sql(" union all ".join(parts))
+
+
+def q_polyfill_oracle() -> str:
+    parts = []
+    for scheme, fn in (("hex", geo.hex_cover_bbox), ("quad", geo.quad_cover_bbox)):
+        for r in (7, 8):
+            parts.append(
+                f"select zone_id, '{scheme}' as scheme, {r} as res, "
+                f"unnest({fn('pos_list', r, DUCK)}) as cell from geo_polys"
+            )
+    return f"{duck_geometry_ctes()} " + " union all ".join(parts)
+
+
+def q_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex k-ring expansion (k=2) as exploded rows."""
+    register_geometry_views(spark, sf_dir)
+    cell = geo.hex_cell("lat", "lon", 8, SPARK)
+    return spark.sql(
+        f"select point_id, explode({geo.hex_kring(cell, 8, 2, SPARK)}) as ring_cell from geo_points"
+    )
+
+
+def q_kring_oracle() -> str:
+    cell = geo.hex_cell("lat", "lon", 8, DUCK)
+    return (
+        f"{duck_geometry_ctes()} select point_id, "
+        f"unnest({geo.hex_kring(cell, 8, 2, DUCK)}) as ring_cell from geo_points"
+    )
+
+
+def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP binding — engine: quad-cell-pruned join + ray cast; oracle: brute."""
+    from ..operators import pip
+
+    register_geometry_views(spark, sf_dir)
+    pts = spark.table("geo_points")
+    polys = spark.table("geo_polys")
+    return pip.bind_points_to_polygons(pts, polys, res=12, scheme="quad")
+
+
+def q_pip_oracle() -> str:
+    pred = geo.point_in_polygon("p.lat", "p.lon", "z.pos_list", DUCK)
+    return (
+        f"{duck_geometry_ctes()} "
+        f"select distinct p.point_id as point_id, z.zone_id as zone_id "
+        f"from geo_points p cross join geo_polys z where {pred}"
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN (k=3): every 10th point (quay) → 3 nearest other points (stops),
+    equirect-squared metric.
+
+    Engine plan: quad-cell ring-1 candidate join at res 13 + window top-k;
+    quays whose 3rd hit falls outside the ring's guarantee radius (or with
+    < 3 hits) are re-ranked brute-force — a data-driven anti-join fallback,
+    no driver loop.  Exact vs the brute-force oracle by construction.
+    """
+    register_geometry_views(spark, sf_dir)
+    res, k = 13, 3
+    cellh = 180.0 / 2**res
+    cellw = 360.0 / 2**res
+    g2 = min(cellh, cellw * COSLAT0) ** 2  # dist2 ball certainly covered by ring 1
+
+    q = spark.sql(
+        f"select point_id as quay_id, lat as qlat, lon as qlon, "
+        f"{geo.quad_cell('lat', 'lon', res, SPARK)} as qcell "
+        f"from geo_points where point_id % 10 = 0"
+    )
+    s = spark.sql(
+        f"select point_id as stop_id, lat as slat, lon as slon, "
+        f"{geo.quad_cell('lat', 'lon', res, SPARK)} as scell "
+        f"from geo_points where point_id % 10 <> 0"
+    )
+    ring = q.withColumn("cand_cell", F.explode(F.expr(geo.quad_kring("qcell", res, 1, SPARK))))
+    cand = ring.join(F.broadcast(s), ring.cand_cell == s.scell).withColumn(
+        "d2", F.expr(dist2("qlat", "qlon", "slat", "slon"))
+    )
+    w = Window.partitionBy("quay_id").orderBy(F.col("d2").asc(), F.col("stop_id").asc())
+    ranked = (
+        cand.select("quay_id", "stop_id", "d2")
+        .withColumn("rn", F.row_number().over(w))
+        .where(f"rn <= {k}")
+    )
+    per_quay = ranked.groupBy("quay_id").agg(
+        F.count("*").alias("nh"), F.max("d2").alias("maxd")
+    )
+    resolved = per_quay.where((F.col("nh") == k) & (F.col("maxd") <= F.lit(g2))).select(
+        "quay_id"
+    )
+    done = ranked.join(F.broadcast(resolved), "quay_id")
+    rest = q.join(F.broadcast(resolved), "quay_id", "left_anti")
+    fb_cand = rest.crossJoin(F.broadcast(s.drop("scell"))).withColumn(
+        "d2", F.expr(dist2("qlat", "qlon", "slat", "slon"))
+    )
+    fb = (
+        fb_cand.select("quay_id", "stop_id", "d2")
+        .withColumn("rn", F.row_number().over(w))
+        .where(f"rn <= {k}")
+    )
+    return (
+        done.unionByName(fb)
+        .selectExpr("quay_id", "stop_id", "rn", "round(d2, 12) as d2r")
+    )
+
+
+def q_knn_oracle() -> str:
+    d2 = dist2("q.lat", "q.lon", "s.lat", "s.lon")
+    return f"""{duck_geometry_ctes()},
+        cand as (
+            select q.point_id as quay_id, s.point_id as stop_id, {d2} as d2,
+                   row_number() over (partition by q.point_id order by {d2} asc, s.point_id asc) as rn
+            from geo_points q cross join geo_points s
+            where q.point_id % 10 = 0 and s.point_id % 10 <> 0
+        )
+        select quay_id, stop_id, rn, round(d2, 12) as d2r from cand where rn <= 3"""
+
+
+def q_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal raster stats at quad res 12 over the derived polygons."""
+    from ..operators import raster
+
+    register_geometry_views(spark, sf_dir)
+    ras = raster.synthesize_raster(spark, res=12, bbox=BBOX)
+    polys = spark.table("geo_polys")
+    out = raster.zonal_stats(polys, ras, res=12)
+    return out.selectExpr(
+        "zone_id", "avg_value", "round(min_value, 6) as min_value",
+        "round(max_value, 6) as max_value", "n_cells"
+    )
+
+
+def q_raster_zonal_oracle() -> str:
+    # inline raster synthesis (mirrors raster.synthesize_raster arithmetic)
+    res, n = 12, 2**12
+    iy_lo = int((LAT_LO + 90.0) / 180.0 * n)
+    iy_hi = int((LAT_HI + 90.0) / 180.0 * n)
+    ix_lo = int((LON_LO + 180.0) / 360.0 * n)
+    ix_hi = int((LON_HI + 180.0) / 360.0 * n)
+    w = ix_hi - ix_lo + 1
+    total = (iy_hi - iy_lo + 1) * w
+    h = phash60(concat_str(["'42:ras:'", "iy", "':'", "ix"], DUCK), DUCK)
+    return f"""{duck_geometry_ctes()},
+        raster as (
+            select {geo.quad_pack('ix', 'iy', res)} as cell,
+                   round(({h} / {flit(float(2**60))}) * 2000.0e0, 3) as value
+            from (select ({iy_lo} + i // {w}) as iy, ({ix_lo} + i % {w}) as ix
+                  from generate_series(0, {total - 1}) t(i)) g
+        ),
+        cover as (
+            select zone_id, unnest({geo.quad_cover_bbox('pos_list', res, DUCK)}) as cell
+            from geo_polys
+        )
+        select zone_id, round(avg(value), 6) as avg_value, round(min(value), 6) as min_value,
+               round(max(value), 6) as max_value, count(*) as n_cells
+        from cover join raster using (cell)
+        group by zone_id"""
+
+
+# --- training-data operators over the shared documents/embeddings tables ---
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs)
+
+
+def q_dedup_exact_oracle() -> str:
+    norm = dedup.normalize_expr("text", DUCK)
+    return (
+        f"select md5({norm}) as content_key, count(*) as n_dupes, "
+        f"min(doc_id) as survivor_id from documents group by 1"
+    )
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, n_shingle=3, n_perm=16)
+    return sigs.selectExpr("doc_id", "array_join(sig, ',') as sig_str")
+
+
+def q_minhash_oracle() -> str:
+    base = tx.shingle_base_hashes("text", 3, DUCK)
+    sig = tx.minhash_from_base("mh_base", 16, DUCK)
+    return (
+        f"with staged as (select doc_id, {base} as mh_base from documents) "
+        f"select doc_id, array_to_string({sig}, ',') as sig_str from staged"
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(docs, n_perm=16, bands=4, jaccard_threshold=0.4)
+
+
+def q_minhash_pairs_oracle() -> str:
+    bh = tx.shingle_base_hashes("text", 3, DUCK)
+    sig = tx.minhash_from_base("mh_base", 16, DUCK)
+    return f"""
+        with staged as (
+            select doc_id, {bh} as mh_base from documents
+        ),
+        base as (
+            select doc_id, {sig} as sig, list_distinct(mh_base) as shingles from staged
+        ),
+        banded as (
+            select doc_id, shingles, b as band,
+                   md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',')) as bucket
+            from base, unnest(generate_series(0, 3)) t(b)
+        ),
+        cand as (
+            select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+                   a.shingles as sh_a, b.shingles as sh_b
+            from banded a join banded b using (band, bucket)
+            where a.doc_id < b.doc_id
+        )
+        select doc_a, doc_b,
+               round(cast(len(list_intersect(sh_a, sh_b)) as double) /
+                     cast(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)) as double), 6) as jaccard
+        from cand
+        where round(cast(len(list_intersect(sh_a, sh_b)) as double) /
+                    cast(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)) as double), 6) >= 0.4
+    """
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr("doc_id", f"{tx.simhash64('text', SPARK)} as simhash")
+
+
+def q_simhash_oracle() -> str:
+    return f"select doc_id, {tx.simhash64('text', DUCK)} as simhash from documents"
+
+
+def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.text_stats(docs)
+
+
+def q_textstats_oracle() -> str:
+    return textstats.text_stats_oracle_sql("documents")
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id % 50 = 0")
+    return similarity.topk_cosine_brute(queries, emb, k=5)
+
+
+def q_embed_topk_oracle() -> str:
+    cos = dedup.cosine_expr("q.embedding", "c.embedding", DUCK)
+    return f"""
+        with scored as (
+            select q.vec_id as query_id, c.vec_id as vec_id, round({cos}, 6) as cos
+            from embeddings q cross join embeddings c
+            where q.vec_id % 50 = 0 and c.vec_id <> q.vec_id
+        ),
+        ranked as (
+            select query_id, vec_id, cos,
+                   row_number() over (partition by query_id order by cos desc, vec_id asc) as rn
+            from scored
+        )
+        select query_id, vec_id, cos, rn from ranked where rn <= 5"""
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    return dedup.embedding_near_dup(emb, dim=dim, n_bits=4, cos_threshold=0.35)
+
+
+def q_embed_near_dup_oracle(dim: int = 64) -> str:
+    bits = dedup.hyperplane_bits("embedding", 4, dim, DUCK)
+    cos = dedup.cosine_expr("a.embedding", "b.embedding", DUCK)
+    return f"""
+        with sig as (select vec_id, embedding, {bits} as bucket from embeddings)
+        select a.vec_id as id_a, b.vec_id as id_b, round({cos}, 6) as cos
+        from sig a join sig b using (bucket)
+        where a.vec_id < b.vec_id and round({cos}, 6) >= 0.35"""
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed/sessionized analytics over the events stream table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_events_window_oracle() -> str:
+    return """
+        select date_trunc('hour', ts) as hour, event_type,
+               count(*) as n_events, round(sum(value), 6) as sum_value,
+               count(distinct user_id) as n_users
+        from events group by 1, 2"""
+
+
+# --- reference-parity operators over derived relational fixtures -----------
+def q_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 ordered reassembly verified against a SQL ordered-aggregation oracle:
+    nodes = polygon vertices keyed (zone_id*1000+j); ways reference them."""
+    register_geometry_views(spark, sf_dir)
+    nodes = spark.sql(
+        "select zone_id * 1000 + (pos - 1) as node_id, "
+        "pos_list[cast(2 * pos - 2 as int)] as lat, pos_list[cast(2 * pos - 1 as int)] as lon "
+        "from (select zone_id, pos_list, explode(sequence(1, size(pos_list) div 2)) as pos from geo_polys)"
+    )
+    ways = spark.sql(
+        "select zone_id as way_id, transform(sequence(1, size(pos_list) div 2), "
+        "p -> zone_id * 1000 + (p - 1)) as nd_refs, "
+        "cast(null as map<string,string>) as tags from geo_polys"
+    )
+    from ..operators import assemble
+
+    out = assemble.assemble_poslist(ways, nodes, broadcast_nodes=True, strict=False)
+    return out.select("way_id", "pos_list")
+
+
+def q_assemble_oracle() -> str:
+    return f"""{duck_geometry_ctes()},
+        verts as (
+            select zone_id, pos,
+                   pos_list[2 * pos - 1] as lat, pos_list[2 * pos] as lon
+            from geo_polys, unnest(generate_series(1, len(pos_list) // 2)) t(pos)
+        )
+        select zone_id as way_id,
+               flatten(list([lat, lon] order by pos asc)) as pos_list
+        from verts group by zone_id"""
+
+
+def q_zone_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/M4/M5 — the engine's real tag→zone mapper (zones.map_zones) over
+    derived tags, vs a semantic SQL oracle.  Exercises: id generation
+    (OsmToNetexMapper.java:337-339), the name:lang extraction incl. the
+    plain-``name`` quirk (:341-343), zone_type → KeyList, and every
+    ValidBetween branch (:320-326)."""
+    from ..operators import zones
+
+    register_geometry_views(spark, sf_dir)
+    assembled = spark.sql(
+        """
+        select zone_id as way_id, pos_list,
+               map_filter(map(
+                 'codespace', 'BRA',
+                 'reference', cast(zone_id as string),
+                 case when zone_id % 3 = 0 then 'name:nor'
+                      when zone_id % 3 = 1 then 'name:eng'
+                      else 'name' end, concat('Zone-', zone_id),
+                 'zone_type', case when zone_id % 2 = 0 then 'tariffZone' end,
+                 'valid_from', case when zone_id % 4 = 0 then '2021-02-01'
+                                    when zone_id % 4 = 1 then '2021-02-01'
+                                    when zone_id % 4 = 2 then '2030-01-01' end,
+                 'valid_to',   case when zone_id % 4 = 0 then '2031-02-01'
+                                    when zone_id % 4 = 2 then '2020-01-01' end
+               ), (k, v) -> v is not null) as tags
+        from geo_polys
+        """
+    )
+    z = zones.map_zones(assembled, "TariffZone", strict=True)
+    return z.selectExpr(
+        "zone_id",
+        "name",
+        "name_lang",
+        "polygon_id",
+        "element_at(key_list, 'zone_type') as zone_type",
+        "cast(valid_from as string) as valid_from",
+        "cast(valid_to as string) as valid_to",
+    )
+
+
+def q_zone_mapping_oracle() -> str:
+    return f"""{duck_geometry_ctes()}
+        select concat('BRA', ':', 'TariffZone', ':', cast(zone_id as varchar)) as zone_id,
+               concat('Zone-', cast(zone_id as varchar)) as name,
+               case when zone_id % 3 = 0 then 'nor'
+                    when zone_id % 3 = 1 then 'eng'
+                    else 'name' end as name_lang,
+               concat('GEN-PolygonType', cast(zone_id as varchar)) as polygon_id,
+               case when zone_id % 2 = 0 then 'tariffZone' end as zone_type,
+               -- ValidBetween: both iff to>from; from-only iff to missing; else none
+               case when zone_id % 4 = 0 then '2021-02-01'
+                    when zone_id % 4 = 1 then '2021-02-01' end as valid_from,
+               case when zone_id % 4 = 0 then '2031-02-01' end as valid_to
+        from geo_polys"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+QUERIES = {
+    "tile_assign": (q_tile_assign, q_tile_assign_oracle),
+    "polyfill": (q_polyfill, q_polyfill_oracle),
+    "kring": (q_kring, q_kring_oracle),
+    "pip": (q_pip, q_pip_oracle),
+    "knn": (q_knn, q_knn_oracle),
+    "raster_zonal": (q_raster_zonal, q_raster_zonal_oracle),
+    "assemble_poslist": (q_assemble, q_assemble_oracle),
+    "zone_mapping": (q_zone_mapping, q_zone_mapping_oracle),
+    "dedup_exact": (q_dedup_exact, q_dedup_exact_oracle),
+    "minhash_signatures": (q_minhash, q_minhash_oracle),
+    "minhash_lsh_pairs": (q_minhash_pairs, q_minhash_pairs_oracle),
+    "simhash": (q_simhash, q_simhash_oracle),
+    "textstats": (q_textstats, q_textstats_oracle),
+    "embedding_topk": (q_embed_topk, q_embed_topk_oracle),
+    "embedding_near_dup": (q_embed_near_dup, q_embed_near_dup_oracle),
+    "events_window": (q_events_window, q_events_window_oracle),
+}
+
+
+# rows-only queries (no SQL oracle: span-document pipeline, streaming state)
+def q_convert_tariffzone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import netex
+    from ..sources import documents as docs_src
+
+    corpus = docs_src.synthesize_corpus(spark, n_docs=500, n_zones=32, n_groups=4, n_points=150)
+    return netex.convert_documents(corpus, "TariffZone").zones
+
+
+def q_convert_farezone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import netex
+    from ..sources import documents as docs_src
+
+    corpus = docs_src.synthesize_corpus(spark, n_docs=500, n_zones=32, n_groups=4, n_points=150)
+    return netex.convert_documents(corpus, "FareZone").groups
+
+
+def q_doc_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import extract, tiling
+    from ..sources import documents as docs_src
+
+    corpus = docs_src.synthesize_corpus(spark, n_docs=500, n_zones=32, n_groups=4, n_points=150)
+    nodes = extract.extract_nodes(corpus)
+    return tiling.document_tile_assign(nodes, resolutions=(7, 8, 9)).selectExpr(
+        "doc_id", "res", "array_join(h3_cells, ',') as h3_cells", "array_join(s2_cells, ',') as s2_cells"
+    )
+
+
+def q_conversion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import netex
+    from ..sources import documents as docs_src
+
+    corpus = docs_src.synthesize_corpus(spark, n_docs=500, n_zones=32, n_groups=4, n_points=150)
+    return netex.conversion_metrics(corpus)
+
+
+ROWS_ONLY = {
+    "convert_tariffzone": q_convert_tariffzone,
+    "convert_farezone_groups": q_convert_farezone_groups,
+    "doc_tile_assign": q_doc_tile_assign,
+    "conversion_metrics": q_conversion_metrics,
+}

@@ -56,6 +56,7 @@ def synthesize_corpus(
     n_points: int = 200,
     bbox: tuple[float, float, float, float] = BBOX,
     seed: int = 42,
+    zone_radius_scale: float = 1.0,
 ) -> DataFrame:
     """Deterministic interleaved corpus (FIXTURES.md §§1-4,6).
 
@@ -92,7 +93,7 @@ def synthesize_corpus(
             "z",
             f"{flit(lat_lo)} + {zr('clat')} * {flit(dlat)} as clat",
             f"{flit(lon_lo)} + {zr('clon')} * {flit(dlon)} as clon",
-            f"{flit(0.02)} + {zr('rad')} * {flit(0.10)} as rad",
+            f"({flit(0.02)} + {zr('rad')} * {flit(0.10)}) * {flit(zone_radius_scale)} as rad",
             f"cast(8 + floor({zr('nv')} * 17) as int) as nv",  # 8..24 vertices
             "case when z % 7 = 0 then -1 else 1 end as idsign",
         )

@@ -1,0 +1,118 @@
+"""Dedup / similarity / textstats over planted fixtures and testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_to_netex_spark.operators import dedup, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, docs):
+    planted = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    with_dupes = docs.unionByName(planted)
+    groups = dedup.exact_dedup(with_dupes).where("n_dupes > 1")
+    rows = groups.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.survivor_id < 1_000_000  # min-id survivor
+
+
+def test_exact_dedup_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "  HELLO\tWORLD "), (4, "other")],
+        "doc_id long, text string",
+    )
+    g = dedup.exact_dedup(df).where("n_dupes > 1").collect()
+    assert len(g) == 1 and g[0].n_dupes == 3 and g[0].survivor_id == 1
+
+
+def test_minhash_finds_planted_near_duplicates(spark, docs):
+    base = docs.limit(8)
+    # near-dup: append one word (high jaccard for long docs)
+    noisy = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    both = base.select("doc_id", "text").unionByName(noisy)
+    pairs = dedup.minhash_lsh_pairs(both, n_perm=16, bands=8, jaccard_threshold=0.5)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    planted = {(r.doc_id, r.doc_id + 1_000_000) for r in base.collect()}
+    assert planted <= found
+
+
+def test_simhash_identical_docs_cluster(spark, docs):
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    clusters = dedup.simhash_clusters(docs.unionByName(dup))
+    members = {tuple(r.member_ids) for r in clusters.collect()}
+    for r in docs.limit(3).collect():
+        assert any(r.doc_id in m and r.doc_id + 1_000_000 in m for m in members)
+
+
+def test_ngram_jaccard_symmetric_bounded(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs.limit(60), threshold=0.2).collect()
+    for r in pairs:
+        assert 0.2 <= r.jaccard <= 1.0
+        assert r.doc_a < r.doc_b
+
+
+def test_embedding_near_dup_finds_planted(spark, emb):
+    dim = len(emb.first().embedding)
+    planted = emb.limit(4).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(planted)
+    pairs = dedup.embedding_near_dup(both, dim=dim, n_bits=8, cos_threshold=0.999)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expect = {(r.vec_id, r.vec_id + 1_000_000) for r in emb.limit(4).collect()}
+    assert expect <= found
+
+
+def test_topk_brute_excludes_self_and_ranks(spark, emb):
+    tk = similarity.topk_cosine_brute(emb.limit(3), emb, k=4)
+    rows = tk.collect()
+    assert all(r.query_id != r.vec_id for r in rows)
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rn)):
+        by_q.setdefault(r.query_id, []).append(r.cos)
+    for coss in by_q.values():
+        assert coss == sorted(coss, reverse=True)
+        assert len(coss) == 4
+
+
+def test_ivf_recall_reasonable(spark, emb):
+    q = emb.limit(8)
+    brute = {(r.query_id, r.vec_id) for r in similarity.topk_cosine_brute(q, emb, k=5).collect()}
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.topk_cosine_ivf(q, emb, k=5, n_centroids=8, n_probe=4).collect()
+    }
+    assert len(brute & ivf) / len(brute) >= 0.6  # ANN: recall<1 by design
+
+
+def test_textstats_shapes(spark, docs):
+    ts = textstats.text_stats(docs.limit(50)).collect()
+    for r in ts:
+        assert r.lang_pred in {"en", "no", "de", "fr", "und"}
+        assert 0.0 <= r.quality <= 1.0
+        assert r.n_tokens_re >= 0 and r.n_tokens_ws >= 0
+        assert r.fingerprint >= 0
+
+
+def test_fingerprint_stable_under_partitioning(spark, docs):
+    a = {r.doc_id: r.fingerprint for r in textstats.text_stats(docs).collect()}
+    b = {
+        r.doc_id: r.fingerprint
+        for r in textstats.text_stats(docs.repartition(13)).collect()
+    }
+    assert a == b

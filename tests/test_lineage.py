@@ -1,0 +1,79 @@
+"""Checkpoint / lineage / idempotent-resume tests (FIXTURES.md §5 resume test:
+kill after unit k, re-run, assert idempotent output)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_to_netex_spark.plans import lineage
+from osm_to_netex_spark.sources.catalog import SnapshotCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return SnapshotCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _seed_input(spark, catalog, n=100):
+    df = spark.range(n).selectExpr("concat('doc-', id) as doc_id", "id as payload")
+    snap = catalog.commit(df, "docs_in", mode="overwrite")
+    return snap
+
+
+def _transform(df):
+    return df.select("doc_id", (F.col("payload") * 2).alias("doubled"))
+
+
+def test_full_run_then_resume_is_noop(spark, catalog):
+    _seed_input(spark, catalog)
+    r1 = lineage.run_with_resume(catalog, "docs_in", "docs_out", _transform, n_units=6)
+    assert len(r1["processed"]) == 6 and r1["skipped"] == []
+    r2 = lineage.run_with_resume(catalog, "docs_in", "docs_out", _transform, n_units=6)
+    assert r2["processed"] == [] and len(r2["skipped"]) == 6
+    out = catalog.read("docs_out")
+    assert out.count() == 100
+    assert out.select("doc_id").distinct().count() == 100
+
+
+def test_crash_and_resume_idempotent(spark, catalog):
+    _seed_input(spark, catalog)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lineage.run_with_resume(
+            catalog, "docs_in", "docs_out", _transform, n_units=6, fail_after_units=2
+        )
+    partial = catalog.read("docs_out")
+    n_partial = partial.count()
+    assert 0 < n_partial < 100
+    done_units = {r.unit_id for r in partial.select("unit_id").distinct().collect()}
+    assert len(done_units) == 2
+
+    r = lineage.run_with_resume(catalog, "docs_in", "docs_out", _transform, n_units=6)
+    assert sorted(r["skipped"]) == sorted(done_units)
+    assert len(r["processed"]) == 4
+    out = catalog.read("docs_out")
+    assert out.count() == 100
+    assert out.groupBy("doc_id").count().where("count > 1").count() == 0  # no double-count
+    # lineage columns present on every row
+    assert out.where(
+        F.col("unit_id").isNull()
+        | F.col("input_snapshot_id").isNull()
+        | F.col("run_tag").isNull()
+    ).count() == 0
+
+
+def test_snapshot_pinning_isolates_appends(spark, catalog):
+    snap1 = _seed_input(spark, catalog, n=50)
+    more = spark.range(50, 80).selectExpr("concat('doc-', id) as doc_id", "id as payload")
+    snap2 = catalog.commit(more, "docs_in", mode="append")
+    assert catalog.read("docs_in", snap1).count() == 50
+    assert catalog.read("docs_in", snap2).count() == 80
+    assert catalog.read("docs_in").count() == 80
+
+
+def test_unit_assignment_partitioning_invariant(spark, catalog):
+    df = spark.range(200).selectExpr("concat('d', id) as doc_id")
+    a = {r.doc_id: r.unit_id for r in lineage.with_unit_id(df, 8).collect()}
+    b = {
+        r.doc_id: r.unit_id
+        for r in lineage.with_unit_id(df.repartition(17), 8).collect()
+    }
+    assert a == b

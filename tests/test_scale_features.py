@@ -1,0 +1,113 @@
+"""Refined cover, salted joins, CLI job — the scale-hardening layer."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_to_netex_spark.functions import geo
+from osm_to_netex_spark.functions.portable import SPARK
+from osm_to_netex_spark.operators import skew
+
+
+@pytest.fixture(scope="module")
+def star_ring(spark):
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    pts = []
+    n = 14
+    for j in range(n):
+        a = 2 * math.pi * j / n
+        r = 0.25 * (0.6 + 0.8 * rng.rand())
+        pts.append((59.8 + r * math.cos(a), 10.1 + r * math.sin(a)))
+    pts.append(pts[0])
+    return [v for p in pts for v in p]
+
+
+def test_refined_cover_is_superset_of_hits_and_tighter(spark, star_ring):
+    pl = "array(" + ",".join(repr(v) + "e0" for v in star_ring) + ")"
+    res = 12  # cells small enough that the bbox cover has non-intersecting corners
+    row = spark.sql(
+        f"select size({geo.quad_cover_bbox(pl, res, SPARK)}) as nb, "
+        f"size({geo.quad_cover_refined(pl, res, SPARK)}) as nr, "
+        f"{geo.quad_cover_refined(pl, res, SPARK)} as refined"
+    ).collect()[0]
+    assert row.nr < row.nb  # tighter
+    # superset property: every point inside the polygon has its cell in cover
+    pts = spark.range(500).selectExpr(
+        "59.55 + (cast(conv(substring(md5(concat('x', id)), 1, 15), 16, 10) as bigint) / 1152921504606846976.0e0) * 0.5e0 as lat",
+        "9.85 + (cast(conv(substring(md5(concat('y', id)), 1, 15), 16, 10) as bigint) / 1152921504606846976.0e0) * 0.5e0 as lon",
+    )
+    hits = pts.where(F.expr(geo.point_in_polygon("lat", "lon", pl, SPARK))).select(
+        F.expr(geo.quad_cell("lat", "lon", res, SPARK)).alias("cell")
+    )
+    cover = set(row.refined)
+    n_hits = 0
+    for r in hits.collect():
+        assert r.cell in cover
+        n_hits += 1
+    assert n_hits > 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    facts = spark.range(2000).selectExpr(
+        "id as row_id", "case when id % 10 = 0 then 42 else id % 97 end as cell"
+    )
+    dims = spark.range(97).selectExpr("id as cell", "concat('zone-', id) as zone")
+    plain = facts.join(dims, "cell").select("row_id", "zone")
+    salted = skew.salted_join(facts, dims, "cell", salts=4, row_key="row_id").select(
+        "row_id", "zone"
+    )
+    assert set(map(tuple, plain.collect())) == set(map(tuple, salted.collect()))
+    # left join preserves misses
+    facts2 = facts.withColumn("cell", F.col("cell") + 1000)  # no matches
+    lsalt = skew.salted_join(facts2, dims, "cell", salts=4, row_key="row_id", how="left")
+    assert lsalt.where("zone is not null").count() == 0
+    assert lsalt.count() == 2000
+
+
+def test_top_heavy_keys(spark):
+    facts = spark.range(1000).selectExpr("case when id < 500 then 7 else id end as cell")
+    hot = skew.top_heavy_keys(facts, "cell", threshold=100).collect()
+    assert len(hot) == 1 and hot[0].cell == 7
+
+
+def test_cli_job_documents(spark, corpus, tmp_path):
+    from osm_to_netex_spark.plans import job
+    from osm_to_netex_spark.sources import documents as docs_src
+
+    src = str(tmp_path / "docs_in")
+    docs_src.write_documents(corpus, src)
+    out = str(tmp_path / "warehouse")
+    xml = str(tmp_path / "out.xml")
+    res = job.main(
+        [
+            "--input", src,
+            "--target", "TariffZone",
+            "--output", out,
+            "--xml-out", xml,
+            "--run-tag", "t1",
+            "--cores", "4",
+        ]
+    )
+    assert res["n_zones"] == 12
+    assert res["zones_snapshot"] and res["tiles_snapshot"]
+    content = open(xml).read()
+    assert "<TariffZone version=" in content and "gml:posList" in content
+
+
+def test_cli_job_osm_xml(spark, tmp_path):
+    from osm_to_netex_spark.plans import job
+
+    out = str(tmp_path / "wh2")
+    res = job.main(
+        [
+            "--input", "/root/reference/smallosm.xml",
+            "--input-format", "osm-xml",
+            "--target", "TariffZone",
+            "--output", out,
+            "--cores", "4",
+        ]
+    )
+    assert res["n_zones"] == 1

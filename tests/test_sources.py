@@ -1,0 +1,75 @@
+"""OSM XML source + corpus determinism + media plumbing."""
+
+from pyspark.sql import functions as F
+
+from osm_to_netex_spark.operators import extract, media
+from osm_to_netex_spark.plans import netex
+from osm_to_netex_spark.sources import documents as docs_src, osm_xml
+
+SMALLOSM = "/root/reference/smallosm.xml"
+
+
+def test_osm_xml_source_matches_document_encoding(spark):
+    """The XML scan of smallosm.xml and the encoded smallosm document extract
+    to identical relational rows (S1 parity across both ingest paths)."""
+    xn = {r.node_id: (r.lat, r.lon, r.tags) for r in osm_xml.read_osm_nodes(spark, SMALLOSM).collect()}
+    doc = docs_src.smallosm_document(spark)
+    dn = {r.node_id: (r.lat, r.lon, r.tags) for r in extract.extract_nodes(doc).collect()}
+    assert xn == dn
+    xw = osm_xml.read_osm_ways(spark, SMALLOSM).collect()[0]
+    dw = extract.extract_ways(doc).collect()[0]
+    assert xw.way_id == dw.way_id and xw.nd_refs == dw.nd_refs and xw.tags == dw.tags
+
+
+def test_xml_pipeline_end_to_end(spark):
+    """Full conversion directly from OSM XML (the reference's EP2 input mode)."""
+    from osm_to_netex_spark.operators import assemble, zones
+
+    nodes, ways, rels = osm_xml.read_osm(spark, SMALLOSM)
+    asm = assemble.assemble_poslist(ways, nodes, broadcast_nodes=True)
+    z = zones.map_zones(asm, "TariffZone").collect()
+    assert z[0].zone_id == "BRA:TariffZone:104"
+    assert z[0].pos_list == [59.6714157, 10.2251785, 59.7304896, 10.0912439]
+
+
+def test_corpus_deterministic(spark):
+    a = docs_src.synthesize_corpus(spark, n_docs=80, n_zones=6, n_groups=2, n_points=20)
+    b = docs_src.synthesize_corpus(spark, n_docs=80, n_zones=6, n_groups=2, n_points=20)
+    sig = lambda df: sorted(
+        (r.doc_id, r.span_sig) for r in __import__(
+            "osm_to_netex_spark.operators.extract", fromlist=["span_signature"]
+        ).span_signature(df).collect()
+    )
+    assert sig(a) == sig(b)
+    # different seed → different corpus
+    c = docs_src.synthesize_corpus(spark, n_docs=80, n_zones=6, n_groups=2, n_points=20, seed=7)
+    assert sig(a) != sig(c)
+
+
+def test_media_decode_plumbing(spark, corpus):
+    refs = media.extract_media_refs(corpus)
+    feats = media.decode_media(refs).cache()
+    assert feats.count() == refs.count() > 0
+    r = feats.first()
+    assert r.format in {"jpeg", "png", "webp"}
+    assert len(r.features) == media.FEATURE_DIM
+    # deterministic: same media_ref → same features across recomputation
+    again = media.decode_media(refs)
+    a = {r.media_ref: tuple(r.features) for r in feats.collect()}
+    b = {r.media_ref: tuple(r.features) for r in again.collect()}
+    assert a == b
+
+
+def test_media_real_decode_is_marked_stub(spark, corpus):
+    import pytest
+
+    refs = media.extract_media_refs(corpus).limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        media.decode_media(refs, real_decode=True).collect()
+
+
+def test_frame_sample(spark, corpus):
+    refs = media.extract_media_refs(corpus)
+    feats = media.decode_media(refs)
+    fs = media.frame_sample(feats, every_n=2).collect()
+    assert all(r.frame_idx % 2 == 0 for r in fs)
