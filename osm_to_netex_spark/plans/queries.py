@@ -540,6 +540,83 @@ def q_zone_mapping_oracle() -> str:
         from geo_polys"""
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by the `lang` column to
+    bound the quadratic term per block (the 100 TB path: block key = lang or
+    a coarse LSH band, never an unblocked self-join)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(docs, n_shingle=3, threshold=0.4, prefilter_key="lang")
+
+
+def q_ngram_jaccard_oracle() -> str:
+    sh = tx.word_shingles("text", 3, DUCK)
+    jac = (
+        "cast(len(list_intersect(a.sh, b.sh)) as double) / "
+        "nullif(cast(len(list_distinct(list_cat(a.sh, b.sh))) as double), 0.0e0)"
+    )
+    return f"""
+        with base as (
+            select doc_id, lang as blk, list_distinct({sh}) as sh from documents
+        )
+        select doc_a, doc_b, jaccard from (
+            select a.doc_id as doc_a, b.doc_id as doc_b, round({jac}, 6) as jaccard
+            from base a join base b on a.blk = b.blk and a.doc_id < b.doc_id
+        ) where jaccard >= 0.4"""
+
+
+def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF buckets (deterministic centroids = lowest vec_ids,
+    n_probe nearest buckets per query) — the scale path for similarity
+    search; the oracle replays the identical bucketing in SQL, so this is an
+    exact check of the approximate plan."""
+    from ..operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id % 50 = 0")
+    return similarity.topk_cosine_ivf(queries, emb, k=5, n_centroids=16, n_probe=4)
+
+
+def q_embed_topk_ivf_oracle() -> str:
+    cos_ac = dedup.cosine_expr("e.embedding", "c.cent_vec", DUCK)
+    cos_qc = dedup.cosine_expr("q.qv", "c.cent_vec", DUCK)
+    cos_qv = dedup.cosine_expr("p.qv", "a.cv", DUCK)
+    return f"""
+        with cents as (
+            select vec_id as cent_id, embedding as cent_vec
+            from embeddings order by vec_id asc limit 16
+        ),
+        assigned as (
+            select vec_id, cv, cent_id from (
+                select e.vec_id, e.embedding as cv, c.cent_id,
+                       row_number() over (partition by e.vec_id
+                                          order by {cos_ac} desc, c.cent_id asc) as rn
+                from embeddings e cross join cents c
+            ) where rn = 1
+        ),
+        queries as (
+            select vec_id as query_id, embedding as qv from embeddings where vec_id % 50 = 0
+        ),
+        probes as (
+            select query_id, qv, cent_id from (
+                select q.query_id, q.qv, c.cent_id,
+                       row_number() over (partition by q.query_id
+                                          order by {cos_qc} desc, c.cent_id asc) as rn
+                from queries q cross join cents c
+            ) where rn <= 4
+        ),
+        cand as (
+            select p.query_id, a.vec_id, round({cos_qv}, 6) as cos
+            from assigned a join probes p using (cent_id)
+            where p.query_id <> a.vec_id
+        )
+        select query_id, vec_id, cos, rn from (
+            select query_id, vec_id, cos,
+                   row_number() over (partition by query_id
+                                      order by cos desc, vec_id asc) as rn
+            from cand
+        ) where rn <= 5"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -558,7 +635,9 @@ QUERIES = {
     "simhash": (q_simhash, q_simhash_oracle),
     "textstats": (q_textstats, q_textstats_oracle),
     "embedding_topk": (q_embed_topk, q_embed_topk_oracle),
+    "embedding_topk_ivf": (q_embed_topk_ivf, q_embed_topk_ivf_oracle),
     "embedding_near_dup": (q_embed_near_dup, q_embed_near_dup_oracle),
+    "ngram_jaccard": (q_ngram_jaccard, q_ngram_jaccard_oracle),
     "events_window": (q_events_window, q_events_window_oracle),
 }
 
@@ -599,9 +678,59 @@ def q_conversion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return netex.conversion_metrics(corpus)
 
 
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: media spans → binary payload → mapInPandas decode
+    (deterministic stub; sha256-keyed fake features) → frame sampling.
+    Rows-only: the Arrow-batched decode has no SQL oracle, but every value it
+    emits is a pure function of media_ref, so the output is deterministic."""
+    from ..operators import media
+    from ..sources import documents as docs_src
+
+    corpus = docs_src.synthesize_corpus(spark, n_docs=500, n_zones=32, n_groups=4, n_points=150)
+    refs = media.extract_media_refs(corpus)
+    feats = media.decode_media(refs)
+    frames = media.frame_sample(feats, every_n=2)
+    return (
+        feats.join(frames.groupBy("doc_id", "media_ref").count(), ["doc_id", "media_ref"])
+        .selectExpr(
+            "doc_id", "media_ref", "format", "width", "height", "n_frames",
+            "count as n_sampled_frames", "round(features[0], 6) as f0",
+        )
+    )
+
+
+def q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming path end to end: write the synthetic corpus as a
+    file-source stream, run the availableNow tile-assign query with a
+    checkpoint, then read the committed sink back and aggregate per cell.
+    Rows-only: result is deterministic (ingest_ts dropped); exercises the
+    real streaming machinery, not a batch stand-in."""
+    import tempfile
+
+    from ..sources import documents as docs_src
+    from ..streaming import stream as st
+
+    tmp = tempfile.mkdtemp(prefix="graft_stream_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    corpus = docs_src.synthesize_corpus(spark, n_docs=400, n_zones=16, n_groups=4, n_points=120)
+    corpus.repartition(8).write.mode("overwrite").parquet(src)
+    assigned = st.streaming_tile_assign(st.read_document_stream(spark, src), res=8)
+    st.run_stream_to_parquet(assigned, out, ckpt).awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("quad_cell")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("hex_cell").alias("n_hex"),
+        )
+    )
+
+
 ROWS_ONLY = {
     "convert_tariffzone": q_convert_tariffzone,
     "convert_farezone_groups": q_convert_farezone_groups,
     "doc_tile_assign": q_doc_tile_assign,
     "conversion_metrics": q_conversion_metrics,
+    "media_pipeline": q_media_pipeline,
+    "streaming_tiles": q_streaming_tiles,
 }

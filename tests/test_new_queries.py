@@ -1,0 +1,107 @@
+"""Coverage for the round-1 late additions: n-gram Jaccard pairs, IVF ANN
+top-k, the multimodal media pipeline, and the Structured Streaming tile path
+exposed through plans.queries."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from osm_to_netex_spark.operators import dedup, media, similarity
+from osm_to_netex_spark.plans import queries as Q
+from osm_to_netex_spark.sources import documents as docs_src
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(
+            f"create or replace view {t} as "
+            f"select * from read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.sql(sql).fetchall()
+
+
+def test_ngram_jaccard_matches_duckdb_oracle(spark):
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in Q.q_ngram_jaccard(spark, SF).collect()
+    }
+    want = {tuple(r) for r in _duck(SF, Q.q_ngram_jaccard_oracle())}
+    assert got == want
+
+
+def test_ngram_jaccard_finds_planted_near_dup(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en"),
+            (2, "alpha beta gamma delta epsilon eta", "en"),
+            (3, "unrelated words entirely different text here", "en"),
+            (4, "alpha beta gamma delta epsilon zeta", "no"),  # other block
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, n_shingle=3, threshold=0.3, prefilter_key="lang")
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(a != 4 and b != 4 for a, b in got)  # blocking respected
+
+
+def test_ivf_topk_matches_duckdb_oracle(spark):
+    got = {tuple(r) for r in Q.q_embed_topk_ivf(spark, SF).collect()}
+    want = {tuple(r) for r in _duck(SF, Q.q_embed_topk_ivf_oracle())}
+    assert got == want
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    queries = emb.where("vec_id % 50 = 0")
+    brute = similarity.topk_cosine_brute(queries, emb, k=5)
+    ivf = similarity.topk_cosine_ivf(queries, emb, k=5, n_centroids=16, n_probe=8)
+    b = {(r.query_id, r.vec_id) for r in brute.collect()}
+    a = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    assert len(a & b) / len(b) >= 0.5  # ANN recall floor at generous n_probe
+
+
+def test_media_pipeline_deterministic_across_partitionings(spark):
+    corpus = docs_src.synthesize_corpus(
+        spark, n_docs=200, n_zones=8, n_groups=2, n_points=60
+    )
+    refs = media.extract_media_refs(corpus)
+    f1 = media.decode_media(refs.repartition(2)).collect()
+    f2 = media.decode_media(refs.repartition(13)).collect()
+    key = lambda r: (r.doc_id, r.media_ref)  # noqa: E731
+    assert sorted(map(key, f1)) == sorted(map(key, f2))
+    d1 = {key(r): (r.format, r.width, r.height, r.n_frames, list(r.features)) for r in f1}
+    d2 = {key(r): (r.format, r.width, r.height, r.n_frames, list(r.features)) for r in f2}
+    assert d1 == d2
+    assert all(len(v[4]) == media.FEATURE_DIM for v in d1.values())
+
+
+def test_media_real_decode_is_marked_stub(spark):
+    corpus = docs_src.synthesize_corpus(spark, n_docs=50, n_zones=4, n_groups=2, n_points=20)
+    refs = media.extract_media_refs(corpus)
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        media.decode_media(refs, real_decode=True).collect()
+
+
+def test_streaming_tiles_matches_batch(spark):
+    out = Q.q_streaming_tiles(spark, SF)
+    rows = {r.quad_cell: r.n_docs for r in out.collect()}
+    assert rows and sum(rows.values()) > 0
+    # batch equivalent over the same deterministic corpus
+    from osm_to_netex_spark.functions import geo
+    from osm_to_netex_spark.functions.portable import SPARK
+    from osm_to_netex_spark.operators import extract
+
+    corpus = docs_src.synthesize_corpus(
+        spark, n_docs=400, n_zones=16, n_groups=4, n_points=120
+    )
+    nodes = extract.extract_nodes(corpus)
+    batch = (
+        nodes.select("doc_id", F.expr(geo.quad_cell("lat", "lon", 8, SPARK)).alias("quad_cell"))
+        .groupBy("quad_cell")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    assert rows == {r.quad_cell: r.n_docs for r in batch.collect()}
