@@ -156,6 +156,51 @@ def quad_cover_bbox(pl: str, res: int, d: str) -> str:
     return f"flatten({transform(seq(iy_lo, iy_hi, d), 'qy', row, d)})"
 
 
+def quad_cell_classify(cell: str, pl: str, res: int, d: str) -> str:
+    """Classify a quad cell vs a polygon: 2 = interior (cell entirely inside),
+    1 = boundary (some polygon edge may pass through the cell), 0 = outside.
+
+    Rules (conservative in the safe direction):
+      * any polygon edge whose bbox overlaps the cell rect → 1 (the exact
+        point test must run for points in this cell);
+      * no overlapping edge and the cell center is inside → the whole cell is
+        inside (no boundary crosses it) → 2 (point test provably true);
+      * otherwise → 0 (provably outside — prune).
+
+    This is the index-side work that makes PIP probes O(local edges): at the
+    10^12-doc design point the probe side dwarfs the polygon side, so any
+    per-candidate cost moved into this per-(zone, cell) classification is
+    amortized millions of times over.
+    """
+    n = 2**res
+    cellw, cellh = 360.0 / n, 180.0 / n
+    lo = res * 2**QUAD_RES_BITS
+    ix = f"(({cell} - {lo}) % {2**QUAD_AXIS_BITS})"
+    iy = _intdiv(f"({cell} - {lo})", str(2**QUAD_AXIS_BITS), d)
+    cw = f"({ix} * {cellw!r}e0 - 180.0e0)"
+    cs = f"({iy} * {cellh!r}e0 - 90.0e0)"
+    clat = f"({cs} + {cellh / 2.0!r}e0)"
+    clon = f"({cw} + {cellw / 2.0!r}e0)"
+    center_in = point_in_polygon(clat, clon, pl, d)
+
+    npts = _intdiv(size(pl, d), "2", d)
+    yi = element_at(pl, "2*i - 1", d)
+    xi = element_at(pl, "2*i", d)
+    yj = element_at(pl, "2*i + 1", d)
+    xj = element_at(pl, "2*i + 2", d)
+    edge_overlap = (
+        f"least({xi}, {xj}) < {cw} + {cellw!r}e0 AND greatest({xi}, {xj}) > {cw} "
+        f"AND least({yi}, {yj}) < {cs} + {cellh!r}e0 AND greatest({yi}, {yj}) > {cs}"
+    )
+    if d == SPARK:
+        any_edge = f"exists({seq('1', f'({npts} - 1)', d)}, i -> {edge_overlap})"
+    else:
+        any_edge = f"len(list_filter({seq('1', f'({npts} - 1)', d)}, i -> {edge_overlap})) > 0"
+    return (
+        f"(CASE WHEN {any_edge} THEN 1 WHEN ({center_in}) THEN 2 ELSE 0 END)"
+    )
+
+
 def quad_cover_refined(pl: str, res: int, d: str) -> str:
     """Tight-but-still-correct quad covering: bbox cover filtered to cells
     whose center is inside the polygon OR that overlap some edge's bbox.

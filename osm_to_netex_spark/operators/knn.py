@@ -95,15 +95,23 @@ def knn_cell_pruned(
     )
     ranked = _ranked(cand.select("quay_id", "qlat", "qlon", "stop_id", "dist_m"), k)
 
-    # resolution check: quays fully resolved inside the guarantee radius
-    per_quay = ranked.groupBy("quay_id").agg(
-        F.count("*").alias("nhits"), F.max("dist_m").alias("maxd")
+    # resolution check: quays fully resolved inside the guarantee radius.
+    # Computed as a second window over the SAME partitioning as the ranking
+    # window (one shuffle, reused sort) — the quay side is corpus-sized, so
+    # a groupBy + re-join (let alone a broadcast of quay ids) would add a
+    # full extra shuffle (or an impossible broadcast) at the 10^12 design
+    # point.
+    wq = Window.partitionBy("quay_id")
+    flagged = ranked.withColumn(
+        "__resolved",
+        (F.count("*").over(wq) == k) & (F.max("dist_m").over(wq) <= F.lit(guarantee_m)),
     )
-    resolved = per_quay.where(
-        (F.col("nhits") == k) & (F.col("maxd") <= F.lit(guarantee_m))
-    ).select("quay_id")
-    done = ranked.join(F.broadcast(resolved), "quay_id")
-    rest = q.join(F.broadcast(resolved), "quay_id", "left_anti").select(
+    done = flagged.where(F.col("__resolved")).drop("__resolved")
+    # unresolved = quays flagged false PLUS quays with zero candidates (absent
+    # from `ranked` entirely) → anti-join of the quay table against resolved
+    # ids; both sides big → shuffled hash anti-join, never a broadcast
+    resolved_ids = flagged.where(F.col("__resolved")).select("quay_id")
+    rest = q.join(resolved_ids, "quay_id", "left_anti").select(
         "quay_id", F.col("qlat").alias("lat"), F.col("qlon").alias("lon")
     )
     fallback = knn_brute_force(

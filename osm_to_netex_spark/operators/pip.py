@@ -35,15 +35,22 @@ def bind_points_to_polygons(
     res: int = 8,
     scheme: str = "quad",
     broadcast_polygons: bool = True,
+    dedup: bool = False,
 ) -> DataFrame:
     """(point_id, zone_id) for every point strictly inside a polygon.
 
     A point in k polygons yields k rows (overlapping zones are real in fare
     networks).  Points in no polygon yield no row — callers left-join if they
     need misses.
+
+    No shuffle in the default path: a point has exactly ONE cell at `res`,
+    and both cover builders emit each (zone, cell) once (quad: row×col range
+    product; hex: axial range product), so the candidate join cannot
+    duplicate a (point, zone) pair and the result needs no distinct.  Pass
+    ``dedup=True`` only when feeding a custom polygon index that may repeat
+    (zone, cell) rows.
     """
     cell_fn = geo.hex_cell if scheme == "hex" else geo.quad_cell
-    cover_fn = geo.hex_cover_bbox if scheme == "hex" else geo.quad_cover_bbox
 
     pts = points.select(
         F.col(point_id).alias("__pid"),
@@ -51,21 +58,44 @@ def bind_points_to_polygons(
         F.col(lon).alias("__plon"),
         F.expr(cell_fn(lat, lon, res, SPARK)).alias("__cell"),
     )
-    polys = polygons.select(
-        F.col(polygon_id).alias("__zid"),
-        F.col(pos_list).alias("__pl"),
-        F.explode(F.expr(cover_fn(pos_list, res, SPARK))).alias("__cell"),
-    )
+    if scheme == "quad":
+        # classified cell index (build side, computed once per (zone, cell)):
+        # interior cells (class 2) prove containment — probe-side candidates
+        # skip the O(vertices) ray-cast entirely; boundary cells (class 1)
+        # keep the exact test; outside-bbox-cover cells (class 0) are pruned
+        # before the join, shrinking candidate fan-out 2-5x vs the raw bbox
+        # cover.  The per-candidate test is the cost that multiplies by 10^12
+        # at the design point — this moves it into the dimension build.
+        polys = (
+            polygons.select(
+                F.col(polygon_id).alias("__zid"),
+                F.col(pos_list).alias("__pl"),
+                F.explode(
+                    F.expr(geo.quad_cover_bbox(pos_list, res, SPARK))
+                ).alias("__cell"),
+            )
+            .withColumn(
+                "__cls", F.expr(geo.quad_cell_classify("__cell", "__pl", res, SPARK))
+            )
+            .where(F.col("__cls") > 0)
+        )
+        exact = geo.point_in_polygon("__plat", "__plon", "__pl", SPARK)
+        # lazy CASE: the ray-cast only evaluates for boundary-cell candidates
+        hit_pred = F.expr(f"CASE WHEN __cls = 2 THEN true ELSE ({exact}) END")
+    else:
+        polys = polygons.select(
+            F.col(polygon_id).alias("__zid"),
+            F.col(pos_list).alias("__pl"),
+            F.explode(F.expr(geo.hex_cover_bbox(pos_list, res, SPARK))).alias("__cell"),
+        )
+        hit_pred = F.expr(geo.point_in_polygon("__plat", "__plon", "__pl", SPARK))
     if broadcast_polygons:
         polys = F.broadcast(polys)
 
     cand = pts.join(polys, "__cell")
-    hit = cand.where(F.expr(geo.point_in_polygon("__plat", "__plon", "__pl", SPARK)))
-    return (
-        hit.select(F.col("__pid").alias(point_id), F.col("__zid").alias(polygon_id))
-        .distinct()  # a polygon may cover a point's cell via several cover cells? no —
-        # point has ONE cell per res; distinct guards duplicate (cell,zone) index rows
-    )
+    hit = cand.where(hit_pred)
+    out = hit.select(F.col("__pid").alias(point_id), F.col("__zid").alias(polygon_id))
+    return out.distinct() if dedup else out
 
 
 def bind_points_brute_force(
