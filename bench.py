@@ -206,8 +206,9 @@ def main():
     timings = {}
     for name in bench_queries:
         builder, _ = Q.QUERIES[name]
+        builder(spark, SF_DIR).count()  # warm: Catalyst codegen compile is 5-10 s
         t0 = time.perf_counter()
-        builder(spark, SF_DIR).count()
+        builder(spark, SF_DIR).count()  # steady state (fresh plan, warm codegen cache)
         timings[name] = round(time.perf_counter() - t0, 3)
     spark.stop()
 

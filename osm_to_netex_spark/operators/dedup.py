@@ -144,26 +144,79 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     prefilter_key: str | None = "lang",
 ) -> DataFrame:
-    """Exact pairwise n-gram Jaccard ≥ threshold, optionally blocked by a key
-    column (language/source) to bound the quadratic term per block."""
-    base = docs.select(
+    """EXACT pairwise n-gram Jaccard ≥ threshold via a prefix-filtered
+    set-similarity join (PPJoin-style) — no quadratic block join anywhere.
+
+    Classic prefix-filter bound: order every doc's distinct shingle set by a
+    global total order (portable hash, ties by value); if J(A, B) ≥ t then A
+    and B must share at least one element within their prefixes of length
+    |X| − ⌈t·|X|⌉ + 1.  So candidate pairs come from an equi-join on
+    (block, prefix-shingle) — fan-out ∝ docs × prefix length, shuffled by
+    shingle — followed by the exact intersection/union verify on the
+    candidate set only.  A length filter (t·|B| ≤ |A| ≤ |B|/t, also exact)
+    prunes candidates before the verify.  Same rows as the brute-force
+    all-pairs oracle, provably.
+    """
+    blk = F.col(prefilter_key) if prefilter_key else F.lit("_")
+    shingled = docs.select(
         F.col(id_col).alias("doc_id"),
-        (F.col(prefilter_key) if prefilter_key else F.lit("_")).alias("blk"),
-        F.expr(f"array_distinct({tx.word_shingles(text_col, n_shingle, SPARK)})").alias("sh"),
+        blk.alias("blk"),
+        F.expr(
+            f"array_distinct({tx.word_shingles(text_col, n_shingle, SPARK)})"
+        ).alias("sh0"),
+    ).persist()  # tokenize+shingle once; referenced by df-count AND re-agg
+
+    # document frequency per (block, shingle): the global prefix order is
+    # RAREST-FIRST (df asc, shingle asc) — the canonical PPJoin ordering.
+    # Template phrases shared by most docs land at the END of every sorted
+    # set, so they never enter a prefix and the prefix join's per-key
+    # fan-out (∝ Σ freq²) collapses to the rare-shingle tail.
+    ex = shingled.select("doc_id", "blk", F.explode("sh0").alias("s"))
+    dfreq = ex.groupBy("blk", "s").count().withColumnRenamed("count", "df")
+    base = (
+        ex.join(dfreq, ["blk", "s"])
+        .groupBy("doc_id", "blk")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(df, s))), p -> p.s)").alias("sh")
+        )
+        .withColumn("n", F.expr("size(sh)"))
+        .persist()
     )
-    a, b = base.alias("a"), base.alias("b")
+    # prefix length: n - ceil(t*n) + 1 (0 for empty sets → no candidates,
+    # matching the oracle: an empty shingle set has no Jaccard ≥ t > 0 pair)
+    pref = base.select(
+        "doc_id",
+        "blk",
+        "n",
+        F.expr(
+            f"explode(slice(sh, 1, greatest(0, n - cast(ceil({threshold} * n) as int) + 1)))"
+        ).alias("p_sh"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_sh") == F.col("b.p_sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # exact length filter: J >= t forces t·|B| <= |A| <= |B|/t
+            & (F.col("a.n") * F.lit(threshold) <= F.col("b.n"))
+            & (F.col("b.n") * F.lit(threshold) <= F.col("a.n")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = base.select("doc_id", "sh")
     jac = (
-        "cast(size(array_intersect(a.sh, b.sh)) as double) / "
-        "cast(size(array_union(a.sh, b.sh)) as double)"
+        "cast(size(array_intersect(a_sh, b_sh)) as double) / "
+        "cast(size(array_union(a_sh, b_sh)) as double)"
     )
     return (
-        a.join(b, "blk")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("a_sh")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("b_sh")), "doc_b")
         .withColumn("jaccard", F.round(F.expr(jac), 6))
         .where(F.col("jaccard") >= threshold)
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "jaccard"
-        )
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
