@@ -81,44 +81,52 @@ def minhash_lsh_pairs(
     # self-join shuffle far cheaper than n-gram strings; md5-collision error
     # in the Jaccard estimate is ~2^-31 — negligible, and mirrored exactly by
     # the oracle which uses the same hashed sets)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(tx.shingle_base_hashes(text_col, n_shingle, SPARK)).alias("mh_base"),
-    ).select(
-        "doc_id",
-        F.expr(tx.minhash_from_base("mh_base", n_perm, SPARK)).alias("sig"),
-        F.expr("array_distinct(mh_base)").alias("shingles"),
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(tx.shingle_base_hashes(text_col, n_shingle, SPARK)).alias("mh_base"),
+        )
+        .select(
+            "doc_id",
+            F.expr(tx.minhash_from_base("mh_base", n_perm, SPARK)).alias("sig"),
+            F.expr("array_distinct(mh_base)").alias("shingles"),
+        )
+        .persist()  # shingle+signature computed once; reused by band AND verify
     )
+    # the band join carries ONLY (doc_id, band, bucket) — the shingle arrays
+    # (hundreds of bigints per doc) never ride the candidate shuffle; they
+    # re-join on the (small) surviving pair set for the exact verify
     banded = base.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> named_struct("
                 f"'band', b, 'bucket', md5(concat_ws(',', slice(sig, b * {rows} + 1, {rows})))))"
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
+    sets = base.select("doc_id", "shingles")
     jac = (
         "cast(size(array_intersect(sh_a, sh_b)) as double) / "
         "cast(size(array_union(sh_a, sh_b)) as double)"
     )
     return (
-        cand.withColumn("jaccard", F.round(F.expr(jac), 6))
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a"
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b"
+        )
+        .withColumn("jaccard", F.round(F.expr(jac), 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
