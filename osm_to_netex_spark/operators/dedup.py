@@ -282,13 +282,24 @@ def embedding_near_dup(
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine ≥ threshold, bucketed by LSH sign
     signature first (candidates must agree on all n_bits) then verified."""
+    # norms staged per VECTOR (O(N) work) so the per-PAIR verify — the part
+    # that multiplies by bucket-size² — evaluates only the dot product.
+    # Identical IEEE op sequence to the inline form: sqrt(Σx²) per side,
+    # dot / (na·nb) — bit-for-bit the oracle's value.
     sig = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
+        F.expr(
+            f"sqrt(aggregate({vec_col}, 0.0e0, (s, x) -> s + cast(x as double) * cast(x as double)))"
+        ).alias("nrm"),
         F.expr(hyperplane_bits(vec_col, n_bits, dim, SPARK)).alias("bucket"),
-    )
+    ).persist()
     a, b = sig.alias("a"), sig.alias("b")
-    cos = cosine_expr("a.vec", "b.vec", SPARK)
+    dot = (
+        "aggregate(zip_with(a.vec, b.vec, (x, y) -> cast(x as double) * cast(y as double)), "
+        "0.0e0, (s, v) -> s + v)"
+    )
+    cos = f"(({dot}) / nullif(a.nrm * b.nrm, 0.0e0))"
     return (
         a.join(b, "bucket")
         .where(F.col("a.vid") < F.col("b.vid"))
