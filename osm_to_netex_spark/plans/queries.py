@@ -726,6 +726,33 @@ def q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_stateful_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-cell
+    bounded-state HLL distinct-doc sketch, update-mode memory sink, availableNow.
+    Rows-only: deterministic (register max is order-independent), no SQL oracle."""
+    import tempfile
+
+    from ..sources import documents as docs_src
+    from ..streaming import stateful, stream as st
+
+    tmp = tempfile.mkdtemp(prefix="graft_hll_")
+    corpus = docs_src.synthesize_corpus(spark, n_docs=400, n_zones=16, n_groups=4, n_points=120)
+    corpus.repartition(8).write.mode("overwrite").parquet(f"{tmp}/src")
+    assigned = st.streaming_tile_assign(
+        st.read_document_stream(spark, f"{tmp}/src"), res=8
+    ).select("doc_id", "quad_cell")
+    stateful.run_stateful_to_memory(
+        spark, stateful.stateful_cell_counts(assigned), name="q_hll"
+    )
+    w = Window.partitionBy("quad_cell").orderBy(F.col("n_rows").desc())
+    return (
+        spark.table("q_hll")
+        .withColumn("rk", F.row_number().over(w))
+        .where("rk = 1")
+        .select("quad_cell", "n_rows", "n_docs_est")
+    )
+
+
 ROWS_ONLY = {
     "convert_tariffzone": q_convert_tariffzone,
     "convert_farezone_groups": q_convert_farezone_groups,
@@ -733,4 +760,5 @@ ROWS_ONLY = {
     "conversion_metrics": q_conversion_metrics,
     "media_pipeline": q_media_pipeline,
     "streaming_tiles": q_streaming_tiles,
+    "streaming_stateful_hll": q_streaming_stateful_hll,
 }

@@ -1,0 +1,141 @@
+"""Custom stateful streaming operator: per-cell distinct-document sketches.
+
+``applyInPandasWithState`` is the engine's escape hatch for stateful logic
+Structured Streaming's built-in windowed aggregates can't express.  The
+operator here maintains a bounded-memory HyperLogLog register set per quad
+cell — at the 10^12-doc design point an exact per-cell distinct set is
+unbounded state, while 64 HLL registers are 256 bytes per cell forever.
+
+Determinism: registers take element-wise max over md5-derived ranks, so the
+result is independent of arrival order, batch boundaries, and partitioning —
+the property the tests pin down.  This is also the only other Python-touching
+code path besides operators.media, and it receives Arrow-batched pandas
+DataFrames, never rows.
+
+Reference has no streaming at all (SURVEY §2.1 negative findings); this is
+north-rule engine surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+N_REGISTERS = 64  # 2^6 registers → ~13% standard error, 256 B state per cell
+_REG_BITS = 6
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("quad_cell", T.LongType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("n_docs_est", T.LongType(), False),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("regs", T.ArrayType(T.IntegerType()), False),
+        T.StructField("rows", T.LongType(), False),
+    ]
+)
+
+
+def _rank_and_register(doc_id: str) -> tuple[int, int]:
+    """(register index, rank) from md5 — deterministic across engines/runs."""
+    h = int.from_bytes(hashlib.md5(str(doc_id).encode()).digest()[:8], "big")
+    reg = h & (N_REGISTERS - 1)
+    rest = h >> _REG_BITS
+    # rank = 1-based position of the first set bit in a 58-bit stream
+    rank = 1
+    while rank < 58 and not (rest & 1):
+        rest >>= 1
+        rank += 1
+    return reg, rank
+
+
+def hll_estimate(regs: list[int]) -> int:
+    """Classic HLL estimate with small-range correction."""
+    m = N_REGISTERS
+    alpha = 0.709  # alpha_64
+    inv_sum = sum(2.0 ** (-r) for r in regs)
+    raw = alpha * m * m / inv_sum
+    zeros = regs.count(0)
+    if raw <= 2.5 * m and zeros:
+        raw = m * math.log(m / zeros)
+    return int(round(raw))
+
+
+def _update_cell(key, pdfs, state: GroupState):
+    if state.exists:
+        regs_t, rows = state.get
+        regs = list(regs_t)
+    else:
+        regs, rows = [0] * N_REGISTERS, 0
+    for pdf in pdfs:
+        rows += len(pdf)
+        for doc_id in pdf["doc_id"]:
+            reg, rank = _rank_and_register(doc_id)
+            if rank > regs[reg]:
+                regs[reg] = rank
+    state.update((regs, rows))
+    yield pd.DataFrame(
+        {
+            "quad_cell": [key[0]],
+            "n_rows": [rows],
+            "n_docs_est": [hll_estimate(regs)],
+        }
+    )
+
+
+def stateful_cell_counts(assigned: DataFrame) -> DataFrame:
+    """Streaming (doc_id, quad_cell) → per-cell running HLL distinct estimate.
+
+    Emits one update row per (cell, micro-batch); `n_rows` is monotone per
+    cell, so the latest state of a cell is its max-`n_rows` row.
+    """
+    return assigned.groupBy("quad_cell").applyInPandasWithState(
+        _update_cell,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_to_memory(spark, counts: DataFrame, name: str = "cell_counts"):
+    """Update-mode memory sink (availableNow); returns the finished query."""
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def batch_hll_oracle(batch_assigned: DataFrame) -> DataFrame:
+    """Batch-side oracle: same HLL math over the same rows via grouped pandas
+    (no streaming) — for tests pinning stream/batch equivalence."""
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        regs = [0] * N_REGISTERS
+        for doc_id in pdf["doc_id"]:
+            reg, rank = _rank_and_register(doc_id)
+            if rank > regs[reg]:
+                regs[reg] = rank
+        return pd.DataFrame(
+            {
+                "quad_cell": [pdf["quad_cell"].iloc[0]],
+                "n_rows": [len(pdf)],
+                "n_docs_est": [hll_estimate(regs)],
+            }
+        )
+
+    return batch_assigned.groupBy("quad_cell").applyInPandas(agg, schema=OUTPUT_SCHEMA)

@@ -51,3 +51,72 @@ def test_stream_is_incremental_and_exactly_once(spark, corpus, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 > 0
+
+
+def test_stateful_hll_matches_batch_oracle(spark, corpus, tmp_path):
+    """applyInPandasWithState per-cell HLL: final streaming state equals the
+    batch oracle over the same rows, and the estimate is within HLL error of
+    the exact distinct count."""
+    from pyspark.sql import Window
+
+    from osm_to_netex_spark.streaming import stateful
+
+    src = str(tmp_path / "in_hll")
+    docs_src.write_documents(corpus, src, partitions=6)
+    st = stream.read_document_stream(spark, src, max_files_per_trigger=2)
+    assigned = stream.streaming_tile_assign(st, res=8).select("doc_id", "quad_cell")
+    counts = stateful.stateful_cell_counts(assigned)
+    stateful.run_stateful_to_memory(spark, counts, name="hll_test")
+
+    # latest update per cell = max n_rows (monotone)
+    w = Window.partitionBy("quad_cell").orderBy(F.col("n_rows").desc())
+    final = (
+        spark.table("hll_test")
+        .withColumn("rk", F.row_number().over(w))
+        .where("rk = 1")
+        .drop("rk")
+    )
+    got = {r.quad_cell: (r.n_rows, r.n_docs_est) for r in final.collect()}
+
+    batch_rows = extract.extract_nodes(corpus).select(
+        "doc_id", F.expr(geo.quad_cell("lat", "lon", 8, SPARK)).alias("quad_cell")
+    )
+    oracle = {
+        r.quad_cell: (r.n_rows, r.n_docs_est)
+        for r in stateful.batch_hll_oracle(batch_rows).collect()
+    }
+    assert got == oracle  # stream == batch, including the sketch registers
+
+    exact = {
+        r.quad_cell: r.n
+        for r in batch_rows.groupBy("quad_cell")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    for cell, (_rows, est) in got.items():
+        assert abs(est - exact[cell]) <= max(3, 0.35 * exact[cell])
+
+
+def test_stateful_hll_partitioning_invariant(spark, corpus, tmp_path):
+    """Register max is order/partitioning independent: different file layout
+    and trigger sizes produce the identical final state."""
+    from pyspark.sql import Window
+
+    from osm_to_netex_spark.streaming import stateful
+
+    finals = []
+    for i, (parts, per_trigger) in enumerate([(3, 1), (9, 4)]):
+        src = str(tmp_path / f"in_inv{i}")
+        docs_src.write_documents(corpus, src, partitions=parts)
+        st = stream.read_document_stream(spark, src, max_files_per_trigger=per_trigger)
+        assigned = stream.streaming_tile_assign(st, res=8).select("doc_id", "quad_cell")
+        counts = stateful.stateful_cell_counts(assigned)
+        stateful.run_stateful_to_memory(spark, counts, name=f"hll_inv{i}")
+        w = Window.partitionBy("quad_cell").orderBy(F.col("n_rows").desc())
+        final = (
+            spark.table(f"hll_inv{i}")
+            .withColumn("rk", F.row_number().over(w))
+            .where("rk = 1")
+        )
+        finals.append({r.quad_cell: (r.n_rows, r.n_docs_est) for r in final.collect()})
+    assert finals[0] == finals[1]
