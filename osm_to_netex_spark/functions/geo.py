@@ -293,6 +293,37 @@ def hex_kring(cell: str, res: int, k: int, d: str) -> str:
     return f"flatten({transform(seq(str(-k), str(k), d), 'dq', row, d)})"
 
 
+def hex_cell_classify(cell: str, pl: str, res: int, d: str) -> str:
+    """Classify a hex cell vs a polygon: 2 = interior, 1 = boundary-possible,
+    0 = outside — same contract as quad_cell_classify, using the hex's
+    conservative bounding rect (pointy-top: half-extents = circumradius s in
+    lat, s·√3/2 in lon).  If no polygon edge's bbox overlaps the rect, the
+    whole rect (⊇ hex) lies on one side of the boundary and the center
+    decides; otherwise the exact per-point test must run."""
+    s = hex_size_deg(res)
+    sqrt3 = math.sqrt(3.0)
+    q, r = hex_unpack(cell, res, d)
+    clat = f"({flit(1.5 * s)} * ({r}))"
+    clon = f"({flit(sqrt3 * s)} * (({q}) + ({r}) / 2.0e0))"
+    hlat, hlon = s, s * sqrt3 / 2.0
+    center_in = point_in_polygon(clat, clon, pl, d)
+
+    npts = _intdiv(size(pl, d), "2", d)
+    yi = element_at(pl, "2*i - 1", d)
+    xi = element_at(pl, "2*i", d)
+    yj = element_at(pl, "2*i + 1", d)
+    xj = element_at(pl, "2*i + 2", d)
+    edge_overlap = (
+        f"least({xi}, {xj}) < {clon} + {flit(hlon)} AND greatest({xi}, {xj}) > {clon} - {flit(hlon)} "
+        f"AND least({yi}, {yj}) < {clat} + {flit(hlat)} AND greatest({yi}, {yj}) > {clat} - {flit(hlat)}"
+    )
+    if d == SPARK:
+        any_edge = f"exists({seq('1', f'({npts} - 1)', d)}, i -> {edge_overlap})"
+    else:
+        any_edge = f"len(list_filter({seq('1', f'({npts} - 1)', d)}, i -> {edge_overlap})) > 0"
+    return f"(CASE WHEN {any_edge} THEN 1 WHEN ({center_in}) THEN 2 ELSE 0 END)"
+
+
 def hex_cover_bbox(pl: str, res: int, d: str) -> str:
     """Conservative hex covering of a polygon: hexes whose axial coordinates
     fall in the axial range spanned by the bbox corners, padded by 1 ring.

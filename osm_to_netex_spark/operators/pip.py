@@ -58,37 +58,27 @@ def bind_points_to_polygons(
         F.col(lon).alias("__plon"),
         F.expr(cell_fn(lat, lon, res, SPARK)).alias("__cell"),
     )
-    if scheme == "quad":
-        # classified cell index (build side, computed once per (zone, cell)):
-        # interior cells (class 2) prove containment — probe-side candidates
-        # skip the O(vertices) ray-cast entirely; boundary cells (class 1)
-        # keep the exact test; outside-bbox-cover cells (class 0) are pruned
-        # before the join, shrinking candidate fan-out 2-5x vs the raw bbox
-        # cover.  The per-candidate test is the cost that multiplies by 10^12
-        # at the design point — this moves it into the dimension build.
-        polys = (
-            polygons.select(
-                F.col(polygon_id).alias("__zid"),
-                F.col(pos_list).alias("__pl"),
-                F.explode(
-                    F.expr(geo.quad_cover_bbox(pos_list, res, SPARK))
-                ).alias("__cell"),
-            )
-            .withColumn(
-                "__cls", F.expr(geo.quad_cell_classify("__cell", "__pl", res, SPARK))
-            )
-            .where(F.col("__cls") > 0)
-        )
-        exact = geo.point_in_polygon("__plat", "__plon", "__pl", SPARK)
-        # lazy CASE: the ray-cast only evaluates for boundary-cell candidates
-        hit_pred = F.expr(f"CASE WHEN __cls = 2 THEN true ELSE ({exact}) END")
-    else:
-        polys = polygons.select(
+    # classified cell index (build side, computed once per (zone, cell)):
+    # interior cells (class 2) prove containment — probe-side candidates
+    # skip the O(vertices) ray-cast entirely; boundary cells (class 1)
+    # keep the exact test; outside cells (class 0) are pruned before the
+    # join, shrinking candidate fan-out 2-5x vs the raw bbox cover.  The
+    # per-candidate test is the cost that multiplies by 10^12 at the design
+    # point — this moves it into the dimension build.
+    cover_fn = geo.hex_cover_bbox if scheme == "hex" else geo.quad_cover_bbox
+    classify_fn = geo.hex_cell_classify if scheme == "hex" else geo.quad_cell_classify
+    polys = (
+        polygons.select(
             F.col(polygon_id).alias("__zid"),
             F.col(pos_list).alias("__pl"),
-            F.explode(F.expr(geo.hex_cover_bbox(pos_list, res, SPARK))).alias("__cell"),
+            F.explode(F.expr(cover_fn(pos_list, res, SPARK))).alias("__cell"),
         )
-        hit_pred = F.expr(geo.point_in_polygon("__plat", "__plon", "__pl", SPARK))
+        .withColumn("__cls", F.expr(classify_fn("__cell", "__pl", res, SPARK)))
+        .where(F.col("__cls") > 0)
+    )
+    exact = geo.point_in_polygon("__plat", "__plon", "__pl", SPARK)
+    # lazy CASE: the ray-cast only evaluates for boundary-cell candidates
+    hit_pred = F.expr(f"CASE WHEN __cls = 2 THEN true ELSE ({exact}) END")
     if broadcast_polygons:
         polys = F.broadcast(polys)
 
