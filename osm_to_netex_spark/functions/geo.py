@@ -36,6 +36,7 @@ from .portable import (
     filter_,
     floor_bigint,
     haversine_m,
+    let_,
     reduce_,
     seq,
     size,
@@ -99,14 +100,17 @@ def quad_kring(cell: str, res: int, k: int, d: str) -> str:
     """All quad cells within Chebyshev distance k (border cells clipped)."""
     n = 2**res
     ix, iy = quad_unpack(cell, res, d)
+    # bind the unpacked coords once: `cell` may itself be an inlined
+    # expression (e.g. quad_cell over generated lat/lon), which would
+    # otherwise re-evaluate per ring element
     row = transform(
         seq(str(-k), str(k), d),
         "dx",
-        quad_pack(f"(({ix}) + dx)", f"(({iy}) + dy)", res),
+        quad_pack("(__b.ix + dx)", "(__b.iy + dy)", res),
         d,
     )
     rows = transform(seq(str(-k), str(k), d), "dy", row, d)
-    flat = f"flatten({rows})"
+    flat = let_({"ix": ix, "iy": iy}, f"flatten({rows})", d)
     lo = res * 2**QUAD_RES_BITS
     # clip: derived ix/iy must stay in [0, n): reject by unpacking each candidate
     return filter_(
@@ -152,8 +156,14 @@ def quad_cover_bbox(pl: str, res: int, d: str) -> str:
     ix_hi = f"least(greatest({floor_bigint(f'({arr_max(lons, d)} + 180.0e0) / 360.0e0 * {n}')}, 0), {n - 1})"
     iy_lo = f"least(greatest({floor_bigint(f'({arr_min(lats, d)} + 90.0e0) / 180.0e0 * {n}')}, 0), {n - 1})"
     iy_hi = f"least(greatest({floor_bigint(f'({arr_max(lats, d)} + 90.0e0) / 180.0e0 * {n}')}, 0), {n - 1})"
-    row = transform(seq(ix_lo, ix_hi, d), "qx", quad_pack("qx", "qy", res), d)
-    return f"flatten({transform(seq(iy_lo, iy_hi, d), 'qy', row, d)})"
+    # bind the (reduction-heavy) range limits ONCE per row — as raw sequence
+    # bounds they would re-evaluate per outer-row element during HOF
+    # interpretation, turning an O(cells) cover into O(cells × |ring|)
+    row = transform(seq("__b.ix_lo", "__b.ix_hi", d), "qx", quad_pack("qx", "qy", res), d)
+    body = f"flatten({transform(seq('__b.iy_lo', '__b.iy_hi', d), 'qy', row, d)})"
+    return let_(
+        {"ix_lo": ix_lo, "ix_hi": ix_hi, "iy_lo": iy_lo, "iy_hi": iy_hi}, body, d
+    )
 
 
 def quad_cell_classify(cell: str, pl: str, res: int, d: str) -> str:
@@ -284,13 +294,18 @@ def hex_unpack(cell: str, res: int, d: str) -> tuple[str, str]:
 def hex_kring(cell: str, res: int, k: int, d: str) -> str:
     """All hex cells within axial hex-distance k (H3 kRing semantics)."""
     q, r = hex_unpack(cell, res, d)
+    # bind once — see quad_kring
     row = transform(
         filter_(seq(str(-k), str(k), d), "dr", f"abs(dq + dr) <= {k}", d),
         "dr",
-        hex_pack(f"(({q}) + dq)", f"(({r}) + dr)", res),
+        hex_pack("(__b.q + dq)", "(__b.r + dr)", res),
         d,
     )
-    return f"flatten({transform(seq(str(-k), str(k), d), 'dq', row, d)})"
+    return let_(
+        {"q": q, "r": r},
+        f"flatten({transform(seq(str(-k), str(k), d), 'dq', row, d)})",
+        d,
+    )
 
 
 def hex_cell_classify(cell: str, pl: str, res: int, d: str) -> str:
@@ -342,8 +357,12 @@ def hex_cover_bbox(pl: str, res: int, d: str) -> str:
     q_hi = f"(greatest({q_ll}, {q_lh}, {q_hl}, {q_hh}) + 1)"
     r_lo = f"(least({r_ll}, {r_lh}, {r_hl}, {r_hh}) - 1)"
     r_hi = f"(greatest({r_ll}, {r_lh}, {r_hl}, {r_hh}) + 1)"
-    row = transform(seq(r_lo, r_hi, d), "hr", hex_pack("hq", "hr", res), d)
-    return f"flatten({transform(seq(q_lo, q_hi, d), 'hq', row, d)})"
+    # bind the axial range limits ONCE per row: each embeds 4 corner
+    # hex_qr trees over bbox reductions (~10^4 interpreted ops) and would
+    # otherwise re-evaluate per `hq` element of the outer transform
+    row = transform(seq("__b.r_lo", "__b.r_hi", d), "hr", hex_pack("hq", "hr", res), d)
+    body = f"flatten({transform(seq('__b.q_lo', '__b.q_hi', d), 'hq', row, d)})"
+    return let_({"q_lo": q_lo, "q_hi": q_hi, "r_lo": r_lo, "r_hi": r_hi}, body, d)
 
 
 # ---------------------------------------------------------------------------

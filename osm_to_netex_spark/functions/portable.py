@@ -38,6 +38,22 @@ def seq(a: str, b: str, d: str) -> str:
     return f"sequence({a}, {b})" if d == SPARK else f"generate_series(cast({a} as bigint), cast({b} as bigint))"
 
 
+def let_(bindings: dict[str, str], body: str, d: str, var: str = "__b") -> str:
+    """SQL let-binding: evaluate each binding ONCE, expose as ``__b.name`` in
+    ``body``.  Implemented as a single-element transform over a struct —
+    ``transform(array(struct(...)), __b -> body)[0]`` — in both dialects.
+
+    Why this exists: generated expressions nest higher-order functions whose
+    *bound expressions* (sequence limits, least/greatest of reductions) get
+    re-evaluated per outer lambda element during interpretation.  Binding
+    them collapses O(outer × cost(bound)) to O(cost(bound))."""
+    if d == SPARK:
+        fields = ", ".join(f"'{k}', {v}" for k, v in bindings.items())
+        return f"(transform(array(named_struct({fields})), {var} -> {body})[0])"
+    fields = ", ".join(f"'{k}': {v}" for k, v in bindings.items())
+    return f"(list_transform([{{{fields}}}], {var} -> {body})[1])"
+
+
 def transform(lst: str, var: str, body: str, d: str) -> str:
     fn = "transform" if d == SPARK else "list_transform"
     return f"{fn}({lst}, {var} -> {body})"
