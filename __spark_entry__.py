@@ -5,8 +5,12 @@
 DuckDB SQL generated from the SAME formula source
 (osm_to_netex_spark.functions.portable / .geo / .text), so the driver's
 value-hash comparison is a true cross-engine verification.
-Span-document pipeline queries (synthetic corpus → zones/groups/tiles) have
-no SQL-expressible oracle over the pre-registered views and are rows-only.
+The documents→NeTEx conversion pipeline is oracle-gated end to end since
+round 2: both engines read the committed fixture corpus
+(tests/fixtures/convert_corpus.parquet) and the DuckDB oracle re-derives
+extraction, ordered assembly, and tag mapping in SQL
+(plans/convert_queries.py).  Only the Arrow-batched media decode and the
+Structured Streaming queries remain rows-only (genuinely non-SQL).
 """
 
 from __future__ import annotations

@@ -31,6 +31,17 @@ from pyspark.sql import DataFrame, functions as F
 TARGETS = ("TariffZone", "FareZone", "TopographicPlace")  # D1 dispatch set
 DEFAULT_VERSION = "1"
 
+# Enum domains for the FareZone tag values the reference resolves through
+# ZoneTopologyEnumeration.fromValue / ScopingMethodEnumeration.fromValue
+# (OsmToNetexMapper.java:161,165-166) — fromValue THROWS on a value outside
+# the enum, so strict mode must reject them too.  Values are the public NeTEx
+# XSD enumerations (netex_zone / netex_fareZone version schemas).
+ZONE_TOPOLOGY_VALUES = (
+    "overlapping", "tiled", "overlappingAndNested", "nested",
+    "sequential", "sequenceWithNesting", "annular", "other",
+)
+SCOPING_METHOD_VALUES = ("explicitStops", "implicitSpatialProjection", "other")
+
 
 def _last_match_prefix(prefix: str) -> str:
     """Value of the last tag (document order) whose key startsWith(prefix)."""
@@ -92,10 +103,39 @@ def validate_required(assembled: DataFrame, target_entity: str) -> DataFrame:
     return checks
 
 
+def validate_enums(assembled: DataFrame) -> DataFrame:
+    """FareZone enum validation — (way_id, tag, bad_value) rows for every
+    zoneTopology/scopingMethod value outside the NeTEx enumeration.
+
+    The reference throws from ``fromValue`` (OsmToNetexMapper.java:161,165-166)
+    on the first offender; here offenders are accumulated V1-style so one job
+    reports them all.
+    """
+    checks = None
+    for tag, allowed in (
+        ("zoneTopology", ZONE_TOPOLOGY_VALUES),
+        ("scopingMethod", SCOPING_METHOD_VALUES),
+    ):
+        val = _last_match_prefix(tag)
+        in_set = ", ".join(f"'{v}'" for v in allowed)
+        bad = assembled.where(
+            F.expr(f"{val} IS NOT NULL AND NOT ({val} IN ({in_set}))")
+        ).select("way_id", F.lit(tag).alias("tag"), F.expr(val).alias("bad_value"))
+        checks = bad if checks is None else checks.unionByName(bad)
+    return checks
+
+
 def check_required(assembled: DataFrame, target_entity: str) -> None:
     offenders = validate_required(assembled, target_entity).limit(20).collect()
     if offenders:
         raise ValueError(f"Some required tags are missing: {offenders}")
+    if target_entity == "FareZone":
+        bad = validate_enums(assembled).limit(20).collect()
+        if bad:
+            raise ValueError(
+                f"Invalid enum tag values (reference fromValue throws, "
+                f"OsmToNetexMapper.java:161,165-166): {bad}"
+            )
 
 
 def map_zones(assembled: DataFrame, target_entity: str, strict: bool = True) -> DataFrame:

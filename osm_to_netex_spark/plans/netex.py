@@ -66,6 +66,44 @@ def convert_documents(
     return ConversionResult(zones=zdf.drop("way_id"), groups=groups, envelope=envelope)
 
 
+def validate_zones_output(zones: DataFrame) -> DataFrame:
+    """CHECK-style output validation — the Spark analogue of marshal-time
+    NeTEx schema validation, which the reference always enables
+    (NetexHelper.java:47-49,61-67).
+
+    Every ZONES row must have a non-null zone_id and version, and a GML-valid
+    exterior ring: even-length pos_list of ≥ 8 doubles (3 distinct vertices +
+    closure) whose first (lat, lon) pair equals its last.  Returns
+    (zone_id, violation) rows; empty ⇔ the output marshals cleanly.
+    """
+    from pyspark.sql import functions as F
+
+    checks = F.expr(
+        """filter(array(
+             CASE WHEN zone_id IS NULL THEN 'null_zone_id' END,
+             CASE WHEN version IS NULL THEN 'null_version' END,
+             CASE WHEN pos_list IS NULL OR size(pos_list) < 8
+                  THEN 'pos_list_too_short' END,
+             CASE WHEN pos_list IS NOT NULL AND size(pos_list) % 2 != 0
+                  THEN 'pos_list_odd_length' END,
+             CASE WHEN pos_list IS NOT NULL AND size(pos_list) >= 8
+                       AND size(pos_list) % 2 = 0
+                       AND (pos_list[0] != element_at(pos_list, -2)
+                            OR pos_list[1] != element_at(pos_list, -1))
+                  THEN 'ring_not_closed' END
+           ), x -> x IS NOT NULL)"""
+    )
+    return zones.select("zone_id", F.explode(checks).alias("violation"))
+
+
+def check_zones_output(zones: DataFrame) -> None:
+    """Fail the job when the output would not validate — reference parity:
+    marshalNetex validates unconditionally and throws (NetexHelper.java:61-67)."""
+    offenders = validate_zones_output(zones).limit(20).collect()
+    if offenders:
+        raise ValueError(f"NeTEx output validation failed: {offenders}")
+
+
 def conversion_metrics(documents: DataFrame) -> DataFrame:
     """A1 — count/log aggregation (OsmToNetexTransformer.java:69-70,100):
     per-kind span counts + doc count in ONE pass (single partial-aggregated

@@ -469,7 +469,9 @@ def q_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import assemble
 
     out = assemble.assemble_poslist(ways, nodes, broadcast_nodes=True, strict=False)
-    return out.select("way_id", "pos_list")
+    # exploded to scalar rows: the driver canonicalizer cannot hash array
+    # cells, and per-coordinate rows make the order check explicit
+    return out.selectExpr("way_id", "posexplode(pos_list) as (pos_idx, coord)")
 
 
 def q_assemble_oracle() -> str:
@@ -478,10 +480,14 @@ def q_assemble_oracle() -> str:
             select zone_id, pos,
                    pos_list[2 * pos - 1] as lat, pos_list[2 * pos] as lon
             from geo_polys, unnest(generate_series(1, len(pos_list) // 2)) t(pos)
+        ),
+        asm as (
+            select zone_id as way_id,
+                   flatten(list([lat, lon] order by pos asc)) as pos_list
+            from verts group by zone_id
         )
-        select zone_id as way_id,
-               flatten(list([lat, lon] order by pos asc)) as pos_list
-        from verts group by zone_id"""
+        select way_id, t.i - 1 as pos_idx, a.pos_list[t.i] as coord
+        from asm a, unnest(generate_series(1, len(a.pos_list))) t(i)"""
 
 
 def q_zone_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,52 +647,23 @@ QUERIES = {
     "events_window": (q_events_window, q_events_window_oracle),
 }
 
+# conversion-pipeline queries (documents fixture → zones/groups/tiles/metrics),
+# oracle-gated since round 2: both engines read the committed fixture parquet
+from .convert_queries import CONVERT_QUERIES  # noqa: E402
 
-# rows-only queries (no SQL oracle: span-document pipeline, streaming state)
-def q_convert_tariffzone(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans import netex
-    from ..sources import documents as docs_src
-
-    corpus = docs_src.synthesize_corpus(spark, n_docs=500, n_zones=32, n_groups=4, n_points=150)
-    return netex.convert_documents(corpus, "TariffZone").zones
+QUERIES.update(CONVERT_QUERIES)
 
 
-def q_convert_farezone_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans import netex
-    from ..sources import documents as docs_src
-
-    corpus = docs_src.synthesize_corpus(spark, n_docs=500, n_zones=32, n_groups=4, n_points=150)
-    return netex.convert_documents(corpus, "FareZone").groups
-
-
-def q_doc_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import extract, tiling
-    from ..sources import documents as docs_src
-
-    corpus = docs_src.synthesize_corpus(spark, n_docs=500, n_zones=32, n_groups=4, n_points=150)
-    nodes = extract.extract_nodes(corpus)
-    return tiling.document_tile_assign(nodes, resolutions=(7, 8, 9)).selectExpr(
-        "doc_id", "res", "array_join(h3_cells, ',') as h3_cells", "array_join(s2_cells, ',') as s2_cells"
-    )
-
-
-def q_conversion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans import netex
-    from ..sources import documents as docs_src
-
-    corpus = docs_src.synthesize_corpus(spark, n_docs=500, n_zones=32, n_groups=4, n_points=150)
-    return netex.conversion_metrics(corpus)
-
-
+# rows-only queries (no SQL oracle: Arrow-batched media decode, streaming state)
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media spans → binary payload → mapInPandas decode
     (deterministic stub; sha256-keyed fake features) → frame sampling.
     Rows-only: the Arrow-batched decode has no SQL oracle, but every value it
     emits is a pure function of media_ref, so the output is deterministic."""
     from ..operators import media
-    from ..sources import documents as docs_src
+    from .convert_queries import FIXTURE_CORPUS
 
-    corpus = docs_src.synthesize_corpus(spark, n_docs=500, n_zones=32, n_groups=4, n_points=150)
+    corpus = spark.read.parquet(FIXTURE_CORPUS)
     refs = media.extract_media_refs(corpus)
     feats = media.decode_media(refs)
     frames = media.frame_sample(feats, every_n=2)
@@ -754,10 +731,6 @@ def q_streaming_stateful_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROWS_ONLY = {
-    "convert_tariffzone": q_convert_tariffzone,
-    "convert_farezone_groups": q_convert_farezone_groups,
-    "doc_tile_assign": q_doc_tile_assign,
-    "conversion_metrics": q_conversion_metrics,
     "media_pipeline": q_media_pipeline,
     "streaming_tiles": q_streaming_tiles,
     "streaming_stateful_hll": q_streaming_stateful_hll,

@@ -127,7 +127,7 @@ def synthesize_corpus(
         'privateCode', cast(600 + z as string),
         'authorityRef', 'VOT:Authority:VTFK_ID',
         'zoneTopology', case when z % 2 = 0 then 'tiled' else 'annular' end,
-        'scopingMethod', 'explicit',
+        'scopingMethod', 'explicitStops',
         'members', case when z % 2 = 0
                         then concat('NSR:StopPlace:', 16800 + z, ';', 'NSR:StopPlace:', 16900 + z)
                         else null end,

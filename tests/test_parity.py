@@ -44,7 +44,7 @@ def test_farezone_path_with_groups(spark, corpus):
     assert z0.private_code == "600"
     assert z0.authority_ref == "VOT:Authority:VTFK_ID"
     assert z0.zone_topology == "tiled"
-    assert z0.scoping_method == "explicit"
+    assert z0.scoping_method == "explicitStops"
     assert z0.members == ["NSR:StopPlace:16800", "NSR:StopPlace:16900"]
     assert z0.key_list == {"tzMapping": "BRA:TariffZone:600"}
     # ValidBetween: z0 has from<to → both kept
