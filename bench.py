@@ -64,12 +64,21 @@ def prepare_corpus(spark, path: str, n_docs=N_DOCS, n_zones=N_ZONES, n_points=N_
 
 def build_flagship(spark, corpus_path: str):
     """Stored corpus → extract → tile-assign (res 7-9) + assemble → PIP,
-    declared as ONE DataFrame (single action): a union of the tile-checksum
-    aggregate and the PIP match count.  One job = one planning pass and
-    concurrent stage execution; at the 10⁹-doc design point planning is
-    amortized noise, so the per-run measurement excludes it too (the plan is
-    built once per session and collected per run)."""
-    from pyspark.sql import functions as F
+    declared as ONE DataFrame action.
+
+    The tile-assign checksum rides the SAME node scan that feeds the PIP
+    probe side, as a CollectMetrics observation placed BEFORE the
+    stop-point filter — so every node's six cells (hex+quad, res 7-9) are
+    computed and bit_xor-folded in that pass, and the dedicated tile scan
+    of round 1 is gone.  Corpus passes per run: nodes(PIP+tiles),
+    nodes(assembly join side), ways — 3, down from 4.  A bare count()
+    would let Catalyst prune the cell expressions; the checksum forces
+    them (bit_xor, not sum: packed cell ids overflow a sum).
+
+    Returns (result_df, observation); collect the df, then read the
+    observation.
+    """
+    from pyspark.sql import Observation, functions as F
 
     from osm_to_netex_spark.functions import geo
     from osm_to_netex_spark.functions.portable import SPARK
@@ -78,24 +87,16 @@ def build_flagship(spark, corpus_path: str):
 
     corpus = docs_src.read_documents(spark, corpus_path)
     nodes = extract.extract_nodes(corpus)
-    # tile assign: one projection, three resolutions, both schemes.  Forced
-    # via a bit_xor checksum over ALL six cell columns — a bare count() lets
-    # Catalyst prune the cell expressions and measures nothing.
-    tiles = nodes.select(
-        "doc_id",
-        *[
-            F.expr(geo.hex_cell("lat", "lon", r, SPARK)).alias(f"h{r}")
-            for r in (7, 8, 9)
-        ],
-        *[
-            F.expr(geo.quad_cell("lat", "lon", r, SPARK)).alias(f"q{r}")
-            for r in (7, 8, 9)
-        ],
+
+    cells = " ^ ".join(
+        [geo.hex_cell("lat", "lon", r, SPARK) for r in (7, 8, 9)]
+        + [geo.quad_cell("lat", "lon", r, SPARK) for r in (7, 8, 9)]
     )
-    tile_stats = tiles.select(F.expr("h7 ^ h8 ^ h9 ^ q7 ^ q8 ^ q9").alias("s")).agg(
-        F.lit("tiles").alias("phase"),
-        F.expr("bit_xor(s)").alias("chk"),
-        F.count("*").alias("n"),
+    obs = Observation("tiles")
+    nodes_obs = nodes.observe(
+        obs,
+        F.expr(f"bit_xor({cells})").alias("chk"),
+        F.count(F.lit(1)).alias("n"),
     )
 
     ways = extract.extract_ways(corpus)
@@ -105,27 +106,31 @@ def build_flagship(spark, corpus_path: str):
     # broadcast exchange, so it is materialized exactly once per run.
     asm = assemble.assemble_poslist(ways, nodes, strict=False, broadcast_ways=True)
     polys = asm.selectExpr("cast(way_id as string) as zone_id", "pos_list")
-    pts = nodes.where(F.expr("tags['entity'] is not null")).select(
+    pts = nodes_obs.where(F.expr("tags['entity'] is not null")).select(
         F.expr("tags['id']").alias("point_id"), "lat", "lon"
     )
     bound = pip.bind_points_to_polygons(pts, polys, res=12, scheme="quad")
     pip_stats = bound.agg(
         F.lit("pip").alias("phase"), F.lit(0).cast("long").alias("chk"), F.count("*").alias("n")
     )
-    return tile_stats.unionAll(pip_stats)
+    return pip_stats, obs
 
 
 def flagship(spark, corpus_path: str) -> int:
     """Build + execute in one call (tests / compatibility path)."""
-    rows = build_flagship(spark, corpus_path).collect()
-    return sum(r["n"] for r in rows)
+    df, obs = build_flagship(spark, corpus_path)
+    rows = df.collect()
+    tiles = obs.get  # blocks until the action above finished; forces the cells
+    assert tiles["n"] > 0 and tiles["chk"] is not None
+    return sum(r["n"] for r in rows) + tiles["n"]
 
 
 def _flagship_subprocess_body(cores: int, corpus_path: str, warm_path: str, n_runs: int = N_RUNS) -> None:
     """Runs in a FRESH process: a reused py4j JVM accumulates heap/codegen
     state across SparkContexts and skews cross-core-count comparisons.
-    Prints one FLAGSHIP_SECONDS line per measured run; the parent takes the
-    min (the sandbox VM shows multi-x run-to-run variance)."""
+    Prints one FLAGSHIP_SECONDS line per measured run; the parent reports
+    the median (headline) and min (best case) — the sandbox VM shows
+    multi-x run-to-run variance."""
     # heap ∝ cores: a real N→4N executor scale-up keeps per-core memory
     # constant (4N executors bring 4× aggregate heap), so the quarter-size
     # emulation gets a quarter-size heap — a fixed shared heap would hand
@@ -155,7 +160,7 @@ def _flagship_subprocess_body(cores: int, corpus_path: str, warm_path: str, n_ru
     spark.stop()
 
 
-def run_flagship_at(cores: int, n_docs: int, corpus_path: str, warm_path: str) -> tuple[float, float]:
+def run_flagship_at(cores: int, n_docs: int, corpus_path: str, warm_path: str) -> dict:
     import subprocess
 
     code = (
@@ -174,11 +179,20 @@ def run_flagship_at(cores: int, n_docs: int, corpus_path: str, warm_path: str) -
     ]
     if not times:
         raise RuntimeError(f"flagship subprocess failed: {res.stdout[-500:]} {res.stderr[-2000:]}")
-    # the sandbox VM suffers intermittent host-side slowdowns of 5-15x;
-    # the MINIMUM over repeated runs estimates true capability at each
-    # parallelism level (both levels sampled the same way)
-    dt = min(times)
-    return dt, n_docs / dt
+    # the sandbox VM suffers intermittent host-side slowdowns of 5-15x.
+    # MEDIAN over repeated runs is the headline (honest steady state); MIN is
+    # kept as the best-case indicator (true capability when the host-side
+    # noise window misses the run).  Both levels are sampled the same way.
+    import statistics
+
+    dt_med = statistics.median(times)
+    dt_min = min(times)
+    return {
+        "secs": round(dt_med, 3),
+        "docs_per_sec": round(n_docs / dt_med, 1),
+        "secs_min": round(dt_min, 3),
+        "docs_per_sec_best": round(n_docs / dt_min, 1),
+    }
 
 
 def main():
@@ -215,7 +229,7 @@ def main():
     # --- flagship + scaling -------------------------------------------------
     # corpus is deterministic → cache by parameters across bench invocations
     cache_root = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench_cache")
-    key = f"d{N_DOCS}_z{N_ZONES}_p{N_POINTS}_r{RADIUS_SCALE}"
+    key = f"d{N_DOCS}_z{N_ZONES}_p{N_POINTS}_r{RADIUS_SCALE}_v2"
     corpus_path = os.path.join(cache_root, key, "corpus")
     warm_path = os.path.join(cache_root, key, "warm")
     if not (os.path.exists(os.path.join(corpus_path, "_SUCCESS"))
@@ -225,9 +239,10 @@ def main():
         prepare_corpus(prep, warm_path, n_docs=2000, n_zones=64, n_points=500)
         prep.stop()
 
-    # headline throughput: the full corpus at max parallelism
-    dt_hi, thr_hi = run_flagship_at(CPUS, N_DOCS, corpus_path, warm_path)
-    value = round(thr_hi, 1)
+    # headline throughput: the full corpus at max parallelism (median of
+    # N_RUNS; best-case min kept alongside)
+    head = run_flagship_at(CPUS, N_DOCS, corpus_path, warm_path)
+    value = head["docs_per_sec"]
 
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
@@ -242,23 +257,26 @@ def main():
         lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
         hi = 4 * lo
         s_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "2000000"))
-        s_key = f"d{s_docs}_z{N_ZONES}_p{int(s_docs * 0.6)}_r{RADIUS_SCALE}"
+        s_key = f"d{s_docs}_z{N_ZONES}_p{int(s_docs * 0.6)}_r{RADIUS_SCALE}_v2"
         s_corpus = os.path.join(cache_root, s_key, "corpus")
         if not os.path.exists(os.path.join(s_corpus, "_SUCCESS")):
             prep = get_spark(cores=CPUS, extra_conf={"spark.ui.showConsoleProgress": "false"})
             prepare_corpus(prep, s_corpus, n_docs=s_docs, n_points=int(s_docs * 0.6))
             prep.stop()
-        dt_lo, thr_lo = run_flagship_at(lo, s_docs, s_corpus, warm_path)
-        dt_4n, thr_4n = run_flagship_at(hi, s_docs, s_corpus, warm_path)
-        eff = (thr_4n / thr_lo) / (hi / lo)
+        r_lo = run_flagship_at(lo, s_docs, s_corpus, warm_path)
+        r_hi = run_flagship_at(hi, s_docs, s_corpus, warm_path)
+        eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
         scaling = {
             "cores_lo": lo,
-            "secs_lo": round(dt_lo, 3),
-            "docs_per_sec_lo": round(thr_lo, 1),
+            "secs_lo": r_lo["secs"],
+            "docs_per_sec_lo": r_lo["docs_per_sec"],
             "cores_hi": hi,
-            "secs_hi": round(dt_4n, 3),
-            "docs_per_sec_hi": round(thr_4n, 1),
+            "secs_hi": r_hi["secs"],
+            "docs_per_sec_hi": r_hi["docs_per_sec"],
             "efficiency": round(eff, 3),
+            "efficiency_best": round(
+                (r_hi["docs_per_sec_best"] / r_lo["docs_per_sec_best"]) / (hi / lo), 3
+            ),
             "n_docs": s_docs,
         }
 
@@ -267,6 +285,7 @@ def main():
         "hex+quad tile-assign res7-9 -> J2 assembly -> cell-pruned PIP",
         "value": value,
         "unit": "docs/sec",
+        "value_best_case": head["docs_per_sec_best"],
         "queries": timings,
         "sf": sf,
     }

@@ -199,8 +199,8 @@ def quad_cell_classify(cell: str, pl: str, res: int, d: str) -> str:
     yj = element_at(pl, "2*i + 1", d)
     xj = element_at(pl, "2*i + 2", d)
     edge_overlap = (
-        f"least({xi}, {xj}) < {cw} + {cellw!r}e0 AND greatest({xi}, {xj}) > {cw} "
-        f"AND least({yi}, {yj}) < {cs} + {cellh!r}e0 AND greatest({yi}, {yj}) > {cs}"
+        f"least({xi}, {xj}) <= {cw} + {cellw!r}e0 AND greatest({xi}, {xj}) >= {cw} "
+        f"AND least({yi}, {yj}) <= {cs} + {cellh!r}e0 AND greatest({yi}, {yj}) >= {cs}"
     )
     if d == SPARK:
         any_edge = f"exists({seq('1', f'({npts} - 1)', d)}, i -> {edge_overlap})"
@@ -239,8 +239,8 @@ def quad_cover_refined(pl: str, res: int, d: str) -> str:
     yj = element_at(pl, "2*i + 1", d)
     xj = element_at(pl, "2*i + 2", d)
     edge_overlap = (
-        f"least({xi}, {xj}) < {cw} + {cellw!r}e0 AND greatest({xi}, {xj}) > {cw} "
-        f"AND least({yi}, {yj}) < {cs} + {cellh!r}e0 AND greatest({yi}, {yj}) > {cs}"
+        f"least({xi}, {xj}) <= {cw} + {cellw!r}e0 AND greatest({xi}, {xj}) >= {cw} "
+        f"AND least({yi}, {yj}) <= {cs} + {cellh!r}e0 AND greatest({yi}, {yj}) >= {cs}"
     )
     any_edge = f"exists({seq('1', f'({npts} - 1)', d)}, i -> {edge_overlap})" if d == SPARK else (
         f"len(list_filter({seq('1', f'({npts} - 1)', d)}, i -> {edge_overlap})) > 0"
@@ -329,8 +329,8 @@ def hex_cell_classify(cell: str, pl: str, res: int, d: str) -> str:
     yj = element_at(pl, "2*i + 1", d)
     xj = element_at(pl, "2*i + 2", d)
     edge_overlap = (
-        f"least({xi}, {xj}) < {clon} + {flit(hlon)} AND greatest({xi}, {xj}) > {clon} - {flit(hlon)} "
-        f"AND least({yi}, {yj}) < {clat} + {flit(hlat)} AND greatest({yi}, {yj}) > {clat} - {flit(hlat)}"
+        f"least({xi}, {xj}) <= {clon} + {flit(hlon)} AND greatest({xi}, {xj}) >= {clon} - {flit(hlon)} "
+        f"AND least({yi}, {yj}) <= {clat} + {flit(hlat)} AND greatest({yi}, {yj}) >= {clat} - {flit(hlat)}"
     )
     if d == SPARK:
         any_edge = f"exists({seq('1', f'({npts} - 1)', d)}, i -> {edge_overlap})"

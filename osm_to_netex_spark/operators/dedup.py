@@ -23,6 +23,28 @@ from ..functions import text as tx
 from ..functions.portable import SPARK, flit, phash60
 
 
+def unpersist_intermediates(df: DataFrame) -> int:
+    """Release the cached intermediates attached to a result DataFrame.
+
+    The pair-finding operators persist corpus-derived intermediates (shingle
+    sets, signatures, staged norms) that are consumed by two plan branches.
+    Callers own the cache lifetime: materialize the result, then call this —
+    otherwise the cached datasets stay in executor storage memory for the
+    session (they persist at MEMORY_AND_DISK, so they spill rather than OOM,
+    but they still accumulate).  Returns the number of handles released.
+    """
+    n = 0
+    for h in getattr(df, "_graft_cached", ()):
+        h.unpersist()
+        n += 1
+    return n
+
+
+def _attach_cached(out: DataFrame, handles: list[DataFrame]) -> DataFrame:
+    out._graft_cached = handles  # type: ignore[attr-defined]
+    return out
+
+
 def normalize_expr(col: str, d: str = SPARK) -> str:
     """Lower, trim, collapse whitespace — the exact-dup equivalence class."""
     return f"regexp_replace(trim(lower({col})), '\\\\s+', ' ')" if d == SPARK else \
@@ -92,7 +114,7 @@ def minhash_lsh_pairs(
             F.expr("array_distinct(mh_base)").alias("shingles"),
         )
         .persist()  # shingle+signature computed once; reused by band AND verify
-    )
+    )  # released via unpersist_intermediates (callers own the lifetime)
     # the band join carries ONLY (doc_id, band, bucket) — the shingle arrays
     # (hundreds of bigints per doc) never ride the candidate shuffle; they
     # re-join on the (small) surviving pair set for the exact verify
@@ -119,7 +141,7 @@ def minhash_lsh_pairs(
         "cast(size(array_intersect(sh_a, sh_b)) as double) / "
         "cast(size(array_union(sh_a, sh_b)) as double)"
     )
-    return (
+    out = (
         cand.join(
             sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a"
         )
@@ -130,6 +152,7 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return _attach_cached(out, [base])
 
 
 def simhash_clusters(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -172,7 +195,7 @@ def ngram_jaccard_pairs(
         F.expr(
             f"array_distinct({tx.word_shingles(text_col, n_shingle, SPARK)})"
         ).alias("sh0"),
-    ).persist()  # tokenize+shingle once; referenced by df-count AND re-agg
+    ).persist()  # tokenize+shingle once (df-count AND re-agg); caller-released
 
     # document frequency per (block, shingle): the global prefix order is
     # RAREST-FIRST (df asc, shingle asc) — the canonical PPJoin ordering.
@@ -191,13 +214,17 @@ def ngram_jaccard_pairs(
         .persist()
     )
     # prefix length: n - ceil(t*n) + 1 (0 for empty sets → no candidates,
-    # matching the oracle: an empty shingle set has no Jaccard ≥ t > 0 pair)
+    # matching the oracle: an empty shingle set has no Jaccard ≥ t > 0 pair).
+    # ceil takes t*n MINUS an epsilon: when t·n is mathematically integral
+    # but the float product rounds a hair high, a bare ceil would shorten
+    # the prefix by one and drop exact-boundary pairs; the epsilon makes
+    # ties round down — conservative lengthening only ever ADDS candidates
     pref = base.select(
         "doc_id",
         "blk",
         "n",
         F.expr(
-            f"explode(slice(sh, 1, greatest(0, n - cast(ceil({threshold} * n) as int) + 1)))"
+            f"explode(slice(sh, 1, greatest(0, n - cast(ceil({threshold} * n - 1e-9) as int) + 1)))"
         ).alias("p_sh"),
     )
     a, b = pref.alias("a"), pref.alias("b")
@@ -207,9 +234,10 @@ def ngram_jaccard_pairs(
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.p_sh") == F.col("b.p_sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # exact length filter: J >= t forces t·|B| <= |A| <= |B|/t
-            & (F.col("a.n") * F.lit(threshold) <= F.col("b.n"))
-            & (F.col("b.n") * F.lit(threshold) <= F.col("a.n")),
+            # exact length filter: J >= t forces t·|B| <= |A| <= |B|/t;
+            # epsilon guards the float product at the exact boundary
+            & (F.col("a.n") * F.lit(threshold) - F.lit(1e-9) <= F.col("b.n"))
+            & (F.col("b.n") * F.lit(threshold) - F.lit(1e-9) <= F.col("a.n")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -219,13 +247,14 @@ def ngram_jaccard_pairs(
         "cast(size(array_intersect(a_sh, b_sh)) as double) / "
         "cast(size(array_union(a_sh, b_sh)) as double)"
     )
-    return (
+    out = (
         cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("a_sh")), "doc_a")
         .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("b_sh")), "doc_b")
         .withColumn("jaccard", F.round(F.expr(jac), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return _attach_cached(out, [shingled, base])
 
 
 # ---------------------------------------------------------------------------
@@ -272,16 +301,44 @@ def hyperplane_bits(vec: str, n_bits: int, dim: int, d: str = SPARK) -> str:
     )
 
 
+def auto_n_bits(
+    n_vectors: int, target_bucket_size: int = 1000, lo: int = 4, hi: int = 30
+) -> int:
+    """Bucketing width that keeps the per-bucket verify quadratic bounded:
+    n_bits = ⌈log2(N / target)⌉ ⇒ expected bucket size ≤ target (uniform
+    case), so verify work is N·target, linear in the corpus.
+
+    Recall/threshold interaction: for random hyperplanes a pair at angle θ
+    collides with probability (1 − θ/π)^n_bits, so raising n_bits trades
+    recall at the threshold boundary for bounded buckets — at
+    cos_threshold 0.95 (θ ≈ 18°) each extra bit keeps ~0.9 of the pairs,
+    while near-identical vectors (θ → 0) survive any width.  Run multiple
+    independent bucketings (different plane seeds) to recover recall if the
+    boundary matters.
+    """
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(1.0, n_vectors / target_bucket_size)))))
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 32,
-    n_bits: int = 8,
+    n_bits: int | None = 8,
     cos_threshold: float = 0.95,
+    target_bucket_size: int = 1000,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine ≥ threshold, bucketed by LSH sign
-    signature first (candidates must agree on all n_bits) then verified."""
+    signature first (candidates must agree on all n_bits) then verified.
+
+    n_bits=None derives the width from the corpus size via ``auto_n_bits``
+    (one count() of the id column — cheap metadata-level job), keeping the
+    bucket-size² verify bounded as the corpus grows; pass an explicit n_bits
+    to pin the bucketing (e.g. for oracle replay)."""
+    if n_bits is None:
+        n_bits = auto_n_bits(embeddings.count(), target_bucket_size)
     # norms staged per VECTOR (O(N) work) so the per-PAIR verify — the part
     # that multiplies by bucket-size² — evaluates only the dot product.
     # Identical IEEE op sequence to the inline form: sqrt(Σx²) per side,
@@ -293,17 +350,18 @@ def embedding_near_dup(
             f"sqrt(aggregate({vec_col}, 0.0e0, (s, x) -> s + cast(x as double) * cast(x as double)))"
         ).alias("nrm"),
         F.expr(hyperplane_bits(vec_col, n_bits, dim, SPARK)).alias("bucket"),
-    ).persist()
+    ).persist()  # caller-released via unpersist_intermediates
     a, b = sig.alias("a"), sig.alias("b")
     dot = (
         "aggregate(zip_with(a.vec, b.vec, (x, y) -> cast(x as double) * cast(y as double)), "
         "0.0e0, (s, v) -> s + v)"
     )
     cos = f"(({dot}) / nullif(a.nrm * b.nrm, 0.0e0))"
-    return (
+    out = (
         a.join(b, "bucket")
         .where(F.col("a.vid") < F.col("b.vid"))
         .withColumn("cos", F.round(F.expr(cos), 6))
         .where(F.col("cos") >= cos_threshold)
         .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"), "cos")
     )
+    return _attach_cached(out, [sig])

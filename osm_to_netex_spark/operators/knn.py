@@ -1,15 +1,26 @@
 """kNN linking: each Quay → its k nearest StopPlaces (north rule, SURVEY §2.2).
 
-Strategies:
+Two physical strategies, one semantic (mirrors pip.py's dual-strategy shape):
 
-* **broadcast-exact** (default): the StopPlace side is a dimension table
-  (10⁵–10⁶ rows globally → tens of MB as (id, lat, lon)); broadcast it, join
-  every quay against candidates sharing a coarse cell *plus* its k-ring, rank
-  by haversine with a window, keep k.  The ring radius guarantees exactness:
-  any true neighbour within ``guarantee_m`` of the quay is inside the ring;
-  quays whose k-th hit is farther than the guarantee (or with < k hits) fall
-  back to a brute-force pass — distributed, driven by data, no driver loop.
-* **brute-force**: cross join + window (oracle path / small dims).
+* **dimension-broadcast** (``stops_are_dimension=True``): the StopPlace side
+  is a genuine dimension table (10⁵–10⁶ rows globally → tens of MB as
+  (id, lat, lon)); broadcast it into the ring join and the brute-force
+  remainder.  This is the NeTEx case.
+* **cell-equi-join** (``stops_are_dimension=False``): both sides are
+  corpus-sized — a broadcast would OOM at the 10^12 design point.  The ring
+  join becomes a shuffled equi-join on cell (AQE splits skewed cells);
+  unresolved quays escalate to coarser resolutions (each step quadruples the
+  guarantee radius with the same 9-cell ring fan-out) instead of a broadcast
+  brute-force pass; only the post-escalation stragglers — quays in regions
+  with < k stops within the coarsest guarantee — fall through to an
+  unbroadcast cross join, and that remainder is data-driven and vanishingly
+  small by construction.
+
+Exactness in both strategies: the ring guarantee ensures any true neighbour
+within ``guarantee_m`` is a candidate; a quay whose k-th hit is farther than
+the guarantee (or that found < k hits) is never emitted early — it re-runs at
+the next level.  Resolution checks are windows over the ranking partition
+(one shuffle, reused sort), never a groupBy + re-join.
 
 Ranking ties break deterministically on (distance, stop id).
 """
@@ -33,8 +44,11 @@ def knn_brute_force(
     k: int = 3,
     quay_id: str = "quay_id",
     stop_id: str = "stop_id",
+    broadcast_stops: bool = True,
 ) -> DataFrame:
-    """(quay_id, stop_id, dist_m, rn) — exact, stop side broadcast."""
+    """(quay_id, stop_id, dist_m, rn) — exact.  Broadcast the stop side only
+    when it is a dimension table; otherwise an unbroadcast cross join (the
+    caller is responsible for keeping the quay side small in that case)."""
     q = quays.select(
         F.col(quay_id).alias("quay_id"),
         F.col("lat").alias("qlat"),
@@ -45,10 +59,66 @@ def knn_brute_force(
         F.col("lat").alias("slat"),
         F.col("lon").alias("slon"),
     )
-    cand = q.crossJoin(F.broadcast(s)).withColumn(
+    side = F.broadcast(s) if broadcast_stops else s
+    cand = q.crossJoin(side).withColumn(
         "dist_m", F.expr(haversine_m("qlat", "qlon", "slat", "slon", SPARK))
     )
     return _ranked(cand, k).select("quay_id", "stop_id", "dist_m", "rn")
+
+
+def _guarantee_m(scheme: str, res: int, ring: int) -> float:
+    if scheme == "hex":
+        cell_deg = geo.hex_size_deg(res) * (3**0.5) / 2.0
+    else:
+        cell_deg = 180.0 / (2**res) / 2.0
+    return ring * cell_deg * geo.M_PER_DEG
+
+
+def _ring_round(
+    q: DataFrame,
+    stops_pts: DataFrame,
+    k: int,
+    res: int,
+    ring: int,
+    scheme: str,
+    broadcast_stops: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """One candidate round at a resolution: returns (done, unresolved_quays).
+
+    done rows are exact (k hits, all within the ring guarantee); unresolved
+    quays (incl. zero-candidate ones) come back for the next level.
+    """
+    cell_fn = geo.hex_cell if scheme == "hex" else geo.quad_cell
+    ring_fn = geo.hex_kring if scheme == "hex" else geo.quad_kring
+    guarantee_m = _guarantee_m(scheme, res, ring)
+
+    qc = q.withColumn("qcell", F.expr(cell_fn("qlat", "qlon", res, SPARK)))
+    s = stops_pts.withColumn("scell", F.expr(cell_fn("slat", "slon", res, SPARK)))
+    q_ring = qc.withColumn(
+        "cand_cell", F.explode(F.expr(ring_fn("qcell", res, ring, SPARK)))
+    )
+    s_side = F.broadcast(s) if broadcast_stops else s
+    cand = q_ring.join(s_side, q_ring.cand_cell == s.scell).withColumn(
+        "dist_m", F.expr(haversine_m("qlat", "qlon", "slat", "slon", SPARK))
+    )
+    ranked = _ranked(cand.select("quay_id", "stop_id", "dist_m"), k)
+
+    # resolution check as a second window over the SAME partitioning as the
+    # ranking window (one shuffle, reused sort) — a groupBy + re-join (let
+    # alone a broadcast of quay ids) would add a full extra shuffle or an
+    # impossible broadcast at the 10^12 design point
+    wq = Window.partitionBy("quay_id")
+    flagged = ranked.withColumn(
+        "__resolved",
+        (F.count("*").over(wq) == k)
+        & (F.max("dist_m").over(wq) <= F.lit(guarantee_m)),
+    )
+    done = flagged.where(F.col("__resolved")).select("quay_id", "stop_id", "dist_m", "rn")
+    resolved_ids = flagged.where(F.col("__resolved")).select("quay_id")
+    # unresolved = flagged-false PLUS zero-candidate quays → anti-join; both
+    # sides big in the cell-join strategy → shuffled hash anti-join
+    rest = q.join(resolved_ids, "quay_id", "left_anti")
+    return done, rest
 
 
 def knn_cell_pruned(
@@ -60,70 +130,50 @@ def knn_cell_pruned(
     quay_id: str = "quay_id",
     stop_id: str = "stop_id",
     scheme: str = "hex",
+    stops_are_dimension: bool = True,
+    escalation_levels: int = 2,
 ) -> DataFrame:
-    """Exact kNN with k-ring candidate pruning + brute-force remainder.
+    """Exact kNN with k-ring candidate pruning.
 
-    The ring guarantee: with hex cells of circumradius R the k-ring of depth
-    ``ring`` contains every point within ``ring · R·√3/2 · 2`` … conservatively
-    we use ``guarantee = ring * inradius`` (inradius = R·√3/2 in degrees,
-    converted via M_PER_DEG).  A quay whose k-th candidate lies beyond the
-    guarantee (or that found < k candidates) is re-run brute-force; the two
-    result sets are unioned.  Exact vs the brute-force oracle by construction.
+    stops_are_dimension=True → broadcast ring join + broadcast brute-force
+    remainder (dimension-table strategy).  False → shuffled cell equi-join;
+    unresolved quays escalate ``escalation_levels`` times to res-2 per level
+    (guarantee radius ×4 each step, ring fan-out constant), then any
+    stragglers cross-join unbroadcast.  Exact vs the brute-force oracle by
+    construction in both strategies.
     """
-    cell_fn = geo.hex_cell if scheme == "hex" else geo.quad_cell
-    ring_fn = geo.hex_kring if scheme == "hex" else geo.quad_kring
-    if scheme == "hex":
-        cell_deg = geo.hex_size_deg(res) * (3**0.5) / 2.0
-    else:
-        cell_deg = 180.0 / (2**res) / 2.0
-    guarantee_m = ring * cell_deg * geo.M_PER_DEG
-
     q = quays.select(
         F.col(quay_id).alias("quay_id"),
         F.col("lat").alias("qlat"),
         F.col("lon").alias("qlon"),
-    ).withColumn("qcell", F.expr(cell_fn("qlat", "qlon", res, SPARK)))
-    s = stops.select(
+    )
+    s_pts = stops.select(
         F.col(stop_id).alias("stop_id"),
         F.col("lat").alias("slat"),
         F.col("lon").alias("slon"),
-    ).withColumn("scell", F.expr(cell_fn("slat", "slon", res, SPARK)))
+    )
 
-    q_ring = q.withColumn("cand_cell", F.explode(F.expr(ring_fn("qcell", res, ring, SPARK))))
-    cand = q_ring.join(F.broadcast(s), q_ring.cand_cell == s.scell).withColumn(
-        "dist_m", F.expr(haversine_m("qlat", "qlon", "slat", "slon", SPARK))
-    )
-    ranked = _ranked(cand.select("quay_id", "qlat", "qlon", "stop_id", "dist_m"), k)
+    done, rest = _ring_round(q, s_pts, k, res, ring, scheme, stops_are_dimension)
+    out = done
+    if not stops_are_dimension:
+        r = res
+        for _ in range(escalation_levels):
+            r = max(0, r - 2)
+            more, rest = _ring_round(q=rest, stops_pts=s_pts, k=k, res=r, ring=ring,
+                                     scheme=scheme, broadcast_stops=False)
+            out = out.unionByName(more)
+            if r == 0:
+                break
 
-    # resolution check: quays fully resolved inside the guarantee radius.
-    # Computed as a second window over the SAME partitioning as the ranking
-    # window (one shuffle, reused sort) — the quay side is corpus-sized, so
-    # a groupBy + re-join (let alone a broadcast of quay ids) would add a
-    # full extra shuffle (or an impossible broadcast) at the 10^12 design
-    # point.
-    wq = Window.partitionBy("quay_id")
-    flagged = ranked.withColumn(
-        "__resolved",
-        (F.count("*").over(wq) == k) & (F.max("dist_m").over(wq) <= F.lit(guarantee_m)),
-    )
-    done = flagged.where(F.col("__resolved")).drop("__resolved")
-    # unresolved = quays flagged false PLUS quays with zero candidates (absent
-    # from `ranked` entirely) → anti-join of the quay table against resolved
-    # ids; both sides big → shuffled hash anti-join, never a broadcast
-    resolved_ids = flagged.where(F.col("__resolved")).select("quay_id")
-    rest = q.join(resolved_ids, "quay_id", "left_anti").select(
-        "quay_id", F.col("qlat").alias("lat"), F.col("qlon").alias("lon")
-    )
     fallback = knn_brute_force(
-        rest,
+        rest.select("quay_id", F.col("qlat").alias("lat"), F.col("qlon").alias("lon")),
         stops.select(F.col(stop_id).alias("stop_id"), "lat", "lon"),
         k,
         "quay_id",
         "stop_id",
+        broadcast_stops=stops_are_dimension,
     )
-    return done.select("quay_id", "stop_id", "dist_m", "rn").unionByName(
-        fallback.select("quay_id", "stop_id", "dist_m", "rn")
-    )
+    return out.unionByName(fallback.select("quay_id", "stop_id", "dist_m", "rn"))
 
 
 def knn_collect(knn: DataFrame) -> DataFrame:

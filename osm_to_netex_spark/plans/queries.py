@@ -224,8 +224,13 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{geo.quad_cell('lat', 'lon', res, SPARK)} as scell "
         f"from geo_points where point_id % 10 <> 0"
     )
+    # the stop side is 90% of the corpus — NOT a dimension table, so no
+    # broadcast anywhere on it: the candidate join is a shuffled cell
+    # equi-join (AQE splits skewed cells), the resolution check is a window
+    # over the ranking partition (one shuffle, reused sort), and the
+    # remainder anti-join + fallback stay shuffle-based too
     ring = q.withColumn("cand_cell", F.explode(F.expr(geo.quad_kring("qcell", res, 1, SPARK))))
-    cand = ring.join(F.broadcast(s), ring.cand_cell == s.scell).withColumn(
+    cand = ring.join(s, ring.cand_cell == s.scell).withColumn(
         "d2", F.expr(dist2("qlat", "qlon", "slat", "slon"))
     )
     w = Window.partitionBy("quay_id").orderBy(F.col("d2").asc(), F.col("stop_id").asc())
@@ -234,15 +239,15 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(f"rn <= {k}")
     )
-    per_quay = ranked.groupBy("quay_id").agg(
-        F.count("*").alias("nh"), F.max("d2").alias("maxd")
+    wq = Window.partitionBy("quay_id")
+    flagged = ranked.withColumn(
+        "__resolved",
+        (F.count("*").over(wq) == k) & (F.max("d2").over(wq) <= F.lit(g2)),
     )
-    resolved = per_quay.where((F.col("nh") == k) & (F.col("maxd") <= F.lit(g2))).select(
-        "quay_id"
-    )
-    done = ranked.join(F.broadcast(resolved), "quay_id")
-    rest = q.join(F.broadcast(resolved), "quay_id", "left_anti")
-    fb_cand = rest.crossJoin(F.broadcast(s.drop("scell"))).withColumn(
+    done = flagged.where("__resolved").select("quay_id", "stop_id", "d2", "rn")
+    resolved = flagged.where("__resolved").select("quay_id")
+    rest = q.join(resolved, "quay_id", "left_anti")
+    fb_cand = rest.crossJoin(s.drop("scell")).withColumn(
         "d2", F.expr(dist2("qlat", "qlon", "slat", "slon"))
     )
     fb = (

@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -46,7 +47,8 @@ STATE_SCHEMA = T.StructType(
 
 
 def _rank_and_register(doc_id: str) -> tuple[int, int]:
-    """(register index, rank) from md5 — deterministic across engines/runs."""
+    """(register index, rank) from md5 — deterministic across engines/runs.
+    Scalar reference implementation; the hot path is _merge_batch."""
     h = int.from_bytes(hashlib.md5(str(doc_id).encode()).digest()[:8], "big")
     reg = h & (N_REGISTERS - 1)
     rest = h >> _REG_BITS
@@ -58,13 +60,45 @@ def _rank_and_register(doc_id: str) -> tuple[int, int]:
     return reg, rank
 
 
-def hll_estimate(regs: list[int]) -> int:
-    """Classic HLL estimate with small-range correction."""
+def _merge_batch(regs: np.ndarray, doc_ids) -> None:
+    """Fold a batch of doc ids into the register array, numpy-vectorized.
+
+    md5 is per-string (the only per-element Python left); the bit math —
+    register index, lowest-set-bit rank, element-wise register max — runs as
+    array ops over the whole Arrow batch.  Identical results to the scalar
+    reference: rank = 1-based index of the first set bit of the 58-bit
+    stream, capped at 58 (rest == 0).
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(d).encode()).digest()[:8], "big")
+            for d in doc_ids
+        ),
+        dtype=np.uint64,
+        count=n,
+    )
+    reg = (h & np.uint64(N_REGISTERS - 1)).astype(np.int64)
+    rest = h >> np.uint64(_REG_BITS)
+    # lowest set bit isolated as a power of two; log2 of an exact power of
+    # two is exact in float64 well past 2^53 (single-mantissa-bit values)
+    low = rest & (~rest + np.uint64(1))
+    rank = np.where(
+        rest == 0, 58, np.log2(np.maximum(low, np.uint64(1)).astype(np.float64)) + 1.0
+    ).astype(np.int64)
+    np.minimum(rank, 58, out=rank)
+    np.maximum.at(regs, reg, rank)
+
+
+def hll_estimate(regs) -> int:
+    """Classic HLL estimate with small-range correction (list or ndarray)."""
+    r = np.asarray(regs, dtype=np.float64)
     m = N_REGISTERS
     alpha = 0.709  # alpha_64
-    inv_sum = sum(2.0 ** (-r) for r in regs)
-    raw = alpha * m * m / inv_sum
-    zeros = regs.count(0)
+    raw = alpha * m * m / float(np.sum(2.0**-r))
+    zeros = int(np.count_nonzero(r == 0))
     if raw <= 2.5 * m and zeros:
         raw = m * math.log(m / zeros)
     return int(round(raw))
@@ -73,16 +107,13 @@ def hll_estimate(regs: list[int]) -> int:
 def _update_cell(key, pdfs, state: GroupState):
     if state.exists:
         regs_t, rows = state.get
-        regs = list(regs_t)
+        regs = np.asarray(regs_t, dtype=np.int64)
     else:
-        regs, rows = [0] * N_REGISTERS, 0
+        regs, rows = np.zeros(N_REGISTERS, dtype=np.int64), 0
     for pdf in pdfs:
         rows += len(pdf)
-        for doc_id in pdf["doc_id"]:
-            reg, rank = _rank_and_register(doc_id)
-            if rank > regs[reg]:
-                regs[reg] = rank
-    state.update((regs, rows))
+        _merge_batch(regs, pdf["doc_id"])
+    state.update(([int(r) for r in regs], rows))
     yield pd.DataFrame(
         {
             "quad_cell": [key[0]],
@@ -125,11 +156,8 @@ def batch_hll_oracle(batch_assigned: DataFrame) -> DataFrame:
     (no streaming) — for tests pinning stream/batch equivalence."""
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        regs = [0] * N_REGISTERS
-        for doc_id in pdf["doc_id"]:
-            reg, rank = _rank_and_register(doc_id)
-            if rank > regs[reg]:
-                regs[reg] = rank
+        regs = np.zeros(N_REGISTERS, dtype=np.int64)
+        _merge_batch(regs, pdf["doc_id"])
         return pd.DataFrame(
             {
                 "quad_cell": [pdf["quad_cell"].iloc[0]],

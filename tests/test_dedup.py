@@ -66,6 +66,79 @@ def test_ngram_jaccard_symmetric_bounded(spark, docs):
         assert r.doc_a < r.doc_b
 
 
+def test_ngram_jaccard_exact_boundary_pairs(spark):
+    """t·n integral with float round-up (0.4·5 → 2.0000000000000004): the
+    epsilon-guarded prefix bound must keep exact-boundary pairs that a bare
+    ceil silently drops.  Verified against the brute-force definition."""
+    docs = []
+    # docs of 3..9 word-3-shingles with controlled overlaps around J = 0.4
+    vocab = [f"w{i}" for i in range(40)]
+    for i in range(12):
+        # shingle sets share a sliding window with the next doc
+        words = vocab[i * 2: i * 2 + 8]
+        docs.append((i, " ".join(words), "x"))
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    t = 0.4
+    fast = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(df, n_shingle=3, threshold=t).collect()
+    }
+
+    # brute force oracle in python
+    import itertools
+
+    def shingles(text):
+        w = text.split()
+        return {tuple(w[j: j + 3]) for j in range(len(w) - 2)}
+
+    sets = {i: shingles(t_) for i, t_, _ in docs}
+    brute = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and round(inter / union, 6) >= t:
+            brute.add((a, b, round(inter / union, 6)))
+    assert fast == brute and brute  # nonempty and exactly equal
+
+
+def test_unpersist_intermediates_releases_cache(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs.limit(40), n_perm=16, bands=4,
+                                    jaccard_threshold=0.3)
+    pairs.count()
+    assert dedup.unpersist_intermediates(pairs) == 1
+    pairs2 = dedup.ngram_jaccard_pairs(docs.limit(40), threshold=0.2)
+    pairs2.count()
+    assert dedup.unpersist_intermediates(pairs2) == 2
+    # idempotent-ish: a frame without handles releases nothing
+    assert dedup.unpersist_intermediates(docs) == 0
+
+
+def test_auto_n_bits_bounds_buckets(spark):
+    """n_bits=None derives the bucket width from the corpus size; the
+    realized max bucket stays within a small factor of the target."""
+    assert dedup.auto_n_bits(1000, target_bucket_size=1000) == 4  # floor
+    assert dedup.auto_n_bits(10**6, target_bucket_size=1000) == 10
+    assert dedup.auto_n_bits(10**12, target_bucket_size=1000) == 30  # cap
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = emb.count()
+    target = 64
+    bits = dedup.auto_n_bits(n, target_bucket_size=target)
+    pairs = dedup.embedding_near_dup(emb, dim=64, n_bits=None,
+                                     cos_threshold=0.35,
+                                     target_bucket_size=target)
+    pairs.count()
+    dedup.unpersist_intermediates(pairs)
+    buckets = (
+        emb.selectExpr(f"{dedup.hyperplane_bits('embedding', bits, 64, 'spark')} as b")
+        .groupBy("b").count().agg(F.max("count")).first()[0]
+    )
+    # sign-bit LSH buckets are not uniform for correlated data; assert the
+    # bound that matters — no bucket degenerates toward the full corpus
+    assert buckets <= 8 * target
+    assert buckets < n / 2
+
+
 def test_embedding_near_dup_finds_planted(spark, emb):
     dim = len(emb.first().embedding)
     planted = emb.limit(4).select(

@@ -111,3 +111,22 @@ def test_cli_job_osm_xml(spark, tmp_path):
         ]
     )
     assert res["n_zones"] == 1
+
+
+def test_flagship_observation_covers_all_nodes(spark, tmp_path):
+    """The bench flagship folds the tile-assign checksum into the PIP node
+    scan as a CollectMetrics observation; the stop-point filter must stay
+    ABOVE it, so the observed row count equals the full node count (every
+    node's six cells are actually computed)."""
+    import bench
+    from osm_to_netex_spark.operators import extract
+    from osm_to_netex_spark.sources import documents as docs_src
+
+    path = str(tmp_path / "flag")
+    bench.prepare_corpus(spark, path, n_docs=2000, n_zones=40, n_points=1200)
+    df, obs = bench.build_flagship(spark, path)
+    rows = df.collect()
+    n_nodes = extract.extract_nodes(docs_src.read_documents(spark, path)).count()
+    assert obs.get["n"] == n_nodes
+    assert obs.get["chk"] is not None
+    assert rows[0]["n"] > 0  # PIP found matches

@@ -54,6 +54,59 @@ def test_knn_pruned_equals_brute(spark, geo_fixture):
         ), scheme
 
 
+def test_knn_cell_join_strategy_equals_brute(spark, geo_fixture):
+    """Non-dimension strategy (no broadcast of the stop side anywhere):
+    shuffled cell join + coarser-res escalation must still be exact."""
+    _, pts = geo_fixture
+    quays = pts.where("entity = 'Quay'").withColumnRenamed("point_id", "quay_id")
+    stops = pts.where("entity = 'StopPlace'").withColumnRenamed("point_id", "stop_id")
+    kb = knn.knn_brute_force(quays, stops, k=3)
+    kp = knn.knn_cell_pruned(
+        quays, stops, k=3, res=11, ring=1, scheme="quad",
+        stops_are_dimension=False, escalation_levels=2,
+    )
+    assert set(map(tuple, kp.select("quay_id", "stop_id", "rn").collect())) == set(
+        map(tuple, kb.select("quay_id", "stop_id", "rn").collect())
+    )
+
+
+def test_knn_cell_join_plan_has_no_broadcast(spark, geo_fixture):
+    """The cell-join strategy must not plan a BroadcastExchange on the stop
+    side — at the 10^12 design point the stop table is corpus-sized and a
+    broadcast OOMs (AQE may still convert small runtime sides; the static
+    plan is what must be broadcast-free)."""
+    import contextlib
+    import io
+
+    _, pts = geo_fixture
+    quays = pts.where("entity = 'Quay'").withColumnRenamed("point_id", "quay_id")
+    stops = pts.where("entity = 'StopPlace'").withColumnRenamed("point_id", "stop_id")
+
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("extended")
+        return buf.getvalue().lower()
+
+    # at test scale the planner auto-broadcasts ANY side under the 10 MB
+    # threshold (size-based and correct — at 100 TB the stats flip it to a
+    # shuffle join); disable it so only *forced* broadcasts (hints) show
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kp = knn.knn_cell_pruned(
+            quays, stops, k=3, res=11, ring=1, scheme="quad",
+            stops_are_dimension=False, escalation_levels=1,
+        )
+        assert "broadcast" not in plan_of(kp)
+        # the dimension strategy, by contrast, forces broadcasts by hint
+        kd = knn.knn_cell_pruned(quays, stops, k=3, res=11, ring=1,
+                                 scheme="quad", stops_are_dimension=True)
+        assert "broadcast" in plan_of(kd)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_knn_collect_orders_by_distance(spark, geo_fixture):
     _, pts = geo_fixture
     quays = pts.where("entity = 'Quay'").withColumnRenamed("point_id", "quay_id")
