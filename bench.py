@@ -35,7 +35,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000000"))
 N_ZONES = int(os.environ.get("SPARK_GRAFT_BENCH_ZONES", "4000"))
 N_POINTS = int(os.environ.get("SPARK_GRAFT_BENCH_POINTS", "4800000"))
-N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
 # 1.5 ≈ 1-2 overlapping zones per covered point — realistic fare-zone
 # density (3.0 produced ~7 matches/point, turning the PIP stage into a
 # row-materialization benchmark instead of a spatial-join benchmark)

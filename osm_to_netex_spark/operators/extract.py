@@ -34,6 +34,7 @@ def extract_nodes(documents: DataFrame) -> DataFrame:
             F.col("n.lat").alias("lat"),
             F.col("n.lon").alias("lon"),
             F.col("n.tags").alias("tags"),
+            F.col("n.audit").alias("audit"),
             "doc_id",
         )
     )
@@ -48,6 +49,7 @@ def extract_ways(documents: DataFrame) -> DataFrame:
             F.col("w.id").alias("way_id"),
             F.col("w.nd_refs").alias("nd_refs"),
             F.col("w.tags").alias("tags"),
+            F.col("w.audit").alias("audit"),
             "doc_id",
         )
     )
@@ -61,6 +63,7 @@ def extract_relations(documents: DataFrame) -> DataFrame:
             F.col("r.id").alias("rel_id"),
             F.col("r.members").alias("members"),
             F.col("r.tags").alias("tags"),
+            F.col("r.audit").alias("audit"),
             "doc_id",
         )
     )

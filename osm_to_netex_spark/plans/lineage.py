@@ -60,11 +60,18 @@ def run_with_resume(
     key: str = "doc_id",
     snapshot_id: str | None = None,
     fail_after_units: int | None = None,
+    unit_batch_size: int = 1,
 ) -> dict:
     """Process input in units with per-unit commit; resumes idempotently.
 
     transform: units subset of the input → output rows (must carry `key`).
     fail_after_units: test hook — simulate a crash after N unit commits.
+    unit_batch_size: units per Spark job/commit.  1 = finest resume
+    granularity but one source scan per unit — fine as a control plane for
+    tens of units; when n_units grows into the hundreds+, raise the batch
+    size so scan count stays n_units/batch (each batch is ONE job filtering
+    `unit_id IN (...)`, committed atomically, lineage still tagged per
+    row-derived unit so resume granularity is unchanged on re-read).
     Returns {'processed': [...], 'skipped': [...], 'snapshot_id': ...}.
     """
     meta = catalog.current_snapshot(input_table)
@@ -82,16 +89,22 @@ def run_with_resume(
         if r["unit_id"] not in done
     )
     processed = []
-    for i, unit in enumerate(todo):
-        if fail_after_units is not None and i >= fail_after_units:
-            raise RuntimeError(f"simulated crash before unit {unit}")
-        out = transform(src.where(F.col("unit_id") == unit)).withColumns(
+    batch = max(1, unit_batch_size)
+    for b0 in range(0, len(todo), batch):
+        if fail_after_units is not None and len(processed) >= fail_after_units:
+            raise RuntimeError(f"simulated crash before unit {todo[b0]}")
+        units = todo[b0: b0 + batch]
+        in_list = ", ".join(str(u) for u in units)
+        subset = src.where(F.expr(f"unit_id IN ({in_list})"))
+        out = transform(subset).withColumns(
             {
-                "unit_id": F.lit(unit),
+                # derive from the key, not a literal: rows in a multi-unit
+                # batch carry their own unit's lineage
+                "unit_id": F.expr(f"pmod(xxhash64({key}), {n_units})"),
                 "input_snapshot_id": F.lit(snap),
                 "run_tag": F.lit(run_tag),
             }
         )
         catalog.commit(out, output_table, mode="append")
-        processed.append(unit)
+        processed.extend(units)
     return {"processed": processed, "skipped": sorted(done), "snapshot_id": snap}

@@ -36,12 +36,29 @@ DOCUMENTS = T.StructType(
 # ---------------------------------------------------------------------------
 TAGS = T.MapType(T.StringType(), T.StringType())
 
+# OSM audit attributes (Node.java:71-101; shared by way/relation).  The
+# reference never *consumes* them (SURVEY P1) but carries them on every
+# element; the engine carries them as one nullable struct so arbitrary OSM
+# round-trips preserve them.  Unconsumed, the JSON-expression optimizer
+# prunes them out of from_json — zero cost on the hot paths.
+AUDIT = T.StructType(
+    [
+        T.StructField("user", T.StringType(), True),
+        T.StructField("uid", T.LongType(), True),
+        T.StructField("visible", T.BooleanType(), True),
+        T.StructField("version", T.LongType(), True),
+        T.StructField("changeset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampNTZType(), True),  # ISO-8601, no zone
+    ]
+)
+
 NODES = T.StructType(
     [
         T.StructField("node_id", T.LongType(), False),
         T.StructField("lat", T.DoubleType(), False),   # ∈ [-90, 90]  (OSMSchema.xsd:35-40)
         T.StructField("lon", T.DoubleType(), False),   # ∈ [-180, 180]
         T.StructField("tags", TAGS, True),
+        T.StructField("audit", AUDIT, True),
     ]
 )
 
@@ -51,6 +68,7 @@ WAYS = T.StructType(
         # ordered; 2..2000 per XSD (OSMSchema.xsd:50); order is semantic (ring winding)
         T.StructField("nd_refs", T.ArrayType(T.LongType()), False),
         T.StructField("tags", TAGS, True),
+        T.StructField("audit", AUDIT, True),
     ]
 )
 
@@ -67,6 +85,7 @@ RELATIONS = T.StructType(
         T.StructField("rel_id", T.LongType(), False),
         T.StructField("members", T.ArrayType(MEMBER), False),
         T.StructField("tags", TAGS, True),
+        T.StructField("audit", AUDIT, True),
     ]
 )
 
@@ -77,6 +96,7 @@ NODE_PAYLOAD = T.StructType(
         T.StructField("lat", T.DoubleType()),
         T.StructField("lon", T.DoubleType()),
         T.StructField("tags", TAGS),
+        T.StructField("audit", AUDIT),
     ]
 )
 WAY_PAYLOAD = T.StructType(
@@ -84,6 +104,7 @@ WAY_PAYLOAD = T.StructType(
         T.StructField("id", T.LongType()),
         T.StructField("nd_refs", T.ArrayType(T.LongType())),
         T.StructField("tags", TAGS),
+        T.StructField("audit", AUDIT),
     ]
 )
 RELATION_PAYLOAD = T.StructType(
@@ -91,6 +112,7 @@ RELATION_PAYLOAD = T.StructType(
         T.StructField("id", T.LongType()),
         T.StructField("members", T.ArrayType(MEMBER)),
         T.StructField("tags", TAGS),
+        T.StructField("audit", AUDIT),
     ]
 )
 

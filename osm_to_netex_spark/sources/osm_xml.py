@@ -17,12 +17,28 @@ _TAG_ARR = T.ArrayType(
     T.StructType([T.StructField("_k", T.StringType()), T.StructField("_v", T.StringType())])
 )
 
+# audit attributes on every element (Node.java:71-101); carried, never consumed
+_AUDIT_FIELDS = [
+    T.StructField("_user", T.StringType()),
+    T.StructField("_uid", T.LongType()),
+    T.StructField("_visible", T.BooleanType()),
+    T.StructField("_version", T.LongType()),
+    T.StructField("_changeset", T.LongType()),
+    T.StructField("_timestamp", T.StringType()),
+]
+_AUDIT_EXPR = (
+    "named_struct('user', _user, 'uid', _uid, 'visible', _visible, "
+    "'version', _version, 'changeset', _changeset, "
+    "'timestamp', cast(_timestamp as timestamp_ntz))"
+)
+
 _NODE_XML = T.StructType(
     [
         T.StructField("_id", T.LongType()),
         T.StructField("_lat", T.DoubleType()),
         T.StructField("_lon", T.DoubleType()),
         T.StructField("tag", _TAG_ARR),
+        *_AUDIT_FIELDS,
     ]
 )
 _WAY_XML = T.StructType(
@@ -30,6 +46,7 @@ _WAY_XML = T.StructType(
         T.StructField("_id", T.LongType()),
         T.StructField("nd", T.ArrayType(T.StructType([T.StructField("_ref", T.LongType())]))),
         T.StructField("tag", _TAG_ARR),
+        *_AUDIT_FIELDS,
     ]
 )
 _REL_XML = T.StructType(
@@ -48,6 +65,7 @@ _REL_XML = T.StructType(
             ),
         ),
         T.StructField("tag", _TAG_ARR),
+        *_AUDIT_FIELDS,
     ]
 )
 
@@ -67,6 +85,7 @@ def read_osm_nodes(spark: SparkSession, path: str) -> DataFrame:
         F.col("_lat").alias("lat"),
         F.col("_lon").alias("lon"),
         F.expr(_TAGS_EXPR).alias("tags"),
+        F.expr(_AUDIT_EXPR).alias("audit"),
     )
 
 
@@ -76,6 +95,7 @@ def read_osm_ways(spark: SparkSession, path: str) -> DataFrame:
         F.col("_id").alias("way_id"),
         F.expr("transform(nd, x -> x._ref)").alias("nd_refs"),
         F.expr(_TAGS_EXPR).alias("tags"),
+        F.expr(_AUDIT_EXPR).alias("audit"),
     )
 
 
@@ -88,6 +108,7 @@ def read_osm_relations(spark: SparkSession, path: str) -> DataFrame:
             "'type', m._type, 'ref', m._ref, 'role', m._role))"
         ).alias("members"),
         F.expr(_TAGS_EXPR).alias("tags"),
+        F.expr(_AUDIT_EXPR).alias("audit"),
     )
 
 

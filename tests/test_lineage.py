@@ -77,3 +77,26 @@ def test_unit_assignment_partitioning_invariant(spark, catalog):
         for r in lineage.with_unit_id(df.repartition(17), 8).collect()
     }
     assert a == b
+
+
+def test_batched_units_equivalent_and_resumable(spark, catalog):
+    """unit_batch_size>1 = one Spark job per batch (scan count n_units/batch)
+    with identical output and per-row unit lineage derived from the key."""
+    _seed_input(spark, catalog)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lineage.run_with_resume(
+            catalog, "docs_in", "docs_out", _transform, n_units=6,
+            unit_batch_size=2, fail_after_units=2,
+        )
+    partial = catalog.read("docs_out")
+    assert {r.unit_id for r in partial.select("unit_id").distinct().collect()} == set(
+        partial.selectExpr("pmod(xxhash64(doc_id), 6) as u").distinct().toPandas()["u"]
+    )
+    r = lineage.run_with_resume(
+        catalog, "docs_in", "docs_out", _transform, n_units=6, unit_batch_size=4
+    )
+    assert len(r["processed"]) == 4 and len(r["skipped"]) == 2
+    out = catalog.read("docs_out")
+    assert out.count() == 100
+    assert out.groupBy("doc_id").count().where("count > 1").count() == 0
+    assert out.where("unit_id != pmod(xxhash64(doc_id), 6)").count() == 0
