@@ -160,14 +160,16 @@ def _flagship_subprocess_body(cores: int, corpus_path: str, warm_path: str, n_ru
     spark.stop()
 
 
-def run_flagship_at(cores: int, n_docs: int, corpus_path: str, warm_path: str) -> dict:
+def _measure_times(cores: int, corpus_path: str, warm_path: str,
+                   n_runs: int | None = None) -> list[float]:
+    """Run the pinned flagship subprocess; return raw per-run seconds."""
     import subprocess
 
     code = (
         "import sys; sys.path.insert(0, {root!r}); import bench; "
-        "bench._flagship_subprocess_body({cores}, {cp!r}, {wp!r})"
+        "bench._flagship_subprocess_body({cores}, {cp!r}, {wp!r}, n_runs={nr})"
     ).format(root=os.path.dirname(os.path.abspath(__file__)), cores=cores,
-             cp=corpus_path, wp=warm_path)
+             cp=corpus_path, wp=warm_path, nr=n_runs or N_RUNS)
     cmd = [sys.executable, "-c", code]
     if PIN_CPUS:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
@@ -179,6 +181,10 @@ def run_flagship_at(cores: int, n_docs: int, corpus_path: str, warm_path: str) -
     ]
     if not times:
         raise RuntimeError(f"flagship subprocess failed: {res.stdout[-500:]} {res.stderr[-2000:]}")
+    return times
+
+
+def _stats(times: list[float], n_docs: int) -> dict:
     # the sandbox VM suffers intermittent host-side slowdowns of 5-15x.
     # MEDIAN over repeated runs is the headline (honest steady state); MIN is
     # kept as the best-case indicator (true capability when the host-side
@@ -193,6 +199,10 @@ def run_flagship_at(cores: int, n_docs: int, corpus_path: str, warm_path: str) -
         "secs_min": round(dt_min, 3),
         "docs_per_sec_best": round(n_docs / dt_min, 1),
     }
+
+
+def run_flagship_at(cores: int, n_docs: int, corpus_path: str, warm_path: str) -> dict:
+    return _stats(_measure_times(cores, corpus_path, warm_path), n_docs)
 
 
 def main():
@@ -263,8 +273,20 @@ def main():
             prep = get_spark(cores=CPUS, extra_conf={"spark.ui.showConsoleProgress": "false"})
             prepare_corpus(prep, s_corpus, n_docs=s_docs, n_points=int(s_docs * 0.6))
             prep.stop()
-        r_lo = run_flagship_at(lo, s_docs, s_corpus, warm_path)
-        r_hi = run_flagship_at(hi, s_docs, s_corpus, warm_path)
+        # INTERLEAVED sampling: the host's multi-minute noise windows would
+        # otherwise hit one parallelism level and not the other (lo and hi
+        # measured many minutes apart), swinging the efficiency ratio both
+        # ways; alternating lo/hi rounds spreads any window across both
+        # levels before the medians are taken
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+        per_rep = max(2, N_RUNS // reps)
+        lo_times: list[float] = []
+        hi_times: list[float] = []
+        for _ in range(reps):
+            lo_times += _measure_times(lo, s_corpus, warm_path, n_runs=per_rep)
+            hi_times += _measure_times(hi, s_corpus, warm_path, n_runs=per_rep)
+        r_lo = _stats(lo_times, s_docs)
+        r_hi = _stats(hi_times, s_docs)
         eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
         scaling = {
             "cores_lo": lo,

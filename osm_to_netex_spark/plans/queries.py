@@ -436,6 +436,98 @@ def q_embed_near_dup_oracle(dim: int = 64) -> str:
         where a.vec_id < b.vec_id and round({cos}, 6) >= 0.35"""
 
 
+def q_polyfill_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tight quad covering (bbox cover filtered to center-inside OR
+    edge-overlap cells — functions.geo.quad_cover_refined): the 2-5x
+    fan-out reduction used by the PIP index, verified cell-for-cell."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(
+        f"select zone_id, explode({geo.quad_cover_refined('pos_list', 9, SPARK)}) as cell "
+        f"from geo_polys"
+    )
+
+
+def q_polyfill_refined_oracle() -> str:
+    return (
+        f"{duck_geometry_ctes()} "
+        f"select zone_id, unnest({geo.quad_cover_refined('pos_list', 9, DUCK)}) as cell "
+        f"from geo_polys"
+    )
+
+
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: per-cell point counts at res 9 aggregated to the
+    parent cells at res 8 and 7 via the strict cell hierarchy (quad_parent) —
+    the hypertable-rollup pattern: coarse tiles are aggregations of fine
+    tiles, never a re-scan of the points."""
+    register_geometry_views(spark, sf_dir)
+    ctes, sel = _rollup_parts(SPARK)
+    return spark.sql(f"with {ctes} {sel}")
+
+
+def _rollup_parts(d: str) -> tuple[str, str]:
+    c9 = geo.quad_cell("lat", "lon", 12, d)
+    p8 = geo.quad_parent("c9", 12, d)
+    p7 = geo.quad_parent("p8", 11, d)
+    ctes = f"""c as (select {c9} as c9 from geo_points),
+        f9 as (select 12 as res, c9 as cell, count(*) as n_points from c group by c9),
+        f8 as (select 11 as res, p8 as cell, count(*) as n_points
+               from (select {p8} as p8 from c) t group by p8),
+        f7 as (select 10 as res, p7 as cell, count(*) as n_points
+               from (select {p7} as p7 from (select {p8} as p8 from c) t) t2 group by p7)"""
+    sel = "select * from f9 union all select * from f8 union all select * from f7"
+    return ctes, sel
+
+
+def q_cell_rollup_oracle() -> str:
+    ctes, sel = _rollup_parts(DUCK)
+    return f"{duck_geometry_ctes()}, {ctes} {sel}"
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) — the classic training-data /
+    clickstream operator: lag + cumulative sum over one per-user window
+    partition, no self-join.  Ties broken by event_id for determinism."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_sessionize_sql(SPARK))
+
+
+def _sessionize_sql(d: str) -> str:
+    # fractional epoch seconds: micros/1e6 in BOTH engines — bit-identical
+    # doubles, immune to timestamp->string formatting differences and free of
+    # any session-timezone dependence (ts is NTZ; timestampdiff is tz-free)
+    ep = (
+        (lambda c: f"(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {c}) / 1.0e6)")
+        if d == SPARK
+        else (lambda c: f"epoch({c})")
+    )
+    gap = f"{ep('ts')} - {ep('lag(ts) over w')}"
+    return f"""
+        with flagged as (
+            select user_id, event_id, ts, value,
+                   case when ({gap}) is null or ({gap}) > 1800 then 1 else 0 end as brk
+            from events
+            window w as (partition by user_id order by ts asc, event_id asc)
+        ),
+        sessioned as (
+            select user_id, event_id, ts, value,
+                   sum(brk) over (partition by user_id order by ts asc, event_id asc
+                                  rows between unbounded preceding and current row) as session_idx
+            from flagged
+        )
+        select user_id, session_idx,
+               count(*) as n_events,
+               round(sum(value), 6) as sum_value,
+               round({ep('min(ts)')}, 6) as session_start,
+               round({ep('max(ts)')}, 6) as session_end
+        from sessioned group by user_id, session_idx"""
+
+
+def q_events_sessionize_oracle() -> str:
+    return _sessionize_sql(DUCK)
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed/sessionized analytics over the events stream table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -650,6 +742,9 @@ QUERIES = {
     "embedding_near_dup": (q_embed_near_dup, q_embed_near_dup_oracle),
     "ngram_jaccard": (q_ngram_jaccard, q_ngram_jaccard_oracle),
     "events_window": (q_events_window, q_events_window_oracle),
+    "polyfill_refined": (q_polyfill_refined, q_polyfill_refined_oracle),
+    "cell_rollup": (q_cell_rollup, q_cell_rollup_oracle),
+    "events_sessionize": (q_events_sessionize, q_events_sessionize_oracle),
 }
 
 # conversion-pipeline queries (documents fixture → zones/groups/tiles/metrics),
