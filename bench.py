@@ -226,6 +226,8 @@ def main():
         "textstats",
         "embedding_topk",
         "events_window",
+        "cell_rollup",
+        "events_sessionize",
     ]
     timings = {}
     for name in bench_queries:
