@@ -88,23 +88,31 @@ def build_flagship(spark, corpus_path: str):
     corpus = docs_src.read_documents(spark, corpus_path)
     nodes = extract.extract_nodes(corpus)
 
-    cells = " ^ ".join(
-        [geo.hex_cell("lat", "lon", r, SPARK) for r in (7, 8, 9)]
-        + [geo.quad_cell("lat", "lon", r, SPARK) for r in (7, 8, 9)]
-    )
+    # hex cells via the staged-intermediate builder (the inline expression
+    # tree duplicates the cube-rounding subtrees — ~40% slower, same values);
+    # quad stays inline (small tree).  The observation aggregates the staged
+    # columns, which are then dropped before the PIP probe projection.
+    staged, hex_cols = geo.hex_cells_staged(nodes, "lat", "lon", (7, 8, 9))
+    for r in (7, 8, 9):
+        staged = staged.withColumn(f"__quadc{r}", F.expr(geo.quad_cell("lat", "lon", r, SPARK)))
+    cells = " ^ ".join(hex_cols + [f"__quadc{r}" for r in (7, 8, 9)])
     obs = Observation("tiles")
-    nodes_obs = nodes.observe(
+    nodes_obs = staged.observe(
         obs,
         F.expr(f"bit_xor({cells})").alias("chk"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).drop(*hex_cols, "__quadc7", "__quadc8", "__quadc9")
 
     ways = extract.extract_ways(corpus)
     # ways (zones) are the dimension; the node table is corpus-sized —
-    # broadcast the exploded way refs, stream the nodes.  The assembled
-    # polygon set (the PIP build side) is itself tiny and lands in a
-    # broadcast exchange, so it is materialized exactly once per run.
-    asm = assemble.assemble_poslist(ways, nodes, strict=False, broadcast_ways=True)
+    # broadcast the exploded way refs, stream the nodes.  The join side
+    # parses ONLY (id, lat, lon): the optimizer does not reliably prune the
+    # map-typed tags field out of from_json, and parsing 5M tag maps costs
+    # ~2x the coordinate parse.  The assembled polygon set (the PIP build
+    # side) is itself tiny and lands in a broadcast exchange.
+    asm = assemble.assemble_poslist(
+        ways, extract.extract_node_coords(corpus), strict=False, broadcast_ways=True
+    )
     polys = asm.selectExpr("cast(way_id as string) as zone_id", "pos_list")
     pts = nodes_obs.where(F.expr("tags['entity'] is not null")).select(
         F.expr("tags['id']").alias("point_id"), "lat", "lon"

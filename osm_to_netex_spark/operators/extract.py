@@ -40,6 +40,32 @@ def extract_nodes(documents: DataFrame) -> DataFrame:
     )
 
 
+def extract_node_coords(documents: DataFrame) -> DataFrame:
+    """nodes(node_id, lat, lon) only — for consumers that never touch tags
+    (the J2 assembly join side).  Parsing the tags map for corpus-sized node
+    tables costs ~2x the coordinate parse; the optimizer's JSON-schema
+    pruning does not reliably drop map-typed fields, so the slim schema is
+    explicit here."""
+    import pyspark.sql.types as T
+
+    slim = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lon", T.DoubleType()),
+        ]
+    )
+    return (
+        _spans(documents, "osm_node")
+        .select("doc_id", F.from_json("payload", slim).alias("n"))
+        .select(
+            F.col("n.id").alias("node_id"),
+            F.col("n.lat").alias("lat"),
+            F.col("n.lon").alias("lon"),
+        )
+    )
+
+
 def extract_ways(documents: DataFrame) -> DataFrame:
     """ways(way_id, nd_refs, tags, doc_id) from osm_way spans; nd order kept."""
     return (

@@ -26,11 +26,18 @@ def assign_point_cells(
     resolutions: tuple[int, ...] = (7, 8, 9),
     scheme: str = "hex",
 ) -> DataFrame:
-    """Add cell_r{res} columns for each resolution (single projection, no shuffle)."""
-    fn = geo.hex_cell if scheme == "hex" else geo.quad_cell
+    """Add cell_r{res} columns for each resolution (projection only, no
+    shuffle).  Hex goes through the staged-intermediate builder — the inline
+    expression tree duplicates the cube-rounding subtrees and measures ~40%
+    slower (functions.geo.hex_cells_staged)."""
+    if scheme == "hex":
+        out, names = geo.hex_cells_staged(points, lat, lon, resolutions)
+        for r, n in zip(resolutions, names):
+            out = out.withColumnRenamed(n, f"cell_r{r}")
+        return out
     out = points
     for r in resolutions:
-        out = out.withColumn(f"cell_r{r}", F.expr(fn(lat, lon, r, SPARK)))
+        out = out.withColumn(f"cell_r{r}", F.expr(geo.quad_cell(lat, lon, r, SPARK)))
     return out
 
 

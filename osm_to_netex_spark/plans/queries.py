@@ -122,13 +122,18 @@ def dist2(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
 # queries — each returns a Spark DataFrame builder + matching oracle SQL
 # ---------------------------------------------------------------------------
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point cell-assign at res 7/8/9, hex + quad (north-rule headline)."""
+    """Point cell-assign at res 7/8/9, hex + quad (north-rule headline).
+
+    Hex cells go through the staged-intermediate builder (same values as the
+    inline oracle formula, ~40% less compute — geo.hex_cells_staged)."""
     register_geometry_views(spark, sf_dir)
-    exprs = []
-    for r in (7, 8, 9):
-        exprs.append(f"{geo.hex_cell('lat', 'lon', r, SPARK)} as hex_r{r}")
-        exprs.append(f"{geo.quad_cell('lat', 'lon', r, SPARK)} as quad_r{r}")
-    return spark.sql(f"select point_id, {', '.join(exprs)} from geo_points")
+    pts = spark.table("geo_points")
+    staged, hex_cols = geo.hex_cells_staged(pts, "lat", "lon", (7, 8, 9))
+    cols = ["point_id"]
+    for r, h in zip((7, 8, 9), hex_cols):
+        cols.append(f"{h} as hex_r{r}")
+        cols.append(f"{geo.quad_cell('lat', 'lon', r, SPARK)} as quad_r{r}")
+    return staged.selectExpr(*cols)
 
 
 def q_tile_assign_oracle() -> str:
