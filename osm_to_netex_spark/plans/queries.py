@@ -835,8 +835,44 @@ def q_streaming_stateful_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window sessions over a replayed event stream (availableNow,
+    complete mode): the streaming twin of the oracled events_sessionize.
+    Rows-only: Structured Streaming state machinery has no SQL oracle, but
+    tests pin stream==batch equality (test_streaming.py)."""
+    import tempfile
+
+    from ..streaming import stream as st
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="graft_sess_")
+    ev.repartition(5).write.mode("overwrite").parquet(f"{tmp}/src")
+    stream_df = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/src")
+    )
+    sess = st.streaming_cell_sessions(stream_df, gap="30 minutes", watermark="365 days")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("q_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_sessions").selectExpr(
+        "user_id",
+        "cast(session_start as string) as session_start",
+        "cast(session_end as string) as session_end",
+        "n_events",
+        "sum_value",
+    )
+
+
 ROWS_ONLY = {
     "media_pipeline": q_media_pipeline,
+    "streaming_sessions": q_streaming_sessions,
     "streaming_tiles": q_streaming_tiles,
     "streaming_stateful_hll": q_streaming_stateful_hll,
 }

@@ -83,3 +83,37 @@ def streaming_cell_counts(assigned: DataFrame) -> DataFrame:
         .groupBy(F.window("ingest_ts", "1 minute"), F.col("quad_cell"))
         .agg(F.approx_count_distinct("doc_id").alias("n_docs"))
     )
+
+
+def streaming_cell_sessions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-window aggregation per (user, cell): dynamic-length sessions
+    that close after ``gap`` of inactivity — the streaming twin of the batch
+    ``events_sessionize`` query, expressed with the built-in session_window
+    (state bounded by the watermark, sessions merge as late rows arrive).
+
+    Works identically on a batch DataFrame (session_window is supported in
+    both modes), which is what the stream==batch equivalence test pins.
+    """
+    # event-time watermarks require TIMESTAMP (LTZ); source tables carry NTZ.
+    # The cast uses the session timezone identically in stream and batch.
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

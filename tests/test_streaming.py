@@ -120,3 +120,37 @@ def test_stateful_hll_partitioning_invariant(spark, corpus, tmp_path):
         )
         finals.append({r.quad_cell: (r.n_rows, r.n_docs_est) for r in final.collect()})
     assert finals[0] == finals[1]
+
+
+def test_stream_session_windows_match_batch(spark, tmp_path):
+    """session_window sessions computed over a finite stream (availableNow,
+    complete mode) equal the same aggregation run as one batch job — the
+    dynamic-gap stateful operator gives identical sessions either way."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev_src")
+    ev.repartition(5).write.mode("overwrite").parquet(src)
+
+    # files arrive in arbitrary event-time order, so the watermark must
+    # exceed the corpus's full time span for a finite replay — otherwise
+    # rows in later micro-batches are "late" and their sessions cannot
+    # merge with already-finalized state
+    st = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    sess = stream.streaming_cell_sessions(st, gap="30 minutes", watermark="90 days")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        for r in spark.table("sess_test").collect()
+    }
+    batch = stream.streaming_cell_sessions(spark.read.parquet(src), gap="30 minutes", watermark="90 days")
+    expect = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == expect and len(got) > 50
