@@ -533,6 +533,54 @@ def q_events_sessionize_oracle() -> str:
     return _sessionize_sql(DUCK)
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets analytics: ROLLUP (event_type, day) with grand totals —
+    partial aggregation handles every grouping set in one shuffle (Catalyst
+    Expand + HashAggregate), no per-level re-scan."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_rollup_events_sql(SPARK))
+
+
+def _rollup_events_sql(d: str) -> str:
+    day = "cast(date_trunc('day', ts) as date)"
+    return f"""
+        select coalesce(event_type, '<all>') as event_type,
+               coalesce(cast({day} as string), '<all>') as day,
+               count(*) as n_events,
+               round(sum(value), 6) as sum_value,
+               count(distinct user_id) as n_users
+        from events
+        group by rollup (event_type, {day})"""
+
+
+def q_events_rollup_oracle() -> str:
+    return _rollup_events_sql(DUCK)
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p50/p90/p99 of value per event_type) —
+    Spark's exact `percentile` and DuckDB's `quantile_cont` both use linear
+    interpolation between closest ranks, so the values agree bit-for-bit
+    after rounding."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ],
+    )
+
+
+def q_events_quantiles_oracle() -> str:
+    qs = ", ".join(
+        f"round(quantile_cont(value, {q}), 6) as p{int(q * 100)}"
+        for q in (0.5, 0.9, 0.99)
+    )
+    return f"select event_type, count(*) as n, {qs} from events group by event_type"
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed/sessionized analytics over the events stream table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -750,6 +798,8 @@ QUERIES = {
     "polyfill_refined": (q_polyfill_refined, q_polyfill_refined_oracle),
     "cell_rollup": (q_cell_rollup, q_cell_rollup_oracle),
     "events_sessionize": (q_events_sessionize, q_events_sessionize_oracle),
+    "events_rollup": (q_events_rollup, q_events_rollup_oracle),
+    "events_quantiles": (q_events_quantiles, q_events_quantiles_oracle),
 }
 
 # conversion-pipeline queries (documents fixture → zones/groups/tiles/metrics),

@@ -147,3 +147,21 @@ def test_cell_index_partitioning(spark, geo_fixture):
     idx = tiling.cell_index(zdf, "zone_id", res=8, scheme="quad")
     assert idx.count() > 0
     assert set(idx.columns) == {"zone_id", "cell"}
+
+
+def test_staged_hex_cells_equal_inline(spark, geo_fixture):
+    """The staged-intermediate hex builder must produce bit-identical cells
+    to the inline formula (the oracle's form) at every resolution."""
+    from osm_to_netex_spark.functions import geo as G
+    from osm_to_netex_spark.functions.portable import SPARK as SD
+
+    _, pts = geo_fixture
+    staged = tiling.assign_point_cells(pts, resolutions=(7, 8, 9, 12), scheme="hex")
+    check = staged
+    for r in (7, 8, 9, 12):
+        check = check.withColumn(f"ref_r{r}", F.expr(G.hex_cell("lat", "lon", r, SD)))
+    bad = check.where(
+        " OR ".join(f"cell_r{r} != ref_r{r}" for r in (7, 8, 9, 12))
+    ).count()
+    assert bad == 0
+    assert staged.count() == pts.count()
