@@ -64,20 +64,32 @@ def prepare_corpus(spark, path: str, n_docs=N_DOCS, n_zones=N_ZONES, n_points=N_
 
 def build_flagship(spark, corpus_path: str):
     """Stored corpus → extract → tile-assign (res 7-9) + assemble → PIP,
-    declared as ONE DataFrame action.
+    declared as ONE DataFrame action over ONE node scan.
 
-    The tile-assign checksum rides the SAME node scan that feeds the PIP
-    probe side, as a CollectMetrics observation placed BEFORE the
-    stop-point filter — so every node's six cells (hex+quad, res 7-9) are
-    computed and bit_xor-folded in that pass, and the dedicated tile scan
-    of round 1 is gone.  Corpus passes per run: nodes(PIP+tiles),
-    nodes(assembly join side), ways — 3, down from 4.  A bare count()
-    would let Catalyst prune the cell expressions; the checksum forces
-    them (bit_xor, not sum: packed cell ids overflow a sum).
+    The node side is parsed exactly once, with the slim struct schema
+    (id, lat, lon, tags.entity, tags.id — the JSON reader skips every other
+    tag key instead of materializing the full map), and persisted at
+    MEMORY_AND_DISK; both node consumers — the assembly join side and the
+    PIP probe side — read the cached parse.  The tile-assign checksum rides
+    that same single pass as a CollectMetrics observation placed BEFORE the
+    stop-point filter, so every node's six cells (hex+quad, res 7-9) are
+    computed and bit_xor-folded during cache materialization.  Corpus
+    passes per run: nodes (once, cached) + ways — 2, down from 3 in the
+    round-2 shape and 4 in round 1.  A bare count() would let Catalyst
+    prune the cell expressions; the checksum forces them (bit_xor, not
+    sum: packed cell ids overflow a sum).
 
-    Returns (result_df, observation); collect the df, then read the
-    observation.
+    Scale note (10^12 docs): the cached projection is ~40 B/node —
+    disk-backed distributed storage a 1000-executor cluster absorbs — and
+    replaces a second full corpus scan + JSON parse, which is strictly
+    more I/O.  Hex cells come from the staged-intermediate builder (the
+    inline expression tree duplicates the cube-rounding subtrees — ~40%
+    slower, same values); quad stays inline (small tree).
+
+    Returns (result_df, observation, cached_nodes); collect the df, then
+    read the observation, then unpersist the cache handle.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Observation, functions as F
 
     from osm_to_netex_spark.functions import geo
@@ -86,50 +98,47 @@ def build_flagship(spark, corpus_path: str):
     from osm_to_netex_spark.sources import documents as docs_src
 
     corpus = docs_src.read_documents(spark, corpus_path)
-    nodes = extract.extract_nodes(corpus)
+    nodes = extract.extract_nodes_slim(corpus, tag_fields=("entity", "id"))
 
-    # hex cells via the staged-intermediate builder (the inline expression
-    # tree duplicates the cube-rounding subtrees — ~40% slower, same values);
-    # quad stays inline (small tree).  The observation aggregates the staged
-    # columns, which are then dropped before the PIP probe projection.
     staged, hex_cols = geo.hex_cells_staged(nodes, "lat", "lon", (7, 8, 9))
     for r in (7, 8, 9):
         staged = staged.withColumn(f"__quadc{r}", F.expr(geo.quad_cell("lat", "lon", r, SPARK)))
     cells = " ^ ".join(hex_cols + [f"__quadc{r}" for r in (7, 8, 9)])
     obs = Observation("tiles")
-    nodes_obs = staged.observe(
-        obs,
-        F.expr(f"bit_xor({cells})").alias("chk"),
-        F.count(F.lit(1)).alias("n"),
-    ).drop(*hex_cols, "__quadc7", "__quadc8", "__quadc9")
+    cached = (
+        staged.observe(
+            obs,
+            F.expr(f"bit_xor({cells})").alias("chk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .drop(*hex_cols, "__quadc7", "__quadc8", "__quadc9")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     ways = extract.extract_ways(corpus)
     # ways (zones) are the dimension; the node table is corpus-sized —
-    # broadcast the exploded way refs, stream the nodes.  The join side
-    # parses ONLY (id, lat, lon): the optimizer does not reliably prune the
-    # map-typed tags field out of from_json, and parsing 5M tag maps costs
-    # ~2x the coordinate parse.  The assembled polygon set (the PIP build
-    # side) is itself tiny and lands in a broadcast exchange.
-    asm = assemble.assemble_poslist(
-        ways, extract.extract_node_coords(corpus), strict=False, broadcast_ways=True
-    )
+    # broadcast the exploded way refs, stream the (cached) nodes.  The
+    # assembled polygon set (the PIP build side) is itself tiny and lands
+    # in a broadcast exchange.
+    asm = assemble.assemble_poslist(ways, cached, strict=False, broadcast_ways=True)
     polys = asm.selectExpr("cast(way_id as string) as zone_id", "pos_list")
-    pts = nodes_obs.where(F.expr("tags['entity'] is not null")).select(
-        F.expr("tags['id']").alias("point_id"), "lat", "lon"
+    pts = cached.where(F.col("entity").isNotNull()).select(
+        F.col("tag_id").alias("point_id"), "lat", "lon"
     )
     bound = pip.bind_points_to_polygons(pts, polys, res=12, scheme="quad")
     pip_stats = bound.agg(
         F.lit("pip").alias("phase"), F.lit(0).cast("long").alias("chk"), F.count("*").alias("n")
     )
-    return pip_stats, obs
+    return pip_stats, obs, cached
 
 
 def flagship(spark, corpus_path: str) -> int:
     """Build + execute in one call (tests / compatibility path)."""
-    df, obs = build_flagship(spark, corpus_path)
+    df, obs, cached = build_flagship(spark, corpus_path)
     rows = df.collect()
     tiles = obs.get  # blocks until the action above finished; forces the cells
     assert tiles["n"] > 0 and tiles["chk"] is not None
+    cached.unpersist()
     return sum(r["n"] for r in rows) + tiles["n"]
 
 

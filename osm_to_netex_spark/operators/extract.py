@@ -66,6 +66,47 @@ def extract_node_coords(documents: DataFrame) -> DataFrame:
     )
 
 
+def extract_nodes_slim(documents: DataFrame, tag_fields: tuple[str, ...] = ()) -> DataFrame:
+    """nodes(node_id, lat, lon, <tag_fields…>) — the middle ground between
+    ``extract_node_coords`` (no tags at all) and ``extract_nodes`` (full
+    ``map<string,string>`` tags): consumers that need a FIXED set of tag
+    keys get them parsed as struct fields, so the JSON reader skips every
+    other key instead of materializing the whole map (~2x cheaper on
+    tag-heavy corpora).  Requested tag columns are named after the key,
+    except ``id`` → ``tag_id`` (collides with the node id)."""
+    import pyspark.sql.types as T
+
+    slim = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lon", T.DoubleType()),
+        ]
+        + (
+            [
+                T.StructField(
+                    "tags",
+                    T.StructType([T.StructField(k, T.StringType()) for k in tag_fields]),
+                )
+            ]
+            if tag_fields
+            else []
+        )
+    )
+    out_cols = [
+        F.col("n.id").alias("node_id"),
+        F.col("n.lat").alias("lat"),
+        F.col("n.lon").alias("lon"),
+    ] + [
+        F.col(f"n.tags.{k}").alias("tag_id" if k == "id" else k) for k in tag_fields
+    ]
+    return (
+        _spans(documents, "osm_node")
+        .select("doc_id", F.from_json("payload", slim).alias("n"))
+        .select(*out_cols)
+    )
+
+
 def extract_ways(documents: DataFrame) -> DataFrame:
     """ways(way_id, nd_refs, tags, doc_id) from osm_way spans; nd order kept."""
     return (

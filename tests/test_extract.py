@@ -20,6 +20,19 @@ def test_extraction_counts(spark, corpus):
     assert nodes.count() == n_vert
 
 
+def test_nodes_slim_matches_full_parse(spark, corpus):
+    """Slim struct parse (fixed tag keys, no map) == full map parse."""
+    full = extract.extract_nodes(corpus).select(
+        "node_id", "lat", "lon",
+        F.expr("tags['entity']").alias("entity"),
+        F.expr("tags['id']").alias("tag_id"),
+    )
+    slim = extract.extract_nodes_slim(corpus, tag_fields=("entity", "id"))
+    assert slim.columns == ["node_id", "lat", "lon", "entity", "tag_id"]
+    assert full.exceptAll(slim).count() == 0
+    assert slim.exceptAll(full).count() == 0
+
+
 def test_span_invariant_roundtrip(spark, corpus, tmp_path):
     """(kind, text, media_ref, order) survives a write/read/repartition cycle."""
     p = str(tmp_path / "docs")

@@ -124,9 +124,10 @@ def test_flagship_observation_covers_all_nodes(spark, tmp_path):
 
     path = str(tmp_path / "flag")
     bench.prepare_corpus(spark, path, n_docs=2000, n_zones=40, n_points=1200)
-    df, obs = bench.build_flagship(spark, path)
+    df, obs, cached = bench.build_flagship(spark, path)
     rows = df.collect()
     n_nodes = extract.extract_nodes(docs_src.read_documents(spark, path)).count()
     assert obs.get["n"] == n_nodes
     assert obs.get["chk"] is not None
+    cached.unpersist()
     assert rows[0]["n"] > 0  # PIP found matches
