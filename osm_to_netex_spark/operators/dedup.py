@@ -365,3 +365,78 @@ def embedding_near_dup(
         .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"), "cos")
     )
     return _attach_cached(out, [sig])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(doc_id, component) for every vertex of the pair graph; component =
+    min vertex id reachable from the vertex.  Turns near-dup PAIRS into
+    dedup GROUPS (keep the component representative, drop the rest) — the
+    step that makes the pair-finders actionable at corpus scale.
+
+    Alternating large-star / small-star (the DataFrame form of Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    reimplemented from the paper's algorithm statement, no code):
+
+    * large-star: every node points its STRICTLY LARGER neighbors at the
+      minimum of its closed neighborhood;
+    * small-star: every node points its not-larger neighbors (and itself)
+      at that minimum.
+
+    Each half-round is one groupBy (min per node) + one join back to the
+    adjacency — two shuffles, no driver-side vertex data; the paper proves
+    O(log n) rounds to a forest of stars rooted at each component's min.
+    Real near-dup clusters are dense and finish in 2-3 rounds.  The edge
+    multiset is distinct-ed and localCheckpoint-ed per round, so the plan
+    depth and the shuffle volume both stay bounded; convergence is an edge
+    multiset fixpoint (count + order-free checksum — both already computed
+    by one tiny agg on the checkpointed frame).  Skewed high-degree roots
+    (one giant dup cluster) are exactly the AQE skew-join / salting case
+    documented in operators/skew.py.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.least(F.min("b"), F.col("a")).alias("m"))
+        joined = sym.join(mins, "a")
+        kept = joined.where(F.col("b") > F.col("a")) if large else (
+            joined.where(F.col("b") <= F.col("a"))
+        )
+        out = kept.select(F.col("b").alias("a"), F.col("m").alias("b"))
+        if not large:
+            out = out.union(mins.select(F.col("a"), F.col("m").alias("b")))
+        return out.where(F.col("a") != F.col("b")).distinct()
+
+    def fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("chk"),
+        ).collect()[0]
+        return row["n"], row["chk"]
+
+    fp = fingerprint(edges)
+    for _ in range(max_rounds):
+        edges = star(star(edges, large=True), large=False).localCheckpoint(eager=True)
+        nfp = fingerprint(edges)
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+    # converged: every edge is (v, component_min) with v > min; roots close over
+    roots = edges.select(F.col("b").alias("doc_id")).distinct()
+    return (
+        edges.select(F.col("a").alias("doc_id"), F.col("b").alias("component"))
+        .union(roots.withColumn("component", F.col("doc_id")))
+    )

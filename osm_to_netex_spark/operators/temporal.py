@@ -1,0 +1,91 @@
+"""Temporal operators: as-of (point-in-time) join.
+
+The classic formulation is a range self-join (`l JOIN r ON key AND r.ts <=
+l.ts` + keep max r.ts) — quadratic within key/time skew and un-broadcastable
+at corpus scale.  This implementation is the merge form: UNION the two
+sides, ONE window per key ordered by (ts, side, tiebreak...), and carry the
+right side's payload forward with `last(..., ignorenulls=True)`.  One
+shuffle on the key, per-key sort, zero joins — the plan a 1000-executor
+cluster wants (Structured Streaming's stream-stream interval join is the
+streaming analogue; this is the batch shape).
+
+Reference parity: the reference has no temporal surface; this belongs to
+the training-data/event-analytics tier (events table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    strict: bool = False,
+    right_order_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Attach, to every left row, the payload of the most recent right row
+    with ``right.ts <= left.ts`` (``<`` when strict) for the same key(s).
+
+    * left rows with no earlier right row get nulls (left-outer semantics);
+    * equal-ts right rows are visible to the left row iff not strict;
+    * among right candidates with identical (key, ts), the greatest by
+      ``right_order_cols`` wins (pass e.g. an id column for determinism —
+      without it, ties are data-dependent like any unordered SQL).
+
+    Payload columns land as ``{prefix}{col}``.  The payload travels as ONE
+    struct so a right row whose payload field is null cannot be patched
+    column-wise from an older row.
+    """
+    if ts_col not in left.columns or ts_col not in right.columns:
+        raise ValueError(f"both sides need ts column {ts_col!r}")
+    order_extra = right_order_cols or []
+
+    # side marker orders equal-ts rows: for <= the right row must sort
+    # BEFORE the left row (visible), for < strictly AFTER (invisible).
+    right_side, left_side = (1, 0) if strict else (0, 1)
+
+    payload_t = right.select(
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__p")
+    ).schema["__p"].dataType
+
+    l = left.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(left_side).alias("__side"),
+        F.lit(None).cast(payload_t).alias("__p"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__o_{c}")
+            for c in order_extra
+        ],
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+    )
+    r = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(right_side).alias("__side"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__p"),
+        *[F.col(c).alias(f"__o_{c}") for c in order_extra],
+        F.lit(None).cast(l.schema["__row"].dataType).alias("__row"),
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("__side").asc(),
+            *[F.col(f"__o_{c}").asc_nulls_first() for c in order_extra],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn(
+        "__asof", F.last("__p", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(f"__row.{c}").alias(c) for c in left.columns] + [
+        F.col(f"__asof.{c}").alias(f"{prefix}{c}") for c in payload_cols
+    ]
+    return carried.where(F.col("__row").isNotNull()).select(*out_cols)

@@ -18,8 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import geo, text as tx
-from ..functions.portable import DUCK, SPARK, concat_str, flit, phash60
-from ..operators import dedup, textstats
+from ..functions.portable import DUCK, SPARK, concat_str, flit, phash60, prand
+from ..operators import dedup, sampling, textstats
 
 BBOX = (59.4, 60.2, 9.6, 10.6)
 LAT_LO, LAT_HI, LON_LO, LON_HI = BBOX
@@ -776,6 +776,106 @@ def q_embed_topk_ivf_oracle() -> str:
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dedup GROUPS: MinHash-LSH pairs fed through the
+    alternating-star connected-components operator; component = min doc_id
+    reachable.  The oracle replays reachability with a recursive CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, n_perm=16, bands=4, jaccard_threshold=0.4)
+    out = dedup.connected_components(pairs)  # eagerly checkpoints the edge set
+    dedup.unpersist_intermediates(pairs)
+    return out
+
+
+def q_dedup_groups_oracle() -> str:
+    pairs_sql = q_minhash_pairs_oracle()
+    return f"""
+        with recursive pairs as (select doc_a, doc_b from ({pairs_sql}) tp),
+        edges as (
+            select doc_a as a, doc_b as b from pairs
+            union
+            select doc_b as a, doc_a as b from pairs
+        ),
+        reach(v, l) as (
+            select a, a from edges
+            union
+            select e.a, r.l from edges e join reach r on r.v = e.b
+        )
+        select v as doc_id, min(l) as component from reach group by v
+    """
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — every doc, hash-ranged."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.assign_split(docs).select("doc_id", "split")
+
+
+def q_corpus_split_oracle() -> str:
+    return (
+        f"select doc_id, {sampling.split_expr('doc_id', sampling.DEFAULT_SPLITS, DUCK)} "
+        f"as split from documents"
+    )
+
+
+_STRATA_BANDS = "(CASE WHEN length(text) < 400 THEN 'short' WHEN length(text) < 800 THEN 'mid' ELSE 'long' END)"
+_STRATA_FRACTIONS = {"short": 0.5, "mid": 0.2, "long": 0.05}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample (length bands)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    banded = docs.withColumn("band", F.expr(_STRATA_BANDS))
+    return sampling.stratified_sample(banded, "band", _STRATA_FRACTIONS).select(
+        "doc_id", "band"
+    )
+
+
+def q_stratified_sample_oracle() -> str:
+    u = prand(concat_str(["'samp:'", "doc_id"], DUCK), DUCK)
+    frac = (
+        "(CASE band WHEN 'short' THEN 0.5e0 WHEN 'mid' THEN 0.2e0 ELSE 0.05e0 END)"
+    )
+    return f"""
+        select doc_id, band from (
+            select doc_id, {_STRATA_BANDS} as band from documents
+        ) t where {u} < {frac}
+    """
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click annotated with the user's most recent
+    prior-or-equal view (merge form: union + one window, zero joins).  The
+    oracle is DuckDB's native ASOF JOIN — an independent algorithm."""
+    from ..operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value")
+    out = temporal.asof_join(
+        clicks, views, keys=["user_id"], ts_col="ts",
+        payload_cols=["event_id", "value"], right_order_cols=["event_id"],
+    )
+    # null-free projection: driver/oracle canonicalizers compare value
+    # tuples where NaN != NaN, so left-outer misses use sentinels
+    return out.selectExpr(
+        "event_id", "user_id",
+        "coalesce(asof_event_id, -1) as asof_event_id",
+        "coalesce(asof_value, -1.0e0) as asof_value",
+    )
+
+
+def q_events_asof_oracle() -> str:
+    return """
+        select c.event_id, c.user_id,
+               coalesce(v.event_id, -1) as asof_event_id,
+               coalesce(v.value, -1.0e0) as asof_value
+        from (select event_id, user_id, ts from events where event_type = 'click') c
+        asof left join (select event_id, user_id, ts, value from events where event_type = 'view') v
+          on c.user_id = v.user_id and c.ts >= v.ts
+    """
+
+
 QUERIES = {
     "tile_assign": (q_tile_assign, q_tile_assign_oracle),
     "polyfill": (q_polyfill, q_polyfill_oracle),
@@ -800,6 +900,10 @@ QUERIES = {
     "events_sessionize": (q_events_sessionize, q_events_sessionize_oracle),
     "events_rollup": (q_events_rollup, q_events_rollup_oracle),
     "events_quantiles": (q_events_quantiles, q_events_quantiles_oracle),
+    "dedup_groups": (q_dedup_groups, q_dedup_groups_oracle),
+    "events_asof": (q_events_asof, q_events_asof_oracle),
+    "corpus_split": (q_corpus_split, q_corpus_split_oracle),
+    "stratified_sample": (q_stratified_sample, q_stratified_sample_oracle),
 }
 
 # conversion-pipeline queries (documents fixture → zones/groups/tiles/metrics),

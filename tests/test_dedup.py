@@ -189,3 +189,75 @@ def test_fingerprint_stable_under_partitioning(spark, docs):
         for r in textstats.text_stats(docs.repartition(13)).collect()
     }
     assert a == b
+
+
+def test_connected_components_known_graph(spark):
+    """Hand-built graph: two chains + a triangle + an isolated pair."""
+    pairs = spark.createDataFrame(
+        [
+            ("d", "b"), ("b", "c"), ("c", "a"),      # chain → component a
+            ("x", "y"), ("y", "z"), ("x", "z"),      # triangle → component x
+            ("q", "p"),                               # pair → component p
+        ],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        (r["doc_id"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"), ("z", "x"),
+        ("p", "p"), ("q", "p"),
+    }
+
+
+def test_connected_components_long_path(spark):
+    """A 64-node path — worst case for round count; must converge and label
+    every node with the path minimum."""
+    n = 64
+    ids = [f"v{i:03d}" for i in range(n)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    rows = dedup.connected_components(pairs).collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {"v000"}
+
+
+def test_connected_components_partition_invariant(spark):
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d")], ["doc_a", "doc_b"]
+    )
+    one = dedup.connected_components(pairs.coalesce(1)).collect()
+    many = dedup.connected_components(pairs.repartition(7)).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_stratified_split_deterministic(spark, docs):
+    from osm_to_netex_spark.operators import sampling
+
+    a = sampling.assign_split(docs).select("doc_id", "split")
+    b = sampling.assign_split(docs.repartition(13)).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    frac = dict(
+        a.groupBy("split").count().collect()
+    )
+    # weights are honored within binomial noise on the fixture corpus
+    total = sum(v for v in frac.values())
+    assert frac.get("train", 0) / total > 0.8
+
+
+def test_stratified_sample_subset_and_deterministic(spark, docs):
+    from osm_to_netex_spark.operators import sampling
+
+    banded = docs.withColumn(
+        "band", F.expr("CASE WHEN length(text) < 400 THEN 'short' ELSE 'long' END")
+    )
+    s1 = sampling.stratified_sample(banded, "band", {"short": 0.5, "long": 0.1})
+    s2 = sampling.stratified_sample(banded.repartition(9), "band", {"short": 0.5, "long": 0.1})
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    assert s1.count() < banded.count()
+    # unlisted strata default to dropped
+    s3 = sampling.stratified_sample(banded, "band", {"short": 0.5})
+    assert s3.where(F.col("band") == "long").count() == 0

@@ -105,3 +105,55 @@ def test_streaming_tiles_matches_batch(spark):
         .agg(F.countDistinct("doc_id").alias("n_docs"))
     )
     assert rows == {r.quad_cell: r.n_docs for r in batch.collect()}
+
+
+def test_asof_join_semantics(spark):
+    """Merge-form as-of join: <= visibility, left-outer nulls, strict mode."""
+    from osm_to_netex_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 20), (3, "u", 5), (4, "w", 50)],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(100, "u", 10, 1.0), (101, "u", 15, 2.0), (102, "v", 1, 9.0)],
+        ["rid", "k", "ts", "val"],
+    )
+    out = {
+        r["id"]: (r["asof_rid"], r["asof_val"])
+        for r in temporal.asof_join(
+            left, right, keys=["k"], ts_col="ts",
+            payload_cols=["rid", "val"], right_order_cols=["rid"],
+        ).collect()
+    }
+    assert out[1] == (100, 1.0)      # equal ts visible (<=)
+    assert out[2] == (101, 2.0)      # most recent prior
+    assert out[3] == (None, None)    # nothing at or before ts=5
+    assert out[4] == (None, None)    # no right rows for key w
+    strict = {
+        r["id"]: r["asof_rid"]
+        for r in temporal.asof_join(
+            left, right, keys=["k"], ts_col="ts",
+            payload_cols=["rid", "val"], strict=True,
+            right_order_cols=["rid"],
+        ).collect()
+    }
+    assert strict[1] is None         # equal ts invisible (<)
+    assert strict[2] == 101
+
+
+def test_asof_join_payload_row_atomic(spark):
+    """A right row with a NULL payload field must not be patched from an
+    older right row column-wise."""
+    from osm_to_netex_spark.operators import temporal
+
+    left = spark.createDataFrame([(1, "u", 30)], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [(100, "u", 10, 7.0), (101, "u", 20, None)],
+        ["rid", "k", "ts", "val"],
+    )
+    row = temporal.asof_join(
+        left, right, keys=["k"], ts_col="ts",
+        payload_cols=["rid", "val"], right_order_cols=["rid"],
+    ).collect()[0]
+    assert row["asof_rid"] == 101 and row["asof_val"] is None
