@@ -204,6 +204,22 @@ def q_pip_oracle() -> str:
     )
 
 
+def q_pip_celljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same PIP binding through the NON-broadcast strategy
+    (broadcast_polygons=False): shuffled cell equi-join against the
+    classified polygon index — the plan used when the polygon set outgrows
+    the broadcast threshold at the 100 TB design point.  Oracle identical
+    to `pip`; agreement proves strategy-independence of the result."""
+    from ..operators import pip
+
+    register_geometry_views(spark, sf_dir)
+    pts = spark.table("geo_points")
+    polys = spark.table("geo_polys")
+    return pip.bind_points_to_polygons(
+        pts, polys, res=12, scheme="quad", broadcast_polygons=False
+    )
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN (k=3): every 10th point (quay) → 3 nearest other points (stops),
     equirect-squared metric.
@@ -881,6 +897,7 @@ QUERIES = {
     "polyfill": (q_polyfill, q_polyfill_oracle),
     "kring": (q_kring, q_kring_oracle),
     "pip": (q_pip, q_pip_oracle),
+    "pip_celljoin": (q_pip_celljoin, q_pip_oracle),
     "knn": (q_knn, q_knn_oracle),
     "raster_zonal": (q_raster_zonal, q_raster_zonal_oracle),
     "assemble_poslist": (q_assemble, q_assemble_oracle),

@@ -165,3 +165,33 @@ def test_staged_hex_cells_equal_inline(spark, geo_fixture):
     ).count()
     assert bad == 0
     assert staged.count() == pts.count()
+
+
+def test_pip_cell_join_strategy_no_broadcast_same_rows(spark, geo_fixture):
+    """broadcast_polygons=False must produce the same binding through a
+    shuffled cell equi-join, with no static BroadcastExchange/hint on the
+    polygon index (the 100 TB path when the index outgrows broadcast)."""
+    import contextlib
+    import io
+
+    # clean inputs (the shared fixture's assembly plan carries its own
+    # broadcast hint on the way side, which is not what's under test)
+    zdf = spark.createDataFrame(
+        [("z1", [0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0])],
+        ["zone_id", "pos_list"],
+    )
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 2.0, 2.0), (3, 0.25, 0.75)],
+        ["point_id", "lat", "lon"],
+    )
+    bcast = pip.bind_points_to_polygons(pts, zdf, res=8, broadcast_polygons=True)
+    shuf = pip.bind_points_to_polygons(pts, zdf, res=8, broadcast_polygons=False)
+    assert set(map(tuple, bcast.collect())) == set(map(tuple, shuf.collect())) == {
+        (1, "z1"), (3, "z1")
+    }
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        shuf.explain("extended")
+    logical = buf.getvalue().lower().split("== physical plan ==")[0]
+    assert "broadcast" not in logical
