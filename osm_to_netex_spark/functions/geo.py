@@ -366,6 +366,64 @@ def hex_cover_bbox(pl: str, res: int, d: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# vector zone statistics (shoelace area, centroid, perimeter over pos_list)
+# ---------------------------------------------------------------------------
+def _edge_sum(pl: str, term: str, d: str) -> str:
+    """Fold `term` (in edge index i: vertices i and i+1, 1-based) over the
+    closed ring — same left-to-right IEEE summation order both dialects."""
+    npts = _intdiv(size(pl, d), "2", d)
+    return reduce_(seq("1", f"({npts} - 1)", d), "0.0e0", "acc", "i", f"acc + {term}", d)
+
+
+def _edge_vertices(pl: str, d: str) -> tuple[str, str, str, str]:
+    yi = element_at(pl, "2*i - 1", d)
+    xi = element_at(pl, "2*i", d)
+    yj = element_at(pl, "2*i + 1", d)
+    xj = element_at(pl, "2*i + 2", d)
+    return yi, xi, yj, xj
+
+
+def poly_cross_sum(pl: str, d: str) -> str:
+    """Signed shoelace sum Σ (x_i·y_{i+1} − x_{i+1}·y_i) (= 2·signed area);
+    x = lon, y = lat, planar equirectangular — engine-defined deg² metric
+    like everything else in this module."""
+    yi, xi, yj, xj = _edge_vertices(pl, d)
+    return _edge_sum(pl, f"(({xi}) * ({yj}) - ({xj}) * ({yi}))", d)
+
+
+def poly_area(pl: str, d: str) -> str:
+    """Unsigned planar polygon area in deg² (shoelace / 2)."""
+    return f"(abs({poly_cross_sum(pl, d)}) / 2.0e0)"
+
+
+def poly_centroid_lon(pl: str, d: str) -> str:
+    """Polygon centroid x (lon): Σ (x_i+x_{i+1})·cross_i / (3·cross_sum);
+    null for degenerate zero-area rings."""
+    yi, xi, yj, xj = _edge_vertices(pl, d)
+    cross = f"(({xi}) * ({yj}) - ({xj}) * ({yi}))"
+    num = _edge_sum(pl, f"((({xi}) + ({xj})) * {cross})", d)
+    return f"({num} / nullif(3.0e0 * {poly_cross_sum(pl, d)}, 0.0e0))"
+
+
+def poly_centroid_lat(pl: str, d: str) -> str:
+    yi, xi, yj, xj = _edge_vertices(pl, d)
+    cross = f"(({xi}) * ({yj}) - ({xj}) * ({yi}))"
+    num = _edge_sum(pl, f"((({yi}) + ({yj})) * {cross})", d)
+    return f"({num} / nullif(3.0e0 * {poly_cross_sum(pl, d)}, 0.0e0))"
+
+
+def poly_perimeter_deg(pl: str, d: str) -> str:
+    """Planar ring perimeter in degrees (Σ edge lengths, sqrt is
+    correctly-rounded IEEE in both engines)."""
+    yi, xi, yj, xj = _edge_vertices(pl, d)
+    e2 = (
+        f"((({yj}) - ({yi})) * (({yj}) - ({yi})) + "
+        f"(({xj}) - ({xi})) * (({xj}) - ({xi})))"
+    )
+    return _edge_sum(pl, f"sqrt({e2})", d)
+
+
+# ---------------------------------------------------------------------------
 # point-in-polygon (ray casting over packed pos_list)
 # ---------------------------------------------------------------------------
 def point_in_polygon(lat: str, lon: str, pl: str, d: str) -> str:

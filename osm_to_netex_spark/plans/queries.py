@@ -859,6 +859,83 @@ def q_stratified_sample_oracle() -> str:
     """
 
 
+def q_zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector zonal statistics: shoelace area, centroid, perimeter, vertex
+    count per polygon — pure projection (scan-parallel at any scale), one
+    formula source for both dialects."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(
+        "select zone_id, "
+        f"cast(size(pos_list) / 2 - 1 as bigint) as n_vertices, "
+        f"round({geo.poly_area('pos_list', SPARK)}, 9) as area_deg2, "
+        f"round({geo.poly_centroid_lat('pos_list', SPARK)}, 9) as centroid_lat, "
+        f"round({geo.poly_centroid_lon('pos_list', SPARK)}, 9) as centroid_lon, "
+        f"round({geo.poly_perimeter_deg('pos_list', SPARK)}, 9) as perimeter_deg "
+        "from geo_polys"
+    )
+
+
+def q_zone_stats_oracle() -> str:
+    return (
+        f"{duck_geometry_ctes()} select zone_id, "
+        f"cast(len(pos_list) / 2 - 1 as bigint) as n_vertices, "
+        f"round({geo.poly_area('pos_list', DUCK)}, 9) as area_deg2, "
+        f"round({geo.poly_centroid_lat('pos_list', DUCK)}, 9) as centroid_lat, "
+        f"round({geo.poly_centroid_lon('pos_list', DUCK)}, 9) as centroid_lon, "
+        f"round({geo.poly_perimeter_deg('pos_list', DUCK)}, 9) as perimeter_deg "
+        "from geo_polys"
+    )
+
+
+def _hll_distinct_sql(d: str) -> str:
+    """Batch HLL distinct-users per event_type, next to the exact count.
+
+    The Σ 2^-M_j harmonic sum is kept in INTEGERS (Σ 2^(53-M_j), ≤ 2^60)
+    so it is order-free under any partitioning — float summation of the
+    dyadic terms would round differently per accumulation order.  The only
+    float op is the final division."""
+    from ..functions import sketch
+
+    reg = sketch.hll_register("user_id", d)
+    rho = sketch.hll_rho("user_id", d)
+    term = (
+        f"shiftleft(cast(1 as bigint), 53 - m)" if d == SPARK
+        else f"(cast(1 as bigint) << (53 - m))"
+    )
+    numer = sketch.ALPHA_256 * sketch.M_REGISTERS * sketch.M_REGISTERS * float(2**53)
+    return f"""
+        with regs as (
+            select event_type, {reg} as j, max({rho}) as m
+            from events group by event_type, {reg}
+        ),
+        sums as (
+            select event_type,
+                   cast(count(*) as bigint) as n_hit,
+                   sum({term}) as s_int
+            from regs group by event_type
+        ),
+        exact as (
+            select event_type, cast(count(distinct user_id) as bigint) as exact_distinct
+            from events group by event_type
+        )
+        select s.event_type as event_type, s.n_hit as n_registers_hit,
+               round({numer!r} / cast(s.s_int + ({sketch.M_REGISTERS} - s.n_hit) * cast({2**53} as bigint) as double), 6) as hll_estimate,
+               e.exact_distinct as exact_distinct
+        from sums s join exact e on s.event_type = e.event_type
+    """
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch HLL sketch (m=256 registers as ROWS — one map-side-combined
+    groupBy, mergeable by construction) beside the exact distinct count."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_hll_distinct_sql(SPARK))
+
+
+def q_hll_distinct_oracle() -> str:
+    return _hll_distinct_sql(DUCK)
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every click annotated with the user's most recent
     prior-or-equal view (merge form: union + one window, zero joins).  The
@@ -919,6 +996,8 @@ QUERIES = {
     "events_quantiles": (q_events_quantiles, q_events_quantiles_oracle),
     "dedup_groups": (q_dedup_groups, q_dedup_groups_oracle),
     "events_asof": (q_events_asof, q_events_asof_oracle),
+    "zone_stats": (q_zone_stats, q_zone_stats_oracle),
+    "hll_distinct": (q_hll_distinct, q_hll_distinct_oracle),
     "corpus_split": (q_corpus_split, q_corpus_split_oracle),
     "stratified_sample": (q_stratified_sample, q_stratified_sample_oracle),
 }

@@ -165,3 +165,61 @@ def test_haversine_sanity(spark):
         f"select {geo.haversine_m('59.9139e0', '10.7522e0', '60.3913e0', '5.3221e0', 'spark')} as d"
     ).collect()[0].d
     assert 300_000 < d < 310_000
+
+
+def test_poly_stats_known_square(spark):
+    """Unit square ring: area 1, centroid (.5,.5), perimeter 4."""
+    from osm_to_netex_spark.functions import geo
+    from osm_to_netex_spark.functions.portable import SPARK
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0],)], ["pos_list"]
+    )
+    row = df.selectExpr(
+        f"{geo.poly_area('pos_list', SPARK)} as a",
+        f"{geo.poly_centroid_lat('pos_list', SPARK)} as cy",
+        f"{geo.poly_centroid_lon('pos_list', SPARK)} as cx",
+        f"{geo.poly_perimeter_deg('pos_list', SPARK)} as p",
+    ).collect()[0]
+    assert row["a"] == 1.0 and row["p"] == 4.0
+    assert row["cy"] == 0.5 and row["cx"] == 0.5
+
+
+def test_poly_stats_degenerate_ring_null_centroid(spark):
+    from osm_to_netex_spark.functions import geo
+    from osm_to_netex_spark.functions.portable import SPARK
+
+    df = spark.createDataFrame(
+        [([2.0, 3.0, 2.0, 3.0, 2.0, 3.0, 2.0, 3.0],)], ["pos_list"]
+    )
+    row = df.selectExpr(
+        f"{geo.poly_area('pos_list', SPARK)} as a",
+        f"{geo.poly_centroid_lat('pos_list', SPARK)} as cy",
+    ).collect()[0]
+    assert row["a"] == 0.0 and row["cy"] is None
+
+
+def test_hll_estimate_accuracy_and_partition_invariance(spark):
+    """m=256 → relative standard error ~6.5%; assert within 4 sigma, and the
+    integer harmonic sum makes the estimate partitioning-independent."""
+    from osm_to_netex_spark.functions import sketch
+    from osm_to_netex_spark.functions.portable import SPARK as S
+
+    n = 5000
+    df = spark.range(n).selectExpr("cast(id % 1700 as string) as k")
+
+    def est(frame):
+        regs = frame.selectExpr(
+            f"{sketch.hll_register('k', S)} as j", f"{sketch.hll_rho('k', S)} as rho"
+        ).groupBy("j").agg(F.max("rho").alias("m"))
+        row = regs.selectExpr(
+            "count(*) as n_hit",
+            "sum(shiftleft(cast(1 as bigint), 53 - m)) as s_int",
+        ).collect()[0]
+        total = row["s_int"] + (sketch.M_REGISTERS - row["n_hit"]) * 2**53
+        return sketch.ALPHA_256 * sketch.M_REGISTERS**2 * float(2**53) / total
+
+    e1 = est(df.coalesce(1))
+    e2 = est(df.repartition(17))
+    assert e1 == e2  # bit-identical across partitionings
+    assert abs(e1 - 1700) / 1700 < 0.26  # 4 x RSE(m=256)
