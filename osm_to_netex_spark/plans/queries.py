@@ -93,10 +93,19 @@ def polys_sql(d: str, table: str = "supplier") -> str:
 
 
 def register_geometry_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the testdata tables + derived geometry as temp views.
+
+    Memoized per (session, sf_dir): every query builder calls this, and the
+    6 parquet schema reads cost ~0.8 s per call — pure setup, not engine
+    work.  Temp views are session-scoped, so the memo rides the session
+    object; a different sf_dir re-registers (views are replaced)."""
+    if getattr(spark, "_graft_geo_views", None) == sf_dir:
+        return
     for name in ("customer", "supplier", "orders", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
     spark.sql(f"create or replace temp view geo_points as {points_sql(SPARK)}")
     spark.sql(f"create or replace temp view geo_polys as {polys_sql(SPARK)}")
+    spark._graft_geo_views = sf_dir
 
 
 def duck_geometry_ctes() -> str:
