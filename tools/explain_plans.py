@@ -66,6 +66,17 @@ CHECKS = {
     # documents→NeTEx conversion: span explode + JSON projection + J2 join +
     # ordered re-agg, all JVM-side (the whole reference pipeline, no Python)
     "convert_tariffzone": (["[codegen id", "Generate"], ["BatchEvalPython"]),
+    # the cell-join PIP strategy carries no broadcast HINT; at this sf the
+    # planner may still auto-broadcast the small side (size-based), so only
+    # the absence of Python/cartesian is asserted here — the no-hint property
+    # is pinned by tests/test_spatial_ops.py
+    "pip_celljoin": (["[codegen id"], ["BatchEvalPython", "CartesianProduct"]),
+    # merge-form as-of join: union + window — NO join node of any kind
+    "events_asof": (["Window"], ["Join", "BatchEvalPython"]),
+    "zone_stats": (["[codegen id"], ["BatchEvalPython", "CartesianProduct"]),
+    "hll_distinct": (["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
+    # hash-range split/sample: pure projection/filter — shuffle-free
+    "stratified_sample": (["[codegen id"], ["Exchange", "BatchEvalPython"]),
 }
 
 
