@@ -1067,6 +1067,43 @@ def q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over a replayed document stream
+    (dropDuplicatesWithinWatermark, availableNow, parquet sink + checkpoint).
+    ORACLE-GATED despite being a streaming query: the surviving content-hash
+    SET is arrival-order-independent, so `select distinct md5(text)` is an
+    exact batch oracle for the streamed result."""
+    import tempfile
+
+    from ..streaming import stream as st
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="graft_sdedup_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+    stream_df = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    deduped = st.streaming_dedup_exact(stream_df)
+    (
+        deduped.select("content_hash")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select("content_hash").distinct()
+
+
+def q_streaming_dedup_oracle() -> str:
+    return "select distinct md5(text) as content_hash from documents"
+
+
 def q_streaming_stateful_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-cell
     bounded-state HLL distinct-doc sketch, update-mode memory sink, availableNow.
@@ -1128,6 +1165,9 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
     )
 
+
+# oracle-gated despite streaming: output set is arrival-order-independent
+QUERIES["streaming_dedup"] = (q_streaming_dedup, q_streaming_dedup_oracle)
 
 ROWS_ONLY = {
     "media_pipeline": q_media_pipeline,

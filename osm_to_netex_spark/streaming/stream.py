@@ -117,3 +117,24 @@ def streaming_cell_sessions(
             "sum_value",
         )
     )
+
+
+def streaming_dedup_exact(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: emit the first-seen row per content hash and
+    drop duplicates that arrive within the watermark
+    (``dropDuplicatesWithinWatermark`` — keyed state-store entries with
+    event-time TTL).  Unlike plain ``dropDuplicates``, state is bounded by
+    watermark × arrival rate instead of growing with corpus lifetime — the
+    only viable shape at a 10^12-doc firehose; duplicates separated by more
+    than the watermark re-emit (the documented trade-off, downstream
+    compaction catches them)."""
+    hashed = stream_df.withColumn("ingest_ts", F.current_timestamp()).withColumn(
+        "content_hash", F.md5(F.col(text_col))
+    )
+    return hashed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )

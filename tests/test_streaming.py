@@ -154,3 +154,38 @@ def test_stream_session_windows_match_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == expect and len(got) > 50
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Duplicates split across files (one file per micro-batch) must be
+    dropped by the keyed state store, not just within-batch; the sink must
+    hold exactly one row per distinct text BEFORE any batch-side distinct."""
+    from osm_to_netex_spark.streaming import stream as st
+
+    texts = ["alpha", "beta", "gamma", "alpha", "beta", "delta"]
+    src = str(tmp_path / "src")
+    for i, t in enumerate(texts):  # one parquet file per doc
+        spark.createDataFrame([(i, t)], ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream_df = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (
+        st.streaming_dedup_exact(stream_df)
+        .select("doc_id", "text", "content_hash")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4  # alpha beta gamma delta — dups dropped
+    assert sorted({r["text"] for r in rows}) == ["alpha", "beta", "delta", "gamma"]
