@@ -89,3 +89,47 @@ def asof_join(
         F.col(f"__asof.{c}").alias(f"{prefix}{c}") for c in payload_cols
     ]
     return carried.where(F.col("__row").isNotNull()).select(*out_cols)
+
+
+def date_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_date: str,
+    start_date: str,
+    end_date: str,
+    bucket_days: int = 7,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join `points.d BETWEEN intervals.start AND intervals.end`, as a
+    bucketed EQUI-join + exact refine.
+
+    The naive formulation is a theta-join — Spark plans it as
+    BroadcastNestedLoop/cartesian, quadratic and un-shufflable.  Bucketing
+    days into `bucket_days`-wide buckets turns it into: point → one bucket;
+    interval → explode(sequence(start_bucket, end_bucket)) (fan-out
+    |interval|/bucket + 1); equi-join on bucket; refine with the exact
+    BETWEEN.  One hash-partitioned shuffle, AQE-splittable, fan-out
+    controlled by `bucket_days` (match it to the typical interval length).
+    """
+    p = points.withColumn(
+        "__b",
+        F.floor(F.datediff(F.col(point_date).cast("date"), F.lit("1970-01-01").cast("date")) / bucket_days),
+    )
+    iv = (
+        intervals.withColumn(
+            "__bs",
+            F.floor(F.datediff(F.col(start_date).cast("date"), F.lit("1970-01-01").cast("date")) / bucket_days),
+        )
+        .withColumn(
+            "__be",
+            F.floor(F.datediff(F.col(end_date).cast("date"), F.lit("1970-01-01").cast("date")) / bucket_days),
+        )
+        .withColumn("__b", F.explode(F.sequence("__bs", "__be")))
+        .drop("__bs", "__be")
+    )
+    refined = p.join(iv, "__b", how).where(
+        F.col(point_date).cast("date").between(
+            F.col(start_date).cast("date"), F.col(end_date).cast("date")
+        )
+    )
+    return refined.drop("__b")

@@ -101,7 +101,10 @@ def register_geometry_views(spark: SparkSession, sf_dir: str) -> None:
     object; a different sf_dir re-registers (views are replaced)."""
     if getattr(spark, "_graft_geo_views", None) == sf_dir:
         return
-    for name in ("customer", "supplier", "orders", "events", "documents", "embeddings"):
+    for name in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
     spark.sql(f"create or replace temp view geo_points as {points_sql(SPARK)}")
     spark.sql(f"create or replace temp view geo_polys as {polys_sql(SPARK)}")
@@ -868,6 +871,39 @@ def q_stratified_sample_oracle() -> str:
     """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date range join: per order, how many lineitems (of ANY order) shipped
+    within [o_orderdate, o_orderdate+7d] — bucketed equi-join + refine (the
+    scalable form); the oracle runs the naive BETWEEN theta-join."""
+    from ..operators import temporal
+
+    register_geometry_views(spark, sf_dir)
+    orders = spark.table("orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.date_add(F.col("o_orderdate").cast("date"), 7).alias("d1"),
+    )
+    items = spark.table("lineitem").select(F.col("l_shipdate").alias("sd"))
+    joined = temporal.date_interval_join(
+        items, orders, point_date="sd", start_date="d0", end_date="d1", bucket_days=7
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped_in_window")
+    )
+
+
+def q_range_join_oracle() -> str:
+    return """
+        select o.o_orderkey as o_orderkey,
+               cast(count(*) as bigint) as n_shipped_in_window
+        from orders o join lineitem l
+          on cast(l.l_shipdate as date)
+             between cast(o.o_orderdate as date)
+                 and cast(o.o_orderdate as date) + interval 7 day
+        group by o.o_orderkey
+    """
+
+
 def q_zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector zonal statistics: shoelace area, centroid, perimeter, vertex
     count per polygon — pure projection (scan-parallel at any scale), one
@@ -1006,6 +1042,7 @@ QUERIES = {
     "dedup_groups": (q_dedup_groups, q_dedup_groups_oracle),
     "events_asof": (q_events_asof, q_events_asof_oracle),
     "zone_stats": (q_zone_stats, q_zone_stats_oracle),
+    "range_join": (q_range_join, q_range_join_oracle),
     "hll_distinct": (q_hll_distinct, q_hll_distinct_oracle),
     "corpus_split": (q_corpus_split, q_corpus_split_oracle),
     "stratified_sample": (q_stratified_sample, q_stratified_sample_oracle),

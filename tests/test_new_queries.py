@@ -157,3 +157,29 @@ def test_asof_join_payload_row_atomic(spark):
         payload_cols=["rid", "val"], right_order_cols=["rid"],
     ).collect()[0]
     assert row["asof_rid"] == 101 and row["asof_val"] is None
+
+
+def test_date_interval_join_equals_naive(spark):
+    """Bucketed equi-join + refine must equal the naive BETWEEN theta-join,
+    including intervals spanning multiple buckets and boundary dates."""
+    from osm_to_netex_spark.operators import temporal
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-08"), (3, "2024-02-15"), (4, "2023-12-31")],
+        ["pid", "d"],
+    )
+    iv = spark.createDataFrame(
+        [
+            (10, "2024-01-01", "2024-01-08"),    # exactly bucket-width, both boundaries
+            (11, "2024-01-05", "2024-02-20"),    # spans many buckets
+            (12, "2024-03-01", "2024-03-02"),    # matches nothing
+        ],
+        ["iid", "s", "e"],
+    )
+    fast = temporal.date_interval_join(pts, iv, "d", "s", "e", bucket_days=7)
+    naive = pts.crossJoin(iv).where(
+        F.col("d").cast("date").between(F.col("s").cast("date"), F.col("e").cast("date"))
+    )
+    got = {(r["pid"], r["iid"]) for r in fast.collect()}
+    want = {(r["pid"], r["iid"]) for r in naive.collect()}
+    assert got == want == {(1, 10), (2, 10), (2, 11), (3, 11)}
