@@ -1014,6 +1014,49 @@ def q_events_asof_oracle() -> str:
     """
 
 
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-GATED slice of the multimodal pipeline: the mapInPandas decode
+    stub derives every scalar (format/width/height/n_frames) from sha256 of
+    the payload bytes, so a DuckDB SQL re-derivation is an exact independent
+    oracle for the Arrow-batched Python path (features stay rows-only in
+    media_pipeline — float32 numpy semantics are not SQL-expressible)."""
+    from ..operators import media
+    from .convert_queries import FIXTURE_CORPUS
+
+    corpus = spark.read.parquet(FIXTURE_CORPUS)
+    feats = media.decode_media(media.extract_media_refs(corpus))
+    frames = media.frame_sample(feats, every_n=2)
+    return (
+        feats.join(frames.groupBy("doc_id", "media_ref").count(), ["doc_id", "media_ref"])
+        .selectExpr(
+            "doc_id", "media_ref", "format", "width", "height", "n_frames",
+            "cast(count as bigint) as n_sampled_frames",
+        )
+    )
+
+
+def q_media_meta_oracle() -> str:
+    from .convert_queries import FIXTURE_CORPUS
+
+    byte = lambda i: f"cast(('0x' || substr(h, {2 * i + 1}, 2)) as int)"
+    return f"""
+        with m as (
+            select doc_id, span.media_ref as media_ref,
+                   sha256('blob:' || span.media_ref) as h
+            from (select doc_id, unnest(spans) as span
+                  from read_parquet('{FIXTURE_CORPUS}')) t
+            where span.kind = 'media'
+        )
+        select doc_id, media_ref,
+               (['jpeg', 'png', 'webp'])[{byte(0)} % 3 + 1] as format,
+               64 + ({byte(1)} % 16) * 32 as width,
+               64 + ({byte(2)} % 16) * 32 as height,
+               1 + {byte(3)} % 4 as n_frames,
+               cast((1 + {byte(3)} % 4 + 1) // 2 as bigint) as n_sampled_frames
+        from m
+    """
+
+
 QUERIES = {
     "tile_assign": (q_tile_assign, q_tile_assign_oracle),
     "polyfill": (q_polyfill, q_polyfill_oracle),
@@ -1043,6 +1086,7 @@ QUERIES = {
     "events_asof": (q_events_asof, q_events_asof_oracle),
     "zone_stats": (q_zone_stats, q_zone_stats_oracle),
     "range_join": (q_range_join, q_range_join_oracle),
+    "media_meta": (q_media_meta, q_media_meta_oracle),
     "hll_distinct": (q_hll_distinct, q_hll_distinct_oracle),
     "corpus_split": (q_corpus_split, q_corpus_split_oracle),
     "stratified_sample": (q_stratified_sample, q_stratified_sample_oracle),
