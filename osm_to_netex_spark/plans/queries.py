@@ -1122,19 +1122,20 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming path end to end: write the synthetic corpus as a
-    file-source stream, run the availableNow tile-assign query with a
-    checkpoint, then read the committed sink back and aggregate per cell.
-    Rows-only: result is deterministic (ingest_ts dropped); exercises the
-    real streaming machinery, not a batch stand-in."""
+    """Structured Streaming path end to end: replay the committed fixture
+    corpus as a file-source stream, run the availableNow tile-assign with a
+    checkpoint, read the committed sink back and aggregate per cell.
+    ORACLE-GATED: the per-cell index is arrival-order-independent, so a
+    DuckDB span-explode + cell-math re-derivation over the SAME fixture
+    parquet is an exact oracle for the streamed result."""
     import tempfile
 
-    from ..sources import documents as docs_src
     from ..streaming import stream as st
+    from .convert_queries import FIXTURE_CORPUS
 
     tmp = tempfile.mkdtemp(prefix="graft_stream_")
     src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
-    corpus = docs_src.synthesize_corpus(spark, n_docs=400, n_zones=16, n_groups=4, n_points=120)
+    corpus = spark.read.parquet(FIXTURE_CORPUS)
     corpus.repartition(8).write.mode("overwrite").parquet(src)
     assigned = st.streaming_tile_assign(st.read_document_stream(spark, src), res=8)
     st.run_stream_to_parquet(assigned, out, ckpt).awaitTermination()
@@ -1146,6 +1147,25 @@ def q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("hex_cell").alias("n_hex"),
         )
     )
+
+
+def q_streaming_tiles_oracle() -> str:
+    from .convert_queries import FIXTURE_CORPUS
+
+    return f"""
+        with nodes as (
+            select doc_id,
+                   cast(cast(span.text as json)->'$.lat' as double) as lat,
+                   cast(cast(span.text as json)->'$.lon' as double) as lon
+            from (select doc_id, unnest(spans) as span
+                  from read_parquet('{FIXTURE_CORPUS}')) t
+            where span.kind = 'osm_node'
+        )
+        select {geo.quad_cell('lat', 'lon', 8, DUCK)} as quad_cell,
+               cast(count(distinct doc_id) as bigint) as n_docs,
+               cast(count(distinct {geo.hex_cell('lat', 'lon', 8, DUCK)}) as bigint) as n_hex
+        from nodes group by 1
+    """
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1214,9 +1234,12 @@ def q_streaming_stateful_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window sessions over a replayed event stream (availableNow,
-    complete mode): the streaming twin of the oracled events_sessionize.
-    Rows-only: Structured Streaming state machinery has no SQL oracle, but
-    tests pin stream==batch equality (test_streaming.py)."""
+    complete mode): the streaming twin of events_sessionize.  ORACLE-GATED:
+    the session set is arrival-order-independent, so a DuckDB lag+cumsum
+    re-derivation (with session_window's >=gap break semantics and
+    end = last_ts + gap) is an exact batch oracle; timestamps compare as
+    fractional epoch seconds (session tz pinned UTC), immune to
+    timestamp-to-string formatting differences."""
     import tempfile
 
     from ..streaming import stream as st
@@ -1240,19 +1263,45 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return spark.table("q_sessions").selectExpr(
         "user_id",
-        "cast(session_start as string) as session_start",
-        "cast(session_end as string) as session_end",
+        "round(unix_micros(session_start) / 1.0e6, 6) as session_start",
+        "round(unix_micros(session_end) / 1.0e6, 6) as session_end",
         "n_events",
         "sum_value",
     )
 
 
+def q_streaming_sessions_oracle() -> str:
+    # session_window semantics: strict merge (break when gap >= 1800s);
+    # window end = last event + gap
+    g = "epoch(ts) - epoch(lag(ts) over w)"
+    return f"""
+        with flagged as (
+            select user_id, event_id, ts, value,
+                   case when ({g}) is null or ({g}) >= 1800 then 1 else 0 end as brk
+            from events
+            window w as (partition by user_id order by ts asc, event_id asc)
+        ),
+        sessioned as (
+            select user_id, ts, value,
+                   sum(brk) over (partition by user_id order by ts asc, event_id asc
+                                  rows between unbounded preceding and current row) as session_idx
+            from flagged
+        )
+        select user_id,
+               round(epoch(min(ts)), 6) as session_start,
+               round(epoch(max(ts)) + 1800, 6) as session_end,
+               cast(count(*) as bigint) as n_events,
+               round(sum(value), 6) as sum_value
+        from sessioned group by user_id, session_idx
+    """
+
+
 # oracle-gated despite streaming: output set is arrival-order-independent
 QUERIES["streaming_dedup"] = (q_streaming_dedup, q_streaming_dedup_oracle)
+QUERIES["streaming_sessions"] = (q_streaming_sessions, q_streaming_sessions_oracle)
+QUERIES["streaming_tiles"] = (q_streaming_tiles, q_streaming_tiles_oracle)
 
 ROWS_ONLY = {
     "media_pipeline": q_media_pipeline,
-    "streaming_sessions": q_streaming_sessions,
-    "streaming_tiles": q_streaming_tiles,
     "streaming_stateful_hll": q_streaming_stateful_hll,
 }

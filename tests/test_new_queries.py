@@ -95,9 +95,11 @@ def test_streaming_tiles_matches_batch(spark):
     from osm_to_netex_spark.functions.portable import SPARK
     from osm_to_netex_spark.operators import extract
 
-    corpus = docs_src.synthesize_corpus(
-        spark, n_docs=400, n_zones=16, n_groups=4, n_points=120
-    )
+    from osm_to_netex_spark.plans.convert_queries import FIXTURE_CORPUS
+
+    # the query streams the committed fixture corpus since it became
+    # oracle-gated; the batch side must read the same fixture
+    corpus = spark.read.parquet(FIXTURE_CORPUS)
     nodes = extract.extract_nodes(corpus)
     batch = (
         nodes.select("doc_id", F.expr(geo.quad_cell("lat", "lon", 8, SPARK)).alias("quad_cell"))
