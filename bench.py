@@ -245,6 +245,11 @@ def main():
         "events_window",
         "cell_rollup",
         "events_sessionize",
+        "events_asof",
+        "range_join",
+        "zone_stats",
+        "hll_distinct",
+        "stratified_sample",
     ]
     timings = {}
     for name in bench_queries:
