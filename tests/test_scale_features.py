@@ -131,3 +131,33 @@ def test_flagship_observation_covers_all_nodes(spark, tmp_path):
     assert obs.get["chk"] is not None
     cached.unpersist()
     assert rows[0]["n"] > 0  # PIP found matches
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed by the same key/count must join with no Exchange
+    on either side (the write-time shuffle is amortized over every later
+    join on that key)."""
+    import contextlib
+    import io
+
+    from osm_to_netex_spark.sources.catalog import write_bucketed
+
+    spark.sql("drop table if exists bkt_points")
+    spark.sql("drop table if exists bkt_index")
+    pts = spark.range(0, 1000).selectExpr("id", "id % 97 as cell_id", "rand(7) as v")
+    idx = spark.range(0, 97).selectExpr("id as cell_id", "concat('z', id) as zone")
+    write_bucketed(pts, "bkt_points", ["cell_id"], n_buckets=8, sort_cols=["cell_id"])
+    write_bucketed(idx, "bkt_index", ["cell_id"], n_buckets=8, sort_cols=["cell_id"])
+
+    joined = (
+        spark.table("bkt_points")
+        .hint("merge")  # force SMJ so the bucketing (not a broadcast) is what's tested
+        .join(spark.table("bkt_index"), "cell_id")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert joined.count() == 1000
