@@ -62,3 +62,20 @@ def hll_estimate(sum_col: str, d: str) -> str:
     """Raw HLL estimate from Σ 2^-M_j (`sum_col` already includes the
     2^0 = 1 contribution of every untouched register)."""
     return f"({ALPHA_256!r} * {M_REGISTERS} * {M_REGISTERS} / {sum_col})"
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (CMS) — frequency estimation, pure integer arithmetic
+# ---------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_bucket(x: str, depth_var: str, d: str) -> str:
+    """Register column for hash row `depth_var` (0..CMS_DEPTH-1): an
+    independent md5-keyed hash per row, bucketed to CMS_WIDTH.  Integer
+    end to end, so build and probe are bit-exact in any engine."""
+    from .portable import concat_str, phash60
+
+    key = concat_str(["'cms'", depth_var, "':'", x], d)
+    return f"({phash60(key, d)} % {CMS_WIDTH})"

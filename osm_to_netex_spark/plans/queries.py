@@ -981,6 +981,56 @@ def q_hll_distinct_oracle() -> str:
     return _hll_distinct_sql(DUCK)
 
 
+def _cms_sql(d: str) -> str:
+    """Count-min-sketch frequency estimates beside exact counts, per user.
+
+    Build: one shuffle — explode CMS_DEPTH hash rows per event, groupBy
+    (row, bucket) count.  The register table is DEPTH×WIDTH rows (1024) no
+    matter the corpus size, mergeable by addition, and integer end-to-end
+    (bit-exact oracle).  Probe: distinct users join their DEPTH registers,
+    estimate = min over rows (classic CMS overestimate bound)."""
+    from ..functions import sketch
+
+    b = sketch.cms_bucket("user_id", "i", d)
+    depths = (
+        f"lateral view explode(sequence(0, {sketch.CMS_DEPTH - 1})) t as i"
+        if d == SPARK
+        else f"cross join unnest(generate_series(0, {sketch.CMS_DEPTH - 1})) t(i)"
+    )
+    return f"""
+        with regs as (
+            select i, {b} as bucket, cast(count(*) as bigint) as c
+            from events {depths}
+            group by i, {b}
+        ),
+        probes as (
+            select user_id, i, {b} as bucket
+            from (select distinct user_id from events) u {depths}
+        ),
+        est as (
+            select p.user_id as user_id, min(r.c) as cms_est
+            from probes p join regs r on p.i = r.i and p.bucket = r.bucket
+            group by p.user_id
+        ),
+        exact as (
+            select user_id, cast(count(*) as bigint) as exact_n
+            from events group by user_id
+        )
+        select e.user_id as user_id, est.cms_est as cms_est, e.exact_n as exact_n
+        from exact e join est on e.user_id = est.user_id
+    """
+
+
+def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4×256 integer registers as rows) vs exact counts."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_cms_sql(SPARK))
+
+
+def q_cms_frequencies_oracle() -> str:
+    return _cms_sql(DUCK)
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every click annotated with the user's most recent
     prior-or-equal view (merge form: union + one window, zero joins).  The
@@ -1088,6 +1138,7 @@ QUERIES = {
     "range_join": (q_range_join, q_range_join_oracle),
     "media_meta": (q_media_meta, q_media_meta_oracle),
     "hll_distinct": (q_hll_distinct, q_hll_distinct_oracle),
+    "cms_frequencies": (q_cms_frequencies, q_cms_frequencies_oracle),
     "corpus_split": (q_corpus_split, q_corpus_split_oracle),
     "stratified_sample": (q_stratified_sample, q_stratified_sample_oracle),
 }

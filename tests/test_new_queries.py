@@ -185,3 +185,15 @@ def test_date_interval_join_equals_naive(spark):
     got = {(r["pid"], r["iid"]) for r in fast.collect()}
     want = {(r["pid"], r["iid"]) for r in naive.collect()}
     assert got == want == {(1, 10), (2, 10), (2, 11), (3, 11)}
+
+
+def test_cms_overestimates_and_bounds(spark):
+    """CMS property: estimate >= exact for every key, and error bounded in
+    practice on the fixture (4x256 registers, 10k events, ~150 users)."""
+    rows = Q.q_cms_frequencies(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_est"] >= r["exact_n"]
+    # with width 256 >> 150 users, most estimates are exact
+    exact_frac = sum(1 for r in rows if r["cms_est"] == r["exact_n"]) / len(rows)
+    assert exact_frac > 0.5
