@@ -1256,6 +1256,64 @@ def q_streaming_dedup_oracle() -> str:
     return "select distinct md5(text) as content_hash from documents"
 
 
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming running top-k docs per cell via custom bounded state
+    (applyInPandasWithState, k entries/cell).  ORACLE-GATED: the score is a
+    deterministic portable hash of doc_id, so the final top-k set is
+    arrival-order-independent and a DuckDB window-rank over the same
+    fixture re-derives it exactly."""
+    import tempfile
+
+    from ..streaming import stateful, stream as st
+    from .convert_queries import FIXTURE_CORPUS
+
+    tmp = tempfile.mkdtemp(prefix="graft_topk_")
+    corpus = spark.read.parquet(FIXTURE_CORPUS)
+    corpus.repartition(8).write.mode("overwrite").parquet(f"{tmp}/src")
+    assigned = st.streaming_tile_assign(
+        st.read_document_stream(spark, f"{tmp}/src"), res=8
+    )
+    score = prand(concat_str(["'score:'", "doc_id"], SPARK), SPARK)
+    scored = assigned.selectExpr("quad_cell", "doc_id", f"{score} as score")
+    stateful.run_stateful_to_memory(
+        spark, stateful.stateful_topk_per_cell(scored, k=3), name="q_topk"
+    )
+    w = Window.partitionBy("quad_cell")
+    return (
+        spark.table("q_topk")
+        .withColumn("mx", F.max("seen").over(w))
+        .where("seen = mx")
+        .selectExpr("quad_cell", "doc_id", "round(score, 9) as score")
+    )
+
+
+def q_streaming_topk_oracle() -> str:
+    from .convert_queries import FIXTURE_CORPUS
+
+    score = prand(concat_str(["'score:'", "doc_id"], DUCK), DUCK)
+    return f"""
+        with nodes as (
+            select doc_id,
+                   cast(cast(span.text as json)->'$.lat' as double) as lat,
+                   cast(cast(span.text as json)->'$.lon' as double) as lon
+            from (select doc_id, unnest(spans) as span
+                  from read_parquet('{FIXTURE_CORPUS}')) t
+            where span.kind = 'osm_node'
+        ),
+        assigned as (
+            select distinct doc_id, {geo.quad_cell('lat', 'lon', 8, DUCK)} as quad_cell
+            from nodes
+        ),
+        ranked as (
+            select quad_cell, doc_id, {score} as score,
+                   row_number() over (partition by quad_cell
+                                      order by {score} desc, doc_id asc) as rn
+            from assigned
+        )
+        select quad_cell, doc_id, round(score, 9) as score from ranked where rn <= 3
+    """
+
+
 def q_streaming_stateful_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-cell
     bounded-state HLL distinct-doc sketch, update-mode memory sink, availableNow.
@@ -1351,6 +1409,7 @@ def q_streaming_sessions_oracle() -> str:
 QUERIES["streaming_dedup"] = (q_streaming_dedup, q_streaming_dedup_oracle)
 QUERIES["streaming_sessions"] = (q_streaming_sessions, q_streaming_sessions_oracle)
 QUERIES["streaming_tiles"] = (q_streaming_tiles, q_streaming_tiles_oracle)
+QUERIES["streaming_topk"] = (q_streaming_topk, q_streaming_topk_oracle)
 
 ROWS_ONLY = {
     "media_pipeline": q_media_pipeline,

@@ -167,3 +167,80 @@ def batch_hll_oracle(batch_assigned: DataFrame) -> DataFrame:
         )
 
     return batch_assigned.groupBy("quad_cell").applyInPandas(agg, schema=OUTPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# streaming top-k per cell (bounded custom state: k entries per key)
+# ---------------------------------------------------------------------------
+TOPK_STATE = T.StructType(
+    [
+        T.StructField("doc_ids", T.ArrayType(T.StringType()), False),
+        T.StructField("scores", T.ArrayType(T.DoubleType()), False),
+        T.StructField("seen", T.LongType(), False),
+    ]
+)
+TOPK_OUTPUT = T.StructType(
+    [
+        T.StructField("quad_cell", T.LongType(), False),
+        T.StructField("seen", T.LongType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def _make_topk_update(k: int):
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, scores, seen = state.get
+            cur = list(zip(list(ids), list(scores)))
+        else:
+            cur, seen = [], 0
+        for pdf in pdfs:
+            seen += len(pdf)
+            cur += list(zip(pdf["doc_id"], pdf["score"]))
+        # deterministic rank: score desc, doc_id asc tiebreak; one entry per
+        # doc (re-arrivals / multi-node docs must not occupy two slots)
+        cur.sort(key=lambda t: (-t[1], t[0]))
+        dedup, seen_ids = [], set()
+        for doc, sc in cur:
+            if doc not in seen_ids:
+                seen_ids.add(doc)
+                dedup.append((doc, sc))
+            if len(dedup) == k:
+                break
+        cur = dedup
+        state.update(([c[0] for c in cur], [float(c[1]) for c in cur], seen))
+        yield pd.DataFrame(
+            {
+                "quad_cell": [key[0]] * len(cur),
+                "seen": [seen] * len(cur),
+                "doc_id": [c[0] for c in cur],
+                "score": [float(c[1]) for c in cur],
+            }
+        )
+
+    return _update
+
+
+def stateful_topk_per_cell(scored: DataFrame, k: int = 3) -> DataFrame:
+    """Streaming running top-k (score desc, doc_id tiebreak) per cell —
+    the ranking operator Structured Streaming lacks natively (a streaming
+    window rank needs complete-mode re-aggregation of everything seen).
+
+    State per cell is EXACTLY k (doc_id, score) entries + a counter —
+    bounded regardless of stream length; merging a micro-batch is
+    merge-sort-truncate.  Emits the current top-k per updated cell per
+    batch with a monotone `seen` counter, so the final answer is the
+    max-`seen` emission per cell.  (transformWithStateInPandas would be
+    the Spark-4-native API for this, but its protobuf dependency is
+    broken in this container — applyInPandasWithState expresses the same
+    state machine.)
+    """
+    return scored.groupBy("quad_cell").applyInPandasWithState(
+        _make_topk_update(k),
+        outputStructType=TOPK_OUTPUT,
+        stateStructType=TOPK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -189,3 +189,36 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 4  # alpha beta gamma delta — dups dropped
     assert sorted({r["text"] for r in rows}) == ["alpha", "beta", "delta", "gamma"]
+
+
+def test_streaming_topk_cross_batch_displacement(spark, tmp_path):
+    """A higher-scored doc arriving in a LATER micro-batch must displace an
+    earlier top-k entry (cross-batch state), and re-arrivals must not
+    occupy two slots."""
+    from osm_to_netex_spark.streaming import stateful
+
+    batches = [
+        [(1, "a", 0.5), (1, "b", 0.4)],
+        [(1, "c", 0.9), (1, "a", 0.5)],   # c displaces; a re-arrives
+        [(1, "d", 0.1)],                   # below top-2, ignored
+    ]
+    src = str(tmp_path / "src")
+    for rows in batches:
+        spark.createDataFrame(rows, "quad_cell long, doc_id string, score double") \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("quad_cell long, doc_id string, score double") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    stateful.run_stateful_to_memory(
+        spark, stateful.stateful_topk_per_cell(stream, k=2), name="tk_test"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("quad_cell")
+    pdf = (
+        spark.table("tk_test")
+        .withColumn("mx", F.max("seen").over(w))
+        .where("seen = mx")
+        .collect()
+    )
+    got = sorted((r["doc_id"], r["score"]) for r in pdf)
+    assert got == [("a", 0.5), ("c", 0.9)]

@@ -77,6 +77,12 @@ CHECKS = {
     "hll_distinct": (["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
     # hash-range split/sample: pure projection/filter — shuffle-free
     "stratified_sample": (["[codegen id"], ["Exchange", "BatchEvalPython"]),
+    # bucketed interval join: must plan as an equi-join, never cartesian/BNLJ
+    "range_join": (
+        ["HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "cms_frequencies": (["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
 }
 
 
