@@ -142,8 +142,15 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
 
     from osm_to_netex_spark.sources.catalog import write_bucketed
 
+    import shutil
+
     spark.sql("drop table if exists bkt_points")
     spark.sql("drop table if exists bkt_index")
+    # a killed prior run can leave the managed-table location behind after the
+    # catalog entry is gone; saveAsTable then fails LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_points", "bkt_index"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     pts = spark.range(0, 1000).selectExpr("id", "id % 97 as cell_id", "rand(7) as v")
     idx = spark.range(0, 97).selectExpr("id as cell_id", "concat('z', id) as zone")
     write_bucketed(pts, "bkt_points", ["cell_id"], n_buckets=8, sort_cols=["cell_id"])
