@@ -65,13 +65,22 @@ def bind_points_to_polygons(
     # join, shrinking candidate fan-out 2-5x vs the raw bbox cover.  The
     # per-candidate test is the cost that multiplies by 10^12 at the design
     # point — this moves it into the dimension build.
-    cover_fn = geo.hex_cover_bbox if scheme == "hex" else geo.quad_cover_bbox
+    # exploded-row cover build (same rows as explode(cover_bbox), far smaller
+    # expressions → ~3x less fixed plan cost; see tiling.cover_cells)
+    from .tiling import cover_cells
+
     classify_fn = geo.hex_cell_classify if scheme == "hex" else geo.quad_cell_classify
     polys = (
-        polygons.select(
-            F.col(polygon_id).alias("__zid"),
-            F.col(pos_list).alias("__pl"),
-            F.explode(F.expr(cover_fn(pos_list, res, SPARK))).alias("__cell"),
+        cover_cells(
+            polygons.select(
+                F.col(polygon_id).alias("__zid"), F.col(pos_list).alias("__pl")
+            ),
+            "__zid",
+            res,
+            scheme,
+            pos_list="__pl",
+            keep=("__pl",),
+            cell_col="__cell",
         )
         .withColumn("__cls", F.expr(classify_fn("__cell", "__pl", res, SPARK)))
         .where(F.col("__cls") > 0)

@@ -65,10 +65,9 @@ def zonal_stats(
     broadcast_raster: bool = True,
 ) -> DataFrame:
     """Per-polygon raster stats over its (bbox-cover) cells."""
-    cover = polygons.select(
-        F.col(polygon_id),
-        F.explode(F.expr(geo.quad_cover_bbox(pos_list, res, SPARK))).alias("cell"),
-    )
+    from .tiling import cover_cells
+
+    cover = cover_cells(polygons, polygon_id, res, "quad", pos_list)
     r = raster.select("cell", "value")
     if broadcast_raster:
         r = F.broadcast(r)

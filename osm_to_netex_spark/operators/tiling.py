@@ -56,6 +56,83 @@ def polyfill(
     return out
 
 
+def cover_cells(
+    polys: DataFrame,
+    id_col: str,
+    res: int,
+    scheme: str = "hex",
+    pos_list: str = "pos_list",
+    keep: tuple[str, ...] = (),
+    cell_col: str = "cell",
+) -> DataFrame:
+    """(id, [keep…], cell) rows covering each polygon — the exploded-row form
+    of the bbox cover, row-for-row identical to
+    ``explode(hex/quad_cover_bbox(...))``.
+
+    Why not the single cover expression: the one-expression HOF form carries
+    a very large generated tree (bbox reductions + packed-cell enumeration in
+    one nested transform/flatten), and its FIXED cost — Catalyst analysis +
+    Janino whole-stage-codegen compile, re-paid per fresh plan — dominates
+    the query at test scale (measured 3.9s vs 1.15s at sf0.1,
+    tools/exp_polyfill_explode.py).  Staging the bbox → axial/grid bounds as
+    four scalar columns and enumerating cells with two explode(sequence())
+    projections keeps every expression small; the per-row work is identical
+    and stays whole-stage-codegen'd.  At the 10^9-doc design point both forms
+    amortize their plan cost — but the exploded form is strictly cheaper and
+    is what every cover consumer (cell_index, PIP polygon index, raster
+    overlay, the polyfill queries) now goes through.
+    """
+    lats = geo.poslist_lats(pos_list, SPARK)
+    lons = geo.poslist_lons(pos_list, SPARK)
+    kept = list(keep)
+    staged = polys.selectExpr(
+        id_col,
+        *kept,
+        f"array_min({lats}) as __lat_lo",
+        f"array_max({lats}) as __lat_hi",
+        f"array_min({lons}) as __lon_lo",
+        f"array_max({lons}) as __lon_hi",
+    )
+    if scheme == "quad":
+        ix_lo, iy_lo = geo.quad_ixy("__lat_lo", "__lon_lo", res, SPARK)
+        ix_hi, iy_hi = geo.quad_ixy("__lat_hi", "__lon_hi", res, SPARK)
+        return (
+            staged.selectExpr(
+                id_col,
+                *kept,
+                f"{ix_lo} as __ix_lo",
+                f"{ix_hi} as __ix_hi",
+                f"explode(sequence({iy_lo}, {iy_hi})) as __iy",
+            )
+            .selectExpr(id_col, *kept, "__iy", "explode(sequence(__ix_lo, __ix_hi)) as __ix")
+            .selectExpr(
+                id_col, *kept, geo.quad_pack("__ix", "__iy", res) + f" as {cell_col}"
+            )
+        )
+    # hex: axial bounds from the 4 bbox corners, padded 1 ring (same formula
+    # as hex_cover_bbox — the q/r extrema over a lat/lon rect sit at corners)
+    corners = [
+        geo.hex_qr(la, lo, res, SPARK)
+        for la in ("__lat_lo", "__lat_hi")
+        for lo in ("__lon_lo", "__lon_hi")
+    ]
+    q_exprs = ", ".join(c[0] for c in corners)
+    r_exprs = ", ".join(c[1] for c in corners)
+    return (
+        staged.selectExpr(
+            id_col,
+            *kept,
+            f"least({q_exprs}) - 1 as __q_lo",
+            f"greatest({q_exprs}) + 1 as __q_hi",
+            f"least({r_exprs}) - 1 as __r_lo",
+            f"greatest({r_exprs}) + 1 as __r_hi",
+        )
+        .selectExpr(id_col, *kept, "__r_lo", "__r_hi", "explode(sequence(__q_lo, __q_hi)) as __hq")
+        .selectExpr(id_col, *kept, "__hq", "explode(sequence(__r_lo, __r_hi)) as __hr")
+        .selectExpr(id_col, *kept, geo.hex_pack("__hq", "__hr", res) + f" as {cell_col}")
+    )
+
+
 def cell_index(
     polys: DataFrame,
     id_col: str,
@@ -69,10 +146,7 @@ def cell_index(
     range-partitioned by cell so PIP/kNN joins against it co-locate without a
     fresh shuffle (SURVEY §2.2 repartitionByRange mandate).
     """
-    fn = geo.hex_cover_bbox if scheme == "hex" else geo.quad_cover_bbox
-    idx = polys.select(
-        F.col(id_col), F.explode(F.expr(fn(pos_list, res, SPARK))).alias("cell")
-    )
+    idx = cover_cells(polys, id_col, res, scheme, pos_list)
     if range_partition:
         idx = idx.repartitionByRange("cell")
     return idx

@@ -157,16 +157,24 @@ def q_tile_assign_oracle() -> str:
 
 
 def q_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polygon covering as exploded (zone_id, scheme, res, cell) rows."""
+    """Polygon covering as exploded (zone_id, scheme, res, cell) rows.
+
+    Built through tiling.cover_cells (staged bounds + explode(sequence)) —
+    row-identical to the single cover-expression form but ~3.4x faster at
+    sf0.1 because the mega-expression's Catalyst/Janino fixed cost is gone
+    (measured in tools/exp_polyfill_explode.py; BASELINE.md caveat)."""
+    from ..operators.tiling import cover_cells
+
     register_geometry_views(spark, sf_dir)
-    parts = []
-    for scheme, fn in (("hex", geo.hex_cover_bbox), ("quad", geo.quad_cover_bbox)):
+    polys = spark.table("geo_polys")
+    out = None
+    for scheme in ("hex", "quad"):
         for r in (7, 8):
-            parts.append(
-                f"select zone_id, '{scheme}' as scheme, {r} as res, "
-                f"explode({fn('pos_list', r, SPARK)}) as cell from geo_polys"
+            part = cover_cells(polys, "zone_id", r, scheme).selectExpr(
+                "zone_id", f"'{scheme}' as scheme", f"{r} as res", "cell"
             )
-    return spark.sql(" union all ".join(parts))
+            out = part if out is None else out.unionByName(part)
+    return out
 
 
 def q_polyfill_oracle() -> str:
@@ -474,10 +482,16 @@ def q_polyfill_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-overlap cells — functions.geo.quad_cover_refined): the 2-5x
     fan-out reduction used by the PIP index, verified cell-for-cell."""
     register_geometry_views(spark, sf_dir)
-    return spark.sql(
-        f"select zone_id, explode({geo.quad_cover_refined('pos_list', 9, SPARK)}) as cell "
-        f"from geo_polys"
+    # exploded bbox cover + per-row classify>0 filter: same predicate as
+    # quad_cover_refined's (center_in OR edge_overlap), small expressions
+    from ..operators.tiling import cover_cells
+
+    cov = cover_cells(
+        spark.table("geo_polys"), "zone_id", 9, "quad", keep=("pos_list",)
     )
+    return cov.where(
+        F.expr(f"({geo.quad_cell_classify('cell', 'pos_list', 9, SPARK)}) > 0")
+    ).select("zone_id", "cell")
 
 
 def q_polyfill_refined_oracle() -> str:
