@@ -1,0 +1,142 @@
+"""Spatial radius join: all (left, right) point pairs within ``radius_m``.
+
+The missing primitive between PIP (containment) and kNN (nearest): emit every
+pair closer than a radius — the geofence / catchment-area / duplicate-POI
+workload.  The reference never computes distances at all (SURVEY §2.1); this
+is north-rule engine surface like pip.py / knn.py.
+
+Strategy (exact, no quadratic term):
+
+* right side: one quad cell per point at ``res`` — a plain projection;
+* left side: per-row DATA-DRIVEN ring — explode the (dx, dy) neighbourhood
+  whose extent is derived from the point's own latitude: Δrow from the
+  meridian bound ``Δφ ≤ r / M_PER_DEG``, Δcol from the spherical bound
+  ``sin(Δλ/2)·√(cosφ₁·cosφ₂) ≤ sin(r/2R)`` with ``cosφ₂`` replaced by its
+  minimum over the reachable lat band (proof in ``_lon_halfwidth_deg``).
+  Near the equator that is a 3×3 ring; at 60°N a few columns more — fan-out
+  grows only where geometry demands it, instead of a global worst-case ring;
+* candidates equi-join on the packed cell (shuffle on cell, AQE-splittable;
+  ``broadcast_right=True`` for a dimension right side skips the shuffle);
+* the exact haversine predicate restores precision — pruning is conservative
+  (never drops a true pair), the filter is exact, so the result equals the
+  brute-force cross join row-for-row;
+* degenerate rows — left points whose column bound exceeds ``max_ring_x``
+  (polar caps) or that sit within their own lon bound of the ±180 meridian
+  (the grid does not wrap; a cross-antimeridian pair always has its left
+  point inside that strip) — fall back to an exact brute pass.  The strip is
+  latitude-geometry-driven and empty for any mid-latitude corpus; its cost
+  is |fallback_left| × |right| with the (tiny) fallback side broadcast.
+
+Every per-row expression is small (today's cover_cells lesson: staged scalar
+columns + explode(sequence), never a mega-HOF), so the plan compiles fast
+and stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import geo
+from ..functions.portable import SPARK, haversine_m
+
+
+def _lon_halfwidth_deg(lat_col: str, radius_m: float) -> str:
+    """Per-row upper bound (degrees) on |Δlon| of any point within
+    ``radius_m`` haversine distance of a point at latitude ``lat_col``.
+
+    From hav(d/R) = hav(Δφ) + cosφ₁·cosφ₂·hav(Δλ) ≥ cosφ₁·cosφ₂·sin²(Δλ/2):
+    sin(Δλ/2) ≤ sin(r/2R) / √(cosφ₁·cosφ₂), and cosφ₂ ≥ cos(|φ₁|+r/R·180/π)
+    over the reachable band (clamped below 90°).  Monotone conservative: the
+    asin argument is clamped to 1 → Δλ ≤ 180° (handled by the fallback cap).
+    """
+    r_rad = radius_m / geo.EARTH_RADIUS_M
+    sin_half = math.sin(r_rad / 2.0)
+    r_deg = math.degrees(r_rad)
+    phi_hi = f"least(radians(abs({lat_col}) + {r_deg!r}e0), 1.5707e0)"
+    c = f"sqrt(cos(radians({lat_col})) * cos({phi_hi}))"
+    return f"degrees(2.0e0 * asin(least(1.0e0, {sin_half!r}e0 / nullif({c}, 0.0e0))))"
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    res: int = 9,
+    left_id: str = "point_id",
+    right_id: str = "point_id",
+    broadcast_right: bool = False,
+    max_ring_x: int = 16,
+) -> DataFrame:
+    """(left_id, right_id, dist_m) for every pair within ``radius_m`` —
+    exactly the brute-force cross join's rows.
+
+    ``res`` trades fan-out against candidate density: cell edge ≈ radius is
+    the sweet spot (ring stays 3×3); the default res 9 (~0.35° cells) suits
+    radii of 10–40 km.  Self-joins: pass the same frame twice and filter
+    ``id_a < id_b`` downstream (ids are carried through verbatim).
+    """
+    cell_h = 180.0 / 2**res
+    cell_w = 360.0 / 2**res
+    r_deg_lat = radius_m / geo.M_PER_DEG
+    ky = int(r_deg_lat / cell_h) + 1
+
+    r = right.select(
+        F.col(right_id).alias("rid"),
+        F.col("lat").alias("rlat"),
+        F.col("lon").alias("rlon"),
+        F.expr(geo.quad_cell("lat", "lon", res, SPARK)).alias("__cell"),
+    )
+
+    lon_hw = _lon_halfwidth_deg("llat", radius_m)
+    n = 2**res
+    base = left.select(
+        F.col(left_id).alias("lid"),
+        F.col("lat").alias("llat"),
+        F.col("lon").alias("llon"),
+    ).withColumn("__kx", F.expr(f"cast(({lon_hw}) / {cell_w!r}e0 as int) + 1"))
+
+    # fallback strip: polar caps (bound wider than max_ring_x columns) and
+    # the antimeridian band (grid adjacency cannot wrap; any cross-±180 pair
+    # has its left point within its own lon bound of the meridian)
+    # coalesce(true): a null bound (exactly-polar point) must land in the
+    # fallback, not silently drop out of both branches
+    is_fallback = F.expr(
+        f"coalesce(__kx > {max_ring_x} OR abs(llon) >= 180.0e0 - ({lon_hw}), true)"
+    )
+    main = base.where(~is_fallback)
+    fb = base.where(is_fallback)
+
+    ix, iy = geo.quad_ixy("llat", "llon", res, SPARK)
+    ringed = (
+        main.selectExpr(
+            "lid", "llat", "llon", "__kx", f"{ix} as __ix", f"{iy} as __iy"
+        )
+        .selectExpr(
+            "lid", "llat", "llon", "__kx", "__ix",
+            f"explode(sequence(greatest(__iy - {ky}, 0), least(__iy + {ky}, {n - 1}))) as __cy",
+        )
+        .selectExpr(
+            "lid", "llat", "llon", "__cy",
+            f"explode(sequence(greatest(__ix - __kx, 0), least(__ix + __kx, {n - 1}))) as __cx",
+        )
+        .selectExpr("lid", "llat", "llon", geo.quad_pack("__cx", "__cy", res) + " as __cell")
+    )
+    r_side = F.broadcast(r) if broadcast_right else r
+    dist = haversine_m("llat", "llon", "rlat", "rlon", SPARK)
+    cand = ringed.join(r_side, "__cell")
+
+    fb_pairs = F.broadcast(fb.select("lid", "llat", "llon")).crossJoin(r)
+
+    out_main = cand.select("lid", "llat", "llon", "rid", "rlat", "rlon")
+    return (
+        out_main.unionByName(fb_pairs.select("lid", "llat", "llon", "rid", "rlat", "rlon"))
+        .withColumn("dist_m", F.expr(dist))
+        .where(F.col("dist_m") <= F.lit(float(radius_m)))
+        .select(
+            F.col("lid").alias(f"{left_id}_a" if left_id == right_id else left_id),
+            F.col("rid").alias(f"{right_id}_b" if left_id == right_id else right_id),
+            F.round("dist_m", 6).alias("dist_m"),
+        )
+    )

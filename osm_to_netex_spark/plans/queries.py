@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import geo, text as tx
-from ..functions.portable import DUCK, SPARK, concat_str, flit, phash60, prand
+from ..functions.portable import DUCK, SPARK, concat_str, flit, haversine_m, phash60, prand
 from ..operators import dedup, sampling, textstats
 
 BBOX = (59.4, 60.2, 9.6, 10.6)
@@ -897,7 +897,14 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("d0"),
         F.date_add(F.col("o_orderdate").cast("date"), 7).alias("d1"),
     )
-    items = spark.table("lineitem").select(F.col("l_shipdate").alias("sd"))
+    # the point side is keyless vs the interval side, so result size is
+    # |points in window| × |orders| / date-span — scope the point side (returned
+    # small-quantity shipments, ~5% of lineitem) to keep the workload the
+    # range-join pattern, not an intentionally quadratic blow-up: unscoped at
+    # sf0.1 the join legitimately emits ~285M pairs (benched at 130s)
+    items = spark.table("lineitem").where(
+        "l_returnflag = 'R' and l_quantity <= 10"
+    ).select(F.col("l_shipdate").alias("sd"))
     joined = temporal.date_interval_join(
         items, orders, point_date="sd", start_date="d0", end_date="d1", bucket_days=7
     )
@@ -914,8 +921,31 @@ def q_range_join_oracle() -> str:
           on cast(l.l_shipdate as date)
              between cast(o.o_orderdate as date)
                  and cast(o.o_orderdate as date) + interval 7 day
+        where l.l_returnflag = 'R' and l.l_quantity <= 10
         group by o.o_orderkey
     """
+
+
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join: all point pairs within 2 km, via the
+    data-driven ring join (operators.distjoin) — cell-pruned candidates +
+    exact haversine; the oracle is the brute-force cross join.  res 13 puts
+    the cell edge (~2.4 km at 60°N) at the radius, so the ring is 3×3-ish."""
+    from ..operators import distjoin
+
+    register_geometry_views(spark, sf_dir)
+    pts = spark.table("geo_points")
+    pairs = distjoin.radius_join(pts, pts, radius_m=2000.0, res=13)
+    return pairs.where(F.col("point_id_a") < F.col("point_id_b"))
+
+
+def q_radius_join_oracle() -> str:
+    dist = haversine_m("a.lat", "a.lon", "b.lat", "b.lon", DUCK)
+    return f"""{duck_geometry_ctes()}
+        select a.point_id as point_id_a, b.point_id as point_id_b,
+               round({dist}, 6) as dist_m
+        from geo_points a cross join geo_points b
+        where a.point_id < b.point_id and {dist} <= 2000.0e0"""
 
 
 def q_zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,6 +1180,7 @@ QUERIES = {
     "events_asof": (q_events_asof, q_events_asof_oracle),
     "zone_stats": (q_zone_stats, q_zone_stats_oracle),
     "range_join": (q_range_join, q_range_join_oracle),
+    "radius_join": (q_radius_join, q_radius_join_oracle),
     "media_meta": (q_media_meta, q_media_meta_oracle),
     "hll_distinct": (q_hll_distinct, q_hll_distinct_oracle),
     "cms_frequencies": (q_cms_frequencies, q_cms_frequencies_oracle),

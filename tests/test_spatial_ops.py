@@ -195,3 +195,47 @@ def test_pip_cell_join_strategy_no_broadcast_same_rows(spark, geo_fixture):
         shuf.explain("extended")
     logical = buf.getvalue().lower().split("== physical plan ==")[0]
     assert "broadcast" not in logical
+
+
+def test_radius_join_equals_brute(spark, geo_fixture):
+    """Cell-pruned radius join must equal the brute cross join exactly,
+    including adversarial rows: polar points (per-row lon bound blows past
+    max_ring_x -> fallback), antimeridian straddlers (grid cannot wrap ->
+    fallback strip), and a pair straddling +-180."""
+    from osm_to_netex_spark.operators import distjoin
+
+    _, pts = geo_fixture
+    extra = spark.createDataFrame(
+        [
+            ("P_N1", 89.97, 10.0),
+            ("P_N2", 89.98, -170.0),  # near-polar pair: lon nearly irrelevant
+            ("P_AM1", 60.0, 179.999),
+            ("P_AM2", 60.0, -179.999),  # ~111 m apart across the antimeridian
+            ("P_AM3", 60.0, 179.95),
+            ("P_S1", -89.99, 0.0),
+        ],
+        "point_id string, lat double, lon double",
+    )
+    allpts = pts.select("point_id", "lat", "lon").unionByName(extra)
+    for radius, res in ((2000.0, 13), (8000.0, 11)):
+        fast = distjoin.radius_join(allpts, allpts, radius_m=radius, res=res)
+        fast_pairs = {
+            (a, b)
+            for a, b, _ in fast.select("point_id_a", "point_id_b", "dist_m").collect()
+            if a < b
+        }
+        from osm_to_netex_spark.functions.portable import SPARK as SP, haversine_m
+
+        a = allpts.selectExpr("point_id as ida", "lat as la", "lon as lo")
+        b = allpts.selectExpr("point_id as idb", "lat as lb", "lon as lm")
+        brute = (
+            a.crossJoin(b)
+            .where(F.expr(f"({haversine_m('la', 'lo', 'lb', 'lm', SP)}) <= {radius}"))
+            .where("ida < idb")
+        )
+        brute_pairs = {(r["ida"], r["idb"]) for r in brute.collect()}
+        assert fast_pairs == brute_pairs, (radius, res)
+        # the adversarial rows actually produced pairs
+        if radius == 8000.0:
+            assert ("P_AM1", "P_AM2") in fast_pairs
+            assert ("P_N1", "P_N2") in fast_pairs
