@@ -948,6 +948,28 @@ def q_radius_join_oracle() -> str:
         where a.point_id < b.point_id and {dist} <= 2000.0e0"""
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key at quad res 14 — the write-layout key
+    (sources.layout.write_zordered) as a value-gated formula: parallel-prefix
+    bit spread + interleave, portable SQL in both engines."""
+    from ..sources import layout
+
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(
+        f"select point_id, {layout.zorder_expr('lat', 'lon', 14, SPARK)} as z "
+        "from geo_points"
+    )
+
+
+def q_zorder_key_oracle() -> str:
+    from ..sources import layout
+
+    return (
+        f"{duck_geometry_ctes()} select point_id, "
+        f"{layout.zorder_expr('lat', 'lon', 14, DUCK)} as z from geo_points"
+    )
+
+
 def q_zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector zonal statistics: shoelace area, centroid, perimeter, vertex
     count per polygon — pure projection (scan-parallel at any scale), one
@@ -1181,6 +1203,7 @@ QUERIES = {
     "zone_stats": (q_zone_stats, q_zone_stats_oracle),
     "range_join": (q_range_join, q_range_join_oracle),
     "radius_join": (q_radius_join, q_radius_join_oracle),
+    "zorder_key": (q_zorder_key, q_zorder_key_oracle),
     "media_meta": (q_media_meta, q_media_meta_oracle),
     "hll_distinct": (q_hll_distinct, q_hll_distinct_oracle),
     "cms_frequencies": (q_cms_frequencies, q_cms_frequencies_oracle),

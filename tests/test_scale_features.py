@@ -168,3 +168,47 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert joined.count() == 1000
+
+
+def test_zorder_layout_enables_file_pruning(spark, tmp_path):
+    """Z-ordered write must make box queries file-prunable: for a small box,
+    few files' footer stat-ranges intersect; a round-robin write of the same
+    rows leaves (nearly) every file overlapping every box.  Also pins that
+    both layouts hold identical rows."""
+    from osm_to_netex_spark.sources import layout
+
+    pts = spark.range(0, 60000).selectExpr(
+        "id as point_id",
+        # deterministic world-spread points (portable-hash-free: plain math)
+        "(-80.0 + (id * 37 % 1600) / 10.0) as lat",
+        "(-179.0 + (id * 101 % 3580) / 10.0) as lon",
+    )
+    zpath, rpath = str(tmp_path / "zord"), str(tmp_path / "rr")
+    layout.write_zordered(pts, zpath, res=12, n_files=32)
+    pts.withColumn(
+        "z", F.expr(layout.zorder_expr("lat", "lon", 12, SPARK))
+    ).repartition(32).write.mode("overwrite").parquet(rpath)
+
+    box = (10.0, 20.0, 30.0, 45.0)  # ~1.4% of the world's area
+    zstats = layout.file_stat_ranges(zpath, ("lat", "lon"))
+    rstats = layout.file_stat_ranges(rpath, ("lat", "lon"))
+    z_hit = len(layout.files_overlapping_box(zstats, *box))
+    r_hit = len(layout.files_overlapping_box(rstats, *box))
+    assert len(zstats) >= 16 and len(rstats) >= 16
+    assert r_hit == len(rstats)  # unclustered: every file overlaps the box
+    assert z_hit <= len(zstats) // 4  # clustered: the box touches few files
+
+    # identical content either way
+    a = spark.read.parquet(zpath).selectExpr("point_id", "lat", "lon")
+    b = spark.read.parquet(rpath).selectExpr("point_id", "lat", "lon")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # and Spark's own scan prunes row groups: filtered count is correct
+    n_box = (
+        spark.read.parquet(zpath)
+        .where(f"lat between {box[0]} and {box[1]} and lon between {box[2]} and {box[3]}")
+        .count()
+    )
+    assert n_box == pts.where(
+        f"lat between {box[0]} and {box[1]} and lon between {box[2]} and {box[3]}"
+    ).count()
