@@ -1474,6 +1474,55 @@ def q_streaming_sessions_oracle() -> str:
 
 
 # oracle-gated despite streaming: output set is arrival-order-independent
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase ← preceding 24 h of clicks per
+    user), replayed from files with availableNow.  ORACLE-GATED: the emitted
+    pair set is arrival-order-independent (each qualifying pair exactly
+    once), so the batch interval join is an exact oracle."""
+    import tempfile
+
+    from ..streaming import stream as st
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="graft_ssjoin_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    events.repartition(8).write.mode("overwrite").parquet(src)
+
+    def side(tp: str) -> DataFrame:
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 3)
+            .parquet(src)
+            .where(F.col("event_type") == tp)
+        )
+
+    joined = st.streaming_interval_join(side("purchase"), side("click"))
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select("left_event_id", "right_event_id")
+
+
+def q_streaming_interval_join_oracle() -> str:
+    return """
+        select p.event_id as left_event_id, c.event_id as right_event_id
+        from events p join events c
+          on p.user_id = c.user_id
+         and p.event_type = 'purchase' and c.event_type = 'click'
+         and c.ts >= p.ts - interval 24 hour and c.ts <= p.ts
+    """
+
+
+QUERIES["streaming_interval_join"] = (
+    q_streaming_interval_join,
+    q_streaming_interval_join_oracle,
+)
 QUERIES["streaming_dedup"] = (q_streaming_dedup, q_streaming_dedup_oracle)
 QUERIES["streaming_sessions"] = (q_streaming_sessions, q_streaming_sessions_oracle)
 QUERIES["streaming_tiles"] = (q_streaming_tiles, q_streaming_tiles_oracle)

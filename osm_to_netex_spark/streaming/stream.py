@@ -138,3 +138,46 @@ def streaming_dedup_exact(
     return hashed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "interval 24 hours",
+    watermark: str = "60 days",
+) -> DataFrame:
+    """Stream-stream inner interval join: every (left, right) pair with the
+    same key and ``right.ts ∈ [left.ts − lookback, left.ts]``.
+
+    Both sides carry an event-time watermark + the two-sided time-range
+    condition, which is exactly what lets Structured Streaming EVICT join
+    state: a buffered right row is droppable once the left watermark passes
+    ``right.ts + lookback`` (and vice versa), so state is
+    O(rate × (lookback + watermark delay)), never the full history.  The
+    emitted pair set is the batch join's — matches appear when the second
+    side arrives, each pair exactly once.
+
+    The replay gate runs with a watermark delay wider than the fixture's
+    whole time span so no fixture row is ever dropped by arrival-order
+    jitter (file-source replay order is not ts order); production sets the
+    delay to the lateness SLA, which is what bounds state.
+    """
+    # Watermarks require TIMESTAMP (with zone); the fixture's ts is NTZ.
+    # The cast uses the session timezone identically in stream and batch.
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col(ts_col).cast("timestamp").alias("lts"),
+        F.col("event_id").alias("left_event_id"),
+    ).withWatermark("lts", watermark)
+    r = right.select(
+        F.col(key).alias("k2"),
+        F.col(ts_col).cast("timestamp").alias("rts"),
+        F.col("event_id").alias("right_event_id"),
+    ).withWatermark("rts", watermark)
+    return l.join(
+        r,
+        F.expr(f"k = k2 AND rts >= lts - {lookback} AND rts <= lts"),
+        "inner",
+    ).select("left_event_id", "right_event_id")

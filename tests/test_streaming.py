@@ -222,3 +222,50 @@ def test_streaming_topk_cross_batch_displacement(spark, tmp_path):
     )
     got = sorted((r["doc_id"], r["score"]) for r in pdf)
     assert got == [("a", 0.5), ("c", 0.9)]
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join emits exactly the batch interval join's
+    pair set: each (purchase, click-within-preceding-24h, same user) pair
+    exactly once, regardless of file-replay arrival order."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+
+    def side(tp):
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .where(F.col("event_type") == tp)
+        )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (
+        stream.streaming_interval_join(side("purchase"), side("click"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {(r.left_event_id, r.right_event_id) for r in spark.read.parquet(out).collect()}
+
+    b = spark.read.parquet(src)
+    p = b.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("lts"), F.col("event_id").alias("l_id")
+    )
+    c = b.where("event_type = 'click'").select(
+        F.col("user_id").alias("k2"), F.col("ts").alias("rts"), F.col("event_id").alias("r_id")
+    )
+    expect = {
+        (r.l_id, r.r_id)
+        for r in p.join(
+            c, F.expr("k = k2 AND rts >= lts - interval 24 hours AND rts <= lts")
+        ).collect()
+    }
+    assert got == expect and len(got) > 10
