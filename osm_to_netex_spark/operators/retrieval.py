@@ -1,0 +1,146 @@
+"""BM25 ranked retrieval over the document corpus.
+
+The training-data-pipeline counterpart of "keyword search": given a bag of
+query terms, score every matching document with Okapi BM25 and return the
+global top-k.  The reference has no search surface (it is a converter); this
+operator extends the engine the way SURVEY.md §2.3 extends it — Spark-first,
+oracle-gated.
+
+Scale design (10^12 docs):
+
+* **Filter before explode.** Tokens are filtered to the query-term set
+  INSIDE the per-row projection (`filter(toks, t -> array_contains(...))`),
+  so the exploded (doc, term) relation carries only query-term hits — its
+  size is O(matching postings), never O(corpus tokens).  The non-matching
+  99.9% of the corpus contributes nothing to the shuffle.
+* **Corpus stats are one tiny agg.** N and avgdl come from a single
+  map-side-combined aggregation over (doc, length) — a 1-row frame that is
+  broadcast, as is the per-term document-frequency frame (|query| rows).
+* **Global top-k is TakeOrderedAndProject.** `orderBy(...).limit(k)` does a
+  per-partition top-k then a driver merge of k·partitions rows — no global
+  sort shuffle.
+* **Deterministic floating point.** Doc lengths and term counts are exact
+  integers in doubles, so N/avgdl/df/tf are bit-identical across engines
+  and partitionings; the per-document score folds contributions in sorted
+  term order, making the double sum order-free.  The DuckDB oracle runs the
+  same IEEE op sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as tx
+from ..functions.portable import DUCK, SPARK
+
+
+def _terms_array(query_terms: list[str], d: str) -> str:
+    inner = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return f"[{inner}]" if d == DUCK else f"array({inner})"
+
+
+def _contrib_expr(k1: float, b: float) -> str:
+    """Per-(doc, term) BM25 contribution; identical text in both dialects.
+
+    idf is the non-negative Robertson-Sparck-Jones form ln(1 + (N-df+0.5)/
+    (df+0.5)); tf saturation with length normalization b."""
+    idf = "ln(1.0e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))"
+    sat = f"(tf * ({k1} + 1.0e0)) / (tf + {k1} * (1.0e0 - {b} + {b} * dl / avgdl))"
+    return f"({idf}) * ({sat})"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score) — top-k documents by BM25, ties broken by doc_id."""
+    toks = tx.tokens(text_col, SPARK)
+    terms = _terms_array(query_terms, SPARK)
+    base = docs.selectExpr(
+        f"{id_col} as doc_id",
+        f"{toks} as toks",
+    ).selectExpr(
+        "doc_id",
+        "cast(size(toks) as double) as dl",
+        f"filter(toks, t -> array_contains({terms}, t)) as qtoks",
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("qtoks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", F.expr(_contrib_expr(k1, b)))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(term, contrib))), "
+            "x -> x.contrib), cast(0.0 as double), (s, v) -> s + v)"
+        ).alias("score_raw")
+    )
+    return (
+        per_doc.select("doc_id", F.round("score_raw", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_topk_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of ``bm25_topk`` — same formula, same sorted-fold sum."""
+    toks = tx.tokens(text_col, DUCK)
+    terms = _terms_array(query_terms, DUCK)
+    contrib = _contrib_expr(k1, b)
+    return f"""
+        with base as (
+            select {id_col} as doc_id,
+                   cast(len(toks) as double) as dl,
+                   list_filter(toks, t -> list_contains({terms}, t)) as qtoks
+            from (select {id_col}, {toks} as toks from {table})
+        ),
+        stats as (
+            select cast(count(*) as double) as n_docs, avg(dl) as avgdl from base
+        ),
+        tf as (
+            select doc_id, dl, term, cast(count(*) as double) as tf
+            from (select doc_id, dl, unnest(qtoks) as term from base)
+            group by doc_id, dl, term
+        ),
+        dft as (select term, cast(count(*) as double) as df from tf group by term),
+        scored as (
+            select tf.doc_id, {contrib} as contrib, tf.term
+            from tf join dft on tf.term = dft.term cross join stats
+        ),
+        per_doc as (
+            select doc_id,
+                   list_reduce(
+                       list_prepend(0.0e0, list_transform(
+                           list_sort(list(struct_pack(term := term, contrib := contrib))),
+                           x -> x.contrib)),
+                       (s, v) -> s + v) as score_raw
+            from scored group by doc_id
+        )
+        select doc_id, round(score_raw, 6) as score
+        from per_doc
+        order by score desc, doc_id asc
+        limit {k}
+    """

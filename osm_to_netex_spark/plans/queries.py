@@ -1532,3 +1532,25 @@ ROWS_ONLY = {
     "media_pipeline": q_media_pipeline,
     "streaming_stateful_hll": q_streaming_stateful_hll,
 }
+
+
+_BM25_TERMS = ["spark", "join", "window", "vector"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: global top-15 docs for a fixed query-term bag.
+    Postings pruned before explode; corpus stats + df broadcast; top-k via
+    TakeOrderedAndProject (operators/retrieval.py)."""
+    from ..operators import retrieval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return retrieval.bm25_topk(docs, _BM25_TERMS, k=15)
+
+
+def q_bm25_topk_oracle() -> str:
+    from ..operators import retrieval
+
+    return retrieval.bm25_topk_oracle_sql(_BM25_TERMS, k=15)
+
+
+QUERIES["bm25_topk"] = (q_bm25_topk, q_bm25_topk_oracle)
