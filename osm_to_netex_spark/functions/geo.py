@@ -33,6 +33,7 @@ from .portable import (
     flit,
     SPARK,
     element_at,
+    exists_,
     filter_,
     floor_bigint,
     haversine_m,
@@ -445,6 +446,74 @@ def point_in_polygon(lat: str, lon: str, pl: str, d: str) -> str:
     )
     crossings = reduce_(seq("1", f"({npts} - 1)", d), "0", "acc", "i", f"acc + {term}", d)
     return f"(({crossings}) % 2 = 1)"
+
+
+# ---------------------------------------------------------------------------
+# polygon-polygon overlap (vertex containment + proper edge crossing)
+# ---------------------------------------------------------------------------
+def segments_cross(pa: str, pb: str, d: str) -> str:
+    """True iff any edge of closed ring ``pa`` PROPERLY crosses any edge of
+    ``pb`` (opposite orientations on both edges — d1·d2 < 0 ∧ d3·d4 < 0).
+    Collinear/touching contacts are not crossings.  O(|pa|·|pb|) edge pairs;
+    intended to run AFTER a cell/bbox prefilter, on candidate pairs only."""
+    na = _intdiv(size(pa, d), "2", d)
+    nb = _intdiv(size(pb, d), "2", d)
+    coords = {
+        "ay1": element_at(pa, "2*ii - 1", d),
+        "ax1": element_at(pa, "2*ii", d),
+        "ay2": element_at(pa, "2*ii + 1", d),
+        "ax2": element_at(pa, "2*ii + 2", d),
+        "by1": element_at(pb, "2*jj - 1", d),
+        "bx1": element_at(pb, "2*jj", d),
+        "by2": element_at(pb, "2*jj + 1", d),
+        "bx2": element_at(pb, "2*jj + 2", d),
+    }
+    v = "__e"
+
+    def orient(ox: str, oy: str, px: str, py: str, qx: str, qy: str) -> str:
+        return (
+            f"(({v}.{px} - {v}.{ox}) * ({v}.{qy} - {v}.{oy}) - "
+            f"({v}.{py} - {v}.{oy}) * ({v}.{qx} - {v}.{ox}))"
+        )
+
+    d1 = orient("bx1", "by1", "bx2", "by2", "ax1", "ay1")
+    d2 = orient("bx1", "by1", "bx2", "by2", "ax2", "ay2")
+    d3 = orient("ax1", "ay1", "ax2", "ay2", "bx1", "by1")
+    d4 = orient("ax1", "ay1", "ax2", "ay2", "bx2", "by2")
+    pred = f"(({d1}) * ({d2}) < 0.0e0 AND ({d3}) * ({d4}) < 0.0e0)"
+    body = let_({k: coords[k] for k in coords}, pred, d, var=v)
+    inner = exists_(seq("1", f"({nb} - 1)", d), "jj", body, d)
+    return exists_(seq("1", f"({na} - 1)", d), "ii", inner, d)
+
+
+def polygons_overlap(pa: str, pb: str, d: str) -> str:
+    """Intersection predicate for two simple closed rings: a vertex of
+    one inside the other (covers full containment), OR a proper
+    edge crossing (covers star-crossing pairs with no contained vertex) —
+    approximately OGC ST_Intersects.  Boundary-degenerate contacts (shared
+    vertex, collinear edge graze) follow the half-open ray-cast convention:
+    deterministic and identical in the oracle, but a measure-zero touch may
+    classify either way depending on orientation — exact-arithmetic boundary
+    semantics are out of scope for float rings."""
+    na = _intdiv(size(pa, d), "2", d)
+    nb = _intdiv(size(pb, d), "2", d)
+    va = exists_(
+        seq("1", f"({na} - 1)", d),
+        "ii",
+        point_in_polygon(
+            element_at(pa, "2*ii - 1", d), element_at(pa, "2*ii", d), pb, d
+        ),
+        d,
+    )
+    vb = exists_(
+        seq("1", f"({nb} - 1)", d),
+        "jj",
+        point_in_polygon(
+            element_at(pb, "2*jj - 1", d), element_at(pb, "2*jj", d), pa, d
+        ),
+        d,
+    )
+    return f"(({va}) OR ({vb}) OR ({segments_cross(pa, pb, d)}))"
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,15 @@ def filter_(lst: str, var: str, body: str, d: str) -> str:
     return f"{fn}({lst}, {var} -> {body})"
 
 
+def exists_(lst: str, var: str, body: str, d: str) -> str:
+    """True iff any element satisfies the predicate.  Spark short-circuits
+    (ArrayExists); the DuckDB filter form evaluates all elements — fine for
+    the oracle, which only needs the same boolean."""
+    if d == SPARK:
+        return f"exists({lst}, {var} -> {body})"
+    return f"(len(list_filter({lst}, {var} -> {body})) > 0)"
+
+
 def reduce_(lst: str, init: str, acc: str, var: str, body: str, d: str) -> str:
     """Fold with initial value. DuckDB's list_reduce lacks init → prepend it."""
     if d == SPARK:

@@ -1554,3 +1554,26 @@ def q_bm25_topk_oracle() -> str:
 
 
 QUERIES["bm25_topk"] = (q_bm25_topk, q_bm25_topk_oracle)
+
+
+def q_poly_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon overlap join: cell-cover prefilter + distinct pairs +
+    exact vertex/edge-crossing refine (operators/overlap.py).  Oracle is the
+    brute O(n²) cross join with the identical exact predicate."""
+    from ..operators import overlap
+
+    register_geometry_views(spark, sf_dir)
+    return overlap.polygon_overlap_join(spark.table("geo_polys"), res=12)
+
+
+def q_poly_overlap_oracle() -> str:
+    pred = geo.polygons_overlap("a.pos_list", "b.pos_list", DUCK)
+    return (
+        f"{duck_geometry_ctes()} "
+        f"select a.zone_id as id_a, b.zone_id as id_b "
+        f"from geo_polys a cross join geo_polys b "
+        f"where a.zone_id < b.zone_id and {pred}"
+    )
+
+
+QUERIES["poly_overlap"] = (q_poly_overlap, q_poly_overlap_oracle)
