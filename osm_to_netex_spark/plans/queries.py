@@ -1577,3 +1577,22 @@ def q_poly_overlap_oracle() -> str:
 
 
 QUERIES["poly_overlap"] = (q_poly_overlap, q_poly_overlap_oracle)
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality gate -> exact dedup -> near-dup
+    group removal -> split assignment, one composed plan (operators/
+    curation.py); the oracle replays every stage in one DuckDB query."""
+    from ..operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curation.curate_corpus(docs, quality_min=0.63)
+
+
+def q_curate_corpus_oracle() -> str:
+    from ..operators import curation
+
+    return curation.curate_corpus_oracle_sql(quality_min=0.63)
+
+
+QUERIES["curate_corpus"] = (q_curate_corpus, q_curate_corpus_oracle)
