@@ -1596,3 +1596,22 @@ def q_curate_corpus_oracle() -> str:
 
 
 QUERIES["curate_corpus"] = (q_curate_corpus, q_curate_corpus_oracle)
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd k-means (operators/clustering.py): iterative, yet
+    value-hash-gated — exact integer arithmetic makes every iteration
+    bit-identical across engines and partitionings."""
+    from ..operators import clustering
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return clustering.kmeans_fixed_point(emb, k=8, iters=3)
+
+
+def q_kmeans_oracle() -> str:
+    from ..operators import clustering
+
+    return clustering.kmeans_oracle_sql(k=8, iters=3, dim=64)
+
+
+QUERIES["kmeans"] = (q_kmeans, q_kmeans_oracle)
