@@ -83,6 +83,20 @@ CHECKS = {
         ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     "cms_frequencies": (["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
+    # global top-k must be TakeOrderedAndProject (per-partition top-k + driver
+    # merge), never a full Sort; df/stats sides are broadcast
+    "bm25_topk": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # overlap join: cell equi-join prefilter — the exact predicate must never
+    # drive a cartesian/BNLJ plan
+    "poly_overlap": (
+        ["[codegen id", "HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # curation composes 4 stages into one plan — everything stays JVM-side
+    "curate_corpus": (["HashAggregate", "[codegen id"], ["BatchEvalPython"]),
 }
 
 
