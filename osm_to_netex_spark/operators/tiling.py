@@ -186,3 +186,89 @@ def document_tile_assign(
         )
         out = per_res if out is None else out.unionByName(per_res)
     return out
+
+
+def compact_cover(
+    cover: DataFrame,
+    id_col: str,
+    cell_col: str = "cell",
+    res_hi: int = 9,
+    res_lo: int = 7,
+) -> DataFrame:
+    """S2/H3-style ``compact``: replace every complete 4-sibling set in a
+    quad-cell cover with its parent, repeatedly, down to ``res_lo``.
+
+    Input: distinct (id, cell) rows, all cells at ``res_hi`` (quad scheme —
+    its aperture-4 hierarchy is an exact tree; the hex scheme's axial
+    projection is not, so compaction is quad-only).  Output: mixed-resolution
+    (id, cell) rows whose res-``res_hi`` leaf expansion equals the input
+    exactly — the canonical minimal form of the cover.
+
+    Scale shape: one window shuffle per level (res_hi − res_lo of them, a
+    small constant), partitioned by (id, parent); no driver-side state, no
+    distinct pass — a complete sibling group emits its parent from the
+    minimum child only, siblings of incomplete groups pass through.  Each
+    level's input shrinks by the compaction achieved at the previous one.
+    At the 10^9-polygon design point this is how the PIP/overlay cell
+    indexes stay small: large zones stop paying res-9 fan-out for their
+    interiors (reference osm-to-netex carries whole polygons everywhere —
+    OsmToNetexMapper.java:251-267 — and has no index to compact).
+    """
+    from pyspark.sql import Window
+
+    pow_res = 2**geo.QUAD_RES_BITS
+    out = cover.select(F.col(id_col), F.col(cell_col).alias("cell"))
+    for r in range(res_hi, res_lo, -1):
+        lvl = out.where(F.expr(f"cell div {pow_res} = {r}"))
+        rest = out.where(F.expr(f"cell div {pow_res} != {r}"))
+        parent = geo.quad_parent("cell", r, SPARK)
+        w = Window.partitionBy(F.col(id_col), F.expr(parent))
+        lvl = (
+            lvl.withColumn("__n", F.count(F.lit(1)).over(w))
+            .withColumn("__mn", F.min("cell").over(w))
+            .where((F.col("__n") < 4) | (F.col("cell") == F.col("__mn")))
+            .select(
+                F.col(id_col),
+                F.when(F.col("__n") == 4, F.expr(parent))
+                .otherwise(F.col("cell"))
+                .alias("cell"),
+            )
+        )
+        out = rest.unionByName(lvl)
+    return out
+
+
+def uncompact_cover(
+    compacted: DataFrame,
+    id_col: str,
+    cell_col: str = "cell",
+    res: int = 9,
+) -> DataFrame:
+    """Inverse of :func:`compact_cover`: expand every cell to its res-``res``
+    leaf descendants (a cell at res r has 4^(res−r) leaves).  Pure
+    explode(sequence()) projection — no shuffle."""
+    pow_res = 2**geo.QUAD_RES_BITS
+    out = compacted.select(F.col(id_col), F.col(cell_col).alias("cell"))
+    frames = []
+    for r in range(res, 6, -1):  # levels present in practice: res_lo..res
+        lvl = out.where(F.expr(f"cell div {pow_res} = {r}"))
+        if r == res:
+            frames.append(lvl)
+            continue
+        span = 2 ** (res - r)
+        ix, iy = geo.quad_unpack("cell", r, SPARK)
+        lvl = (
+            lvl.selectExpr(
+                id_col,
+                f"{ix} * {span} as __ix0",
+                f"{iy} * {span} as __iy0",
+            )
+            .selectExpr(id_col, "__ix0", f"explode(sequence(__iy0, __iy0 + {span - 1})) as __iy")
+            .selectExpr(id_col, "__iy", f"explode(sequence(__ix0, __ix0 + {span - 1})) as __ix")
+            .selectExpr(id_col, geo.quad_pack("__ix", "__iy", res) + " as cell")
+        )
+        frames.append(lvl)
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out

@@ -1615,3 +1615,55 @@ def q_kmeans_oracle() -> str:
 
 
 QUERIES["kmeans"] = (q_kmeans, q_kmeans_oracle)
+
+
+def q_cover_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style cover compaction: the refined res-9 quad cover of each zone
+    compacted to mixed res 7-9 (complete 4-sibling sets -> parent,
+    operators.tiling.compact_cover).  Canonical minimal index form."""
+    register_geometry_views(spark, sf_dir)
+    from ..operators import tiling
+
+    cov = tiling.cover_cells(
+        spark.table("geo_polys"), "zone_id", 9, "quad", keep=("pos_list",)
+    ).where(
+        F.expr(f"({geo.quad_cell_classify('cell', 'pos_list', 9, SPARK)}) > 0")
+    ).select("zone_id", "cell")
+    return tiling.compact_cover(cov, "zone_id", res_hi=9, res_lo=7)
+
+
+def q_cover_compact_oracle() -> str:
+    pow_res = 2**geo.QUAD_RES_BITS
+    p9 = geo.quad_parent("cell", 9, DUCK)
+    p8 = geo.quad_parent("cell", 8, DUCK)
+    return f"""{duck_geometry_ctes()},
+        cov as (
+            select zone_id, unnest({geo.quad_cover_refined('pos_list', 9, DUCK)}) as cell
+            from geo_polys
+        ),
+        l9 as (
+            select zone_id, cell,
+                   count(*) over (partition by zone_id, {p9}) as n,
+                   min(cell) over (partition by zone_id, {p9}) as mn
+            from cov
+        ),
+        s9 as (
+            select zone_id, case when n = 4 then {p9} else cell end as cell
+            from l9 where n < 4 or cell = mn
+        ),
+        l8 as (
+            select zone_id, cell,
+                   count(*) over (partition by zone_id, {p8}) as n,
+                   min(cell) over (partition by zone_id, {p8}) as mn
+            from s9 where cell // {pow_res} = 8
+        ),
+        s8 as (
+            select zone_id, case when n = 4 then {p8} else cell end as cell
+            from l8 where n < 4 or cell = mn
+        )
+        select zone_id, cell from s9 where cell // {pow_res} != 8
+        union all
+        select zone_id, cell from s8"""
+
+
+QUERIES["cover_compact"] = (q_cover_compact, q_cover_compact_oracle)

@@ -239,3 +239,41 @@ def test_radius_join_equals_brute(spark, geo_fixture):
         if radius == 8000.0:
             assert ("P_AM1", "P_AM2") in fast_pairs
             assert ("P_N1", "P_N2") in fast_pairs
+
+
+# --- compact_cover / uncompact_cover ---------------------------------------
+def _quad(ix, iy, res):
+    from osm_to_netex_spark.functions import geo
+
+    return res * 2**geo.QUAD_RES_BITS + iy * 2**geo.QUAD_AXIS_BITS + ix
+
+
+def test_compact_cover_roundtrip_and_shrink(spark):
+    """A dense 8x8 res-9 block + a ragged edge: compaction must shrink it,
+    and uncompacting back to res 9 must reproduce the input set exactly."""
+    cells = [(1, _quad(ix, iy, 9)) for ix in range(8, 16) for iy in range(4, 12)]
+    # ragged extras that cannot complete any sibling set
+    cells += [(1, _quad(16, iy, 9)) for iy in range(4, 11)]
+    # second id: a single lonely cell (no compaction possible)
+    cells += [(2, _quad(100, 100, 9))]
+    df = spark.createDataFrame(cells, "zone_id long, cell long")
+
+    comp = tiling.compact_cover(df, "zone_id", res_hi=9, res_lo=7)
+    n_in, n_out = df.count(), comp.count()
+    # 8x8 block = 4 complete res-8 sets = 4 complete siblings -> 1 res-7 cell
+    assert n_out < n_in
+    back = tiling.uncompact_cover(comp, "zone_id", res=9)
+    a = {(r[0], r[1]) for r in df.collect()}
+    b = {(r[0], r[1]) for r in back.collect()}
+    assert a == b
+    # the dense block collapsed all the way to res 7
+    from osm_to_netex_spark.functions import geo
+
+    res_present = {
+        r[0]
+        for r in comp.where("zone_id = 1")
+        .selectExpr(f"cell div {2**geo.QUAD_RES_BITS} as r")
+        .distinct()
+        .collect()
+    }
+    assert 7 in res_present
