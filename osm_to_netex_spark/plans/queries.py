@@ -1667,3 +1667,21 @@ def q_cover_compact_oracle() -> str:
 
 
 QUERIES["cover_compact"] = (q_cover_compact, q_cover_compact_oracle)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank, 5 iterations over the deterministic
+    skewed link graph (operators.graph) — iterative yet value-hash-gated."""
+    from ..operators import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return graph.pagerank(spark, docs, n_iter=5)
+
+
+def q_pagerank_oracle() -> str:
+    from ..operators import graph
+
+    return graph.pagerank_oracle_sql("documents", n_iter=5)
+
+
+QUERIES["pagerank"] = (q_pagerank, q_pagerank_oracle)

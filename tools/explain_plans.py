@@ -97,6 +97,13 @@ CHECKS = {
     ),
     # curation composes 4 stages into one plan — everything stays JVM-side
     "curate_corpus": (["HashAggregate", "[codegen id"], ["BatchEvalPython"]),
+    # compaction: per-level window shuffles, no joins, no Python
+    "cover_compact": (["Window", "[codegen id"], ["BatchEvalPython", "CartesianProduct"]),
+    # pagerank: T iterations of join+agg, all JVM-side
+    "pagerank": (
+        ["HashAggregate", "[codegen id"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
