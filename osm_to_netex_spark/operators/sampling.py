@@ -79,3 +79,59 @@ def stratified_sample(
     for value, f in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(frac)
     return docs.where(u < frac)
+
+
+def es_key_expr(id_col: str, weight_col: str, d: str = SPARK, salt: str = "wres") -> str:
+    """Efraimidis-Spirakis weighted-reservoir key: ln(u)/w with u the
+    portable hash fraction of the id (u in (0,1]: hash+1 over 2^60) and
+    w >= 1.  Selecting the top-k rows by this key draws a weighted sample
+    without replacement — P(row first) = w_i/Σw, exactly the reservoir
+    semantics — yet is fully deterministic: no RNG state, stable under
+    repartitioning and cluster size.
+
+    ln is the single transcendental (correctly rounded in both engines'
+    libm for these magnitudes); the key itself is never emitted, only the
+    membership/rank it induces, and key ties are measure-zero under the
+    60-bit hash."""
+    from ..functions.portable import phash60
+
+    h = phash60(concat_str([f"'{salt}:'", id_col], d), d)
+    u = f"((({h}) + 1.0e0) / {flit(float(2**60))})"
+    w = f"greatest(cast({weight_col} as double), 1.0e0)"
+    return f"(ln({u}) / {w})"
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Top-k weighted sample (per stratum if given): (id, [stratum], rank).
+
+    One window shuffle on the stratum key; with no stratum the global top-k
+    plans as TakeOrderedAndProject (per-partition top-k + driver merge), so
+    the full corpus is never sorted."""
+    key = F.expr(es_key_expr(id_col, weight_col, SPARK))
+    if stratum_col is None:
+        out = (
+            docs.select(F.col(id_col), key.alias("__k"))
+            .orderBy(F.desc("__k"), F.col(id_col))
+            .limit(k)
+        )
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("__k"), F.col(id_col))
+        return out.select(
+            F.col(id_col), F.row_number().over(w).alias("rank")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(F.desc("__k"), F.col(id_col))
+    return (
+        docs.select(F.col(id_col), F.col(stratum_col), key.alias("__k"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("__k")
+    )

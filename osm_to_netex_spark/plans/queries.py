@@ -1685,3 +1685,30 @@ def q_pagerank_oracle() -> str:
 
 
 QUERIES["pagerank"] = (q_pagerank, q_pagerank_oracle)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted reservoir: top-20 docs per
+    language by ln(u)/w key, w = n_chars — P(selection) proportional to doc
+    length, zero RNG state, stable under any partitioning."""
+    from ..operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.weighted_sample(
+        docs, k=20, id_col="doc_id", weight_col="n_chars", stratum_col="lang"
+    )
+
+
+def q_weighted_sample_oracle() -> str:
+    from ..operators import sampling
+
+    key = sampling.es_key_expr("doc_id", "n_chars", DUCK)
+    return f"""
+        select doc_id, lang, rank from (
+            select doc_id, lang,
+                   row_number() over (partition by lang order by {key} desc, doc_id) as rank
+            from documents)
+        where rank <= 20"""
+
+
+QUERIES["weighted_sample"] = (q_weighted_sample, q_weighted_sample_oracle)

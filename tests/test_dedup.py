@@ -261,3 +261,48 @@ def test_stratified_sample_subset_and_deterministic(spark, docs):
     # unlisted strata default to dropped
     s3 = sampling.stratified_sample(banded, "band", {"short": 0.5})
     assert s3.where(F.col("band") == "long").count() == 0
+
+
+# --- weighted reservoir sampling -------------------------------------------
+def test_weighted_sample_partition_invariant_and_biased(spark):
+    from osm_to_netex_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = {
+        (r["doc_id"], r["lang"], r["rank"])
+        for r in sampling.weighted_sample(docs, 20, stratum_col="lang").collect()
+    }
+    b = {
+        (r["doc_id"], r["lang"], r["rank"])
+        for r in sampling.weighted_sample(
+            docs.repartition(17, "doc_id"), 20, stratum_col="lang"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    # selection probability ~ n_chars: the sampled docs should be longer on
+    # average than the corpus at large
+    sampled_ids = [x[0] for x in a]
+    import pyspark.sql.functions as F
+
+    corpus_avg = docs.agg(F.avg("n_chars")).first()[0]
+    samp_avg = (
+        docs.where(F.col("doc_id").isin(sampled_ids)).agg(F.avg("n_chars")).first()[0]
+    )
+    assert samp_avg > corpus_avg
+
+
+def test_weighted_sample_global_topk_plan(spark):
+    """No stratum -> global top-k must plan as TakeOrderedAndProject (never a
+    full sort of the corpus)."""
+    from osm_to_netex_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = sampling.weighted_sample(docs, 10)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
+    assert df.count() == 10

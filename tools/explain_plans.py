@@ -104,6 +104,8 @@ CHECKS = {
         ["HashAggregate", "[codegen id"],
         ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # per-stratum weighted reservoir: one window shuffle, no joins
+    "weighted_sample": (["Window", "[codegen id"], ["BatchEvalPython", "CartesianProduct"]),
 }
 
 
