@@ -140,3 +140,125 @@ def radius_join(
             F.round("dist_m", 6).alias("dist_m"),
         )
     )
+
+
+def seg_dist_m(plat: str, plon: str, ay: str, ax: str, by: str, bx: str, d: str) -> str:
+    """Planar point-to-segment distance in meters, equirectangular projection
+    centered on the point's latitude.
+
+    Every operation is +,-,*,/,sqrt,cos — all correctly-rounded IEEE — so the
+    value is bit-identical in Spark and DuckDB and safe to ORDER BY.  The
+    small-angle planar metric is the right tool for a snap radius of a few
+    km (haversine's transcendental chain buys nothing at that scale); the
+    candidate prefilter is derived from THIS metric, so prune + exact filter
+    is complete with respect to it."""
+    k = f"cos(radians({plat}))"
+    axp = f"(({ax}) - ({plon})) * {k}"
+    bxp = f"(({bx}) - ({plon})) * {k}"
+    ayp = f"(({ay}) - ({plat}))"
+    byp = f"(({by}) - ({plat}))"
+    dx = f"({bxp} - ({axp}))"
+    dy = f"({byp} - ({ayp}))"
+    len2 = f"({dx}*{dx} + {dy}*{dy})"
+    # t = clamp(-(a·(b-a))/|b-a|², 0, 1); degenerate zero-length segment → t=0
+    t = f"least(1.0e0, greatest(0.0e0, coalesce((-(({axp})*{dx} + ({ayp})*{dy})) / nullif({len2}, 0.0e0), 0.0e0)))"
+    bind = {"t": t, "ax": axp, "ay": ayp, "dx": dx, "dy": dy}
+    from ..functions.portable import let_
+
+    v = "__sg"
+    body = (
+        f"sqrt(({v}.ax + {v}.t * {v}.dx) * ({v}.ax + {v}.t * {v}.dx) + "
+        f"({v}.ay + {v}.t * {v}.dy) * ({v}.ay + {v}.t * {v}.dy))"
+        f" * {geo.M_PER_DEG!r}e0"
+    )
+    return let_(bind, body, d, var=v)
+
+
+def snap_join(
+    points: DataFrame,
+    lines: DataFrame,
+    radius_m: float,
+    res: int = 10,
+    point_id: str = "point_id",
+    line_id: str = "zone_id",
+    pos_list: str = "pos_list",
+) -> DataFrame:
+    """Map-matching-lite: each point snapped to the nearest polyline segment
+    within ``radius_m`` — (point_id, line_id, seg_idx, dist_m); points with
+    no segment in range are dropped.
+
+    Shape: segments are exploded ONCE from the packed pos_list, each emitting
+    the cells of its bbox padded by the radius bounds (Δlat = r/M_PER_DEG;
+    Δlon from the band's min cosine — conservative for the planar metric, so
+    no true candidate is lost); points carry a single cell.  One equi-join on
+    the cell, exact seg_dist_m refine, then argmin per point via window
+    (dist, line, seg tiebreak — doubles are bit-identical cross-engine, so
+    the argmin is deterministic).  No cartesian term anywhere; fan-out is
+    segment-bbox cells, bounded for street-scale segments at res≈10."""
+    from pyspark.sql import Window
+
+    n = 2**res
+    cell_h, cell_w = 180.0 / n, 360.0 / n
+    r_deg = radius_m / geo.M_PER_DEG
+    ky = int(r_deg / cell_h) + 1
+
+    segs = lines.selectExpr(
+        f"{line_id} as __lid",
+        f"{pos_list} as __pl",
+        f"explode(sequence(1, size({pos_list}) div 2 - 1)) as __i",
+    ).selectExpr(
+        "__lid",
+        "__i as seg_idx",
+        "element_at(__pl, cast(2*__i - 1 as int)) as __ay",
+        "element_at(__pl, cast(2*__i as int)) as __ax",
+        "element_at(__pl, cast(2*__i + 1 as int)) as __by",
+        "element_at(__pl, cast(2*__i + 2 as int)) as __bx",
+    )
+    # padded bbox in cell coords; lon pad uses the min cosine over the
+    # segment's reachable lat band (clamped off the pole)
+    lat_lo = f"(least(__ay, __by) - {r_deg!r}e0)"
+    lat_hi = f"(greatest(__ay, __by) + {r_deg!r}e0)"
+    cosmin = f"cos(radians(least(89.0e0, greatest(abs(__ay), abs(__by)) + {r_deg!r}e0)))"
+    lon_pad = f"({r_deg!r}e0 / {cosmin})"
+    lon_lo = f"(least(__ax, __bx) - {lon_pad})"
+    lon_hi = f"(greatest(__ax, __bx) + {lon_pad})"
+    ix_lo, iy_lo = geo.quad_ixy(lat_lo, lon_lo, res, SPARK)
+    ix_hi, iy_hi = geo.quad_ixy(lat_hi, lon_hi, res, SPARK)
+    seg_cells = (
+        segs.selectExpr(
+            "__lid", "seg_idx", "__ay", "__ax", "__by", "__bx",
+            f"{ix_lo} as __ixl", f"{ix_hi} as __ixh",
+            f"explode(sequence({iy_lo}, {iy_hi})) as __cy",
+        )
+        .selectExpr(
+            "__lid", "seg_idx", "__ay", "__ax", "__by", "__bx", "__cy",
+            "explode(sequence(__ixl, __ixh)) as __cx",
+        )
+        .selectExpr(
+            "__lid", "seg_idx", "__ay", "__ax", "__by", "__bx",
+            geo.quad_pack("__cx", "__cy", res) + " as __cell",
+        )
+    )
+    pts = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col("lat").alias("__plat"),
+        F.col("lon").alias("__plon"),
+        F.expr(geo.quad_cell("lat", "lon", res, SPARK)).alias("__cell"),
+    )
+    dist = seg_dist_m("__plat", "__plon", "__ay", "__ax", "__by", "__bx", SPARK)
+    cand = (
+        pts.join(seg_cells, "__cell")
+        .withColumn("__d", F.expr(dist))
+        .where(F.col("__d") <= F.lit(float(radius_m)))
+    )
+    w = Window.partitionBy("__pid").orderBy("__d", "__lid", "seg_idx")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select(
+            F.col("__pid").alias(point_id),
+            F.col("__lid").alias(line_id),
+            "seg_idx",
+            F.round("__d", 6).alias("dist_m"),
+        )
+    )

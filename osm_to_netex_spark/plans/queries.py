@@ -1712,3 +1712,42 @@ def q_weighted_sample_oracle() -> str:
 
 
 QUERIES["weighted_sample"] = (q_weighted_sample, q_weighted_sample_oracle)
+
+
+def q_snap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-segment snap (map-matching-lite): each point bound to the
+    closest polyline segment within 2 km — padded-bbox cell prefilter + exact
+    planar refine + per-point window argmin (operators.distjoin.snap_join)."""
+    from ..operators import distjoin
+
+    register_geometry_views(spark, sf_dir)
+    return distjoin.snap_join(
+        spark.table("geo_points"),
+        spark.table("geo_polys"),
+        radius_m=2000.0,
+        res=10,
+    )
+
+
+def q_snap_join_oracle() -> str:
+    from ..operators import distjoin
+
+    dist = distjoin.seg_dist_m("p.lat", "p.lon", "s.say", "s.sax", "s.sby", "s.sbx", DUCK)
+    return f"""{duck_geometry_ctes()},
+        segs as (
+            select zone_id, t.i as seg_idx,
+                   pos_list[2*t.i - 1] as say, pos_list[2*t.i] as sax,
+                   pos_list[2*t.i + 1] as sby, pos_list[2*t.i + 2] as sbx
+            from geo_polys, unnest(generate_series(1, len(pos_list) // 2 - 1)) t(i)
+        ),
+        cand as (
+            select p.point_id, s.zone_id, s.seg_idx, {dist} as d
+            from geo_points p cross join segs s
+        )
+        select point_id, zone_id, seg_idx, round(d, 6) as dist_m
+        from (select *, row_number() over (partition by point_id order by d, zone_id, seg_idx) as rn
+              from cand where d <= 2000.0e0)
+        where rn = 1"""
+
+
+QUERIES["snap_join"] = (q_snap_join, q_snap_join_oracle)

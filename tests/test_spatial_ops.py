@@ -277,3 +277,62 @@ def test_compact_cover_roundtrip_and_shrink(spark):
         .collect()
     }
     assert 7 in res_present
+
+
+# --- snap_join (point -> nearest polyline segment) --------------------------
+def test_seg_dist_geometry_cases(spark):
+    """Projection clamps to endpoints; on-segment points give ~0; degenerate
+    zero-length segments behave as point distance."""
+    from osm_to_netex_spark.operators.distjoin import seg_dist_m
+    from osm_to_netex_spark.functions import geo as g
+
+    rows = spark.sql(
+        "select "
+        + seg_dist_m("0.0e0", "0.0e0", "0.0e0", "1.0e0", "0.0e0", "2.0e0", "spark")
+        + " as beyond_a, "
+        + seg_dist_m("0.0e0", "1.5e0", "0.0e0", "1.0e0", "0.0e0", "2.0e0", "spark")
+        + " as on_seg, "
+        + seg_dist_m("1.0e0", "1.0e0", "0.0e0", "1.0e0", "0.0e0", "1.0e0", "spark")
+        + " as degen"
+    ).first()
+    assert abs(rows["beyond_a"] - 1.0 * g.M_PER_DEG) < 1e-6
+    assert rows["on_seg"] < 1e-9
+    assert abs(rows["degen"] - 1.0 * g.M_PER_DEG) < 1e-6
+
+
+def test_snap_join_equals_brute(spark, geo_fixture):
+    """Cell-pruned snap must equal the brute per-point argmin exactly."""
+    from osm_to_netex_spark.operators import distjoin
+
+    zdf, pts = geo_fixture
+    snapped = distjoin.snap_join(pts, zdf, radius_m=3000.0, res=10)
+    got = {(r["point_id"], r["zone_id"], r["seg_idx"]) for r in snapped.collect()}
+
+    segs = zdf.selectExpr(
+        "zone_id",
+        "pos_list as pl",
+        "explode(sequence(1, size(pos_list) div 2 - 1)) as i",
+    ).selectExpr(
+        "zone_id",
+        "i as seg_idx",
+        "element_at(pl, cast(2*i - 1 as int)) as ay",
+        "element_at(pl, cast(2*i as int)) as ax",
+        "element_at(pl, cast(2*i + 1 as int)) as by",
+        "element_at(pl, cast(2*i + 2 as int)) as bx",
+    )
+    d = distjoin.seg_dist_m("lat", "lon", "ay", "ax", "by", "bx", "spark")
+    brute = (
+        pts.crossJoin(segs)
+        .selectExpr("point_id", "zone_id", "seg_idx", f"{d} as dist")
+        .where(F.col("dist") <= 3000.0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("point_id").orderBy("dist", "zone_id", "seg_idx")
+    want = {
+        (r["point_id"], r["zone_id"], r["seg_idx"])
+        for r in brute.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -106,6 +106,11 @@ CHECKS = {
     ),
     # per-stratum weighted reservoir: one window shuffle, no joins
     "weighted_sample": (["Window", "[codegen id"], ["BatchEvalPython", "CartesianProduct"]),
+    # snap join: cell equi-join + window argmin — never cartesian/BNLJ
+    "snap_join": (
+        ["Window", "[codegen id"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
