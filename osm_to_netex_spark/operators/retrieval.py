@@ -144,3 +144,40 @@ def bm25_topk_oracle_sql(
         order by score desc, doc_id asc
         limit {k}
     """
+
+
+def top_terms(
+    docs: DataFrame,
+    n: int = 10,
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Per-stratum vocabulary heavy hitters: the ``n`` most frequent tokens
+    per language with document and occurrence counts — the
+    vocabulary-building / BPE-prep primitive of a training pipeline.
+
+    Shape: explode(tokens) → two-level aggregate.  The first groupBy
+    (stratum, term) gets full map-side combine, so the shuffle carries one
+    row per distinct (stratum, term) per partition, never per occurrence;
+    the top-n per stratum is a window over that aggregated table, whose size
+    is the vocabulary (≈10^6 rows), not the corpus — at the 10^9-doc design
+    point the window input is 10^-3 of the corpus and holds in one stage.
+    Deterministic tiebreak: (count desc, term asc)."""
+    from ..functions import text as tx
+    from ..functions.portable import SPARK
+    from pyspark.sql import Window
+
+    counts = (
+        docs.selectExpr(
+            f"{stratum_col} as stratum",
+            f"explode({tx.tokens(text_col, SPARK)}) as term",
+        )
+        .groupBy("stratum", "term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    w = Window.partitionBy("stratum").orderBy(F.desc("n_occ"), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select(F.col("stratum").alias(stratum_col), "term", "n_occ", "rank")
+    )

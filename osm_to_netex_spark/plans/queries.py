@@ -1751,3 +1751,53 @@ def q_snap_join_oracle() -> str:
 
 
 QUERIES["snap_join"] = (q_snap_join, q_snap_join_oracle)
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters: top-10 tokens per language (map-side-combined
+    term counts, window over the vocabulary not the corpus)."""
+    from ..operators import retrieval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return retrieval.top_terms(docs, n=10)
+
+
+def q_top_terms_oracle() -> str:
+    from ..functions import text as tx
+
+    return f"""
+        select lang, term, n_occ, rank from (
+            select lang, term, count(*) as n_occ,
+                   row_number() over (partition by lang order by count(*) desc, term) as rank
+            from (select lang, unnest({tx.tokens('text', DUCK)}) as term from documents)
+            group by lang, term)
+        where rank <= 10"""
+
+
+QUERIES["top_terms"] = (q_top_terms, q_top_terms_oracle)
+
+
+def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard geohash (base32) of every point at precision 8 — interchange
+    cell encoding with free hierarchical prefix containment."""
+    from ..sources import layout
+
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(
+        "select point_id, "
+        + layout.geohash_expr("lat", "lon", 8, SPARK)
+        + " as gh from geo_points"
+    )
+
+
+def q_geohash_oracle() -> str:
+    from ..sources import layout
+
+    return (
+        f"{duck_geometry_ctes()} select point_id, "
+        + layout.geohash_expr("lat", "lon", 8, DUCK)
+        + " as gh from geo_points"
+    )
+
+
+QUERIES["geohash"] = (q_geohash, q_geohash_oracle)

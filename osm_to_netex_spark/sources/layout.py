@@ -132,3 +132,35 @@ def files_overlapping_box(
             continue
         hit.append(s)
     return hit
+
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_expr(lat: str, lon: str, precision: int, d: str) -> str:
+    """Standard geohash string (base32, lon bit first) of a point — the
+    interchange cell encoding (alongside the engine's packed hex/quad ids).
+
+    ``precision`` must be even so lat/lon split the 5·p bits equally and the
+    whole hash is one Morton interleave (spread_bits) — MSB is a lon bit, so
+    lon takes the odd (shifted) lane.  Pure integer/substring SQL in both
+    dialects; prefix truncation = parent cell, so a LIKE 'u4pr%' predicate
+    or a substr-equality join gives hierarchical containment for free."""
+    if precision % 2 != 0 or not (2 <= precision <= 12):
+        raise ValueError("precision must be even, 2..12")
+    nbits = 5 * precision // 2
+    latb = f"cast(floor((({lat}) + 90.0e0) / 180.0e0 * {2**nbits}) as bigint)"
+    lonb = f"cast(floor((({lon}) + 180.0e0) / 360.0e0 * {2**nbits}) as bigint)"
+    # clamp the lat=90/lon=180 edge into the top cell
+    latb = f"least({latb}, {2**nbits - 1})"
+    lonb = f"least({lonb}, {2**nbits - 1})"
+    from ..functions.portable import let_
+
+    z = f"({spread_bits(latb, d)} | {_shl(spread_bits(lonb, d), 1, d)})"
+    zv = "__gh.z"
+    chars = []
+    for i in range(precision):
+        shift = 5 * (precision - 1 - i)
+        idx = f"((({zv}) // {2**shift}) % 32)" if d != SPARK else f"((({zv}) div {2**shift}) % 32)"
+        chars.append(f"substring('{GEOHASH_B32}', cast({idx} + 1 as int), 1)")
+    return let_({"z": z}, "concat(" + ", ".join(chars) + ")", d, var="__gh")

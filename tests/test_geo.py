@@ -223,3 +223,39 @@ def test_hll_estimate_accuracy_and_partition_invariance(spark):
     e2 = est(df.repartition(17))
     assert e1 == e2  # bit-identical across partitionings
     assert abs(e1 - 1700) / 1700 < 0.26  # 4 x RSE(m=256)
+
+
+# --- geohash ----------------------------------------------------------------
+def test_geohash_known_vectors(spark):
+    """Canonical geohash test vectors (lon-first base32 encoding)."""
+    from osm_to_netex_spark.sources import layout
+
+    cases = [
+        (57.64911, 10.40744, "u4pruydq"),
+        (48.8583, 2.2945, "u09tunqu"),  # Eiffel tower
+        (0.0, 0.0, "s0000000"),
+        (-33.8568, 151.2153, "r3gx2ux9"),  # Sydney
+    ]
+    sel = ", ".join(
+        layout.geohash_expr(repr(la) + "e0", repr(lo) + "e0", 8, "spark") + f" as g{i}"
+        for i, (la, lo, _) in enumerate(cases)
+    )
+    row = spark.sql(f"select {sel}").first()
+    for i, (_, _, want) in enumerate(cases):
+        assert row[f"g{i}"] == want, (i, row[f"g{i}"], want)
+
+
+def test_geohash_prefix_is_parent(spark):
+    """Truncating to precision p-2 equals encoding at precision p-2 (strict
+    hierarchy -> prefix joins give containment)."""
+    from osm_to_netex_spark.sources import layout
+
+    df = spark.createDataFrame(
+        [(i, 40.0 + i * 0.37, -70.0 + i * 0.91) for i in range(50)],
+        "id long, lat double, lon double",
+    )
+    bad = df.selectExpr(
+        f"substring({layout.geohash_expr('lat', 'lon', 8, 'spark')}, 1, 6) as pre",
+        f"{layout.geohash_expr('lat', 'lon', 6, 'spark')} as direct",
+    ).where("pre != direct")
+    assert bad.count() == 0

@@ -111,6 +111,10 @@ CHECKS = {
         ["Window", "[codegen id"],
         ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # vocab heavy hitters: partial agg before the shuffle, window over vocab
+    "top_terms": (["HashAggregate", "Window"], ["BatchEvalPython", "CartesianProduct"]),
+    # geohash: pure projection — no shuffle at all
+    "geohash": (["[codegen id"], ["Exchange", "BatchEvalPython"]),
 }
 
 
