@@ -272,3 +272,44 @@ def uncompact_cover(
     for f_ in frames[1:]:
         out = out.unionByName(f_)
     return out
+
+
+def adaptive_partition(
+    points: DataFrame,
+    cap: int,
+    res_lo: int = 7,
+    res_hi: int = 9,
+    point_id: str = "point_id",
+) -> DataFrame:
+    """Adaptive quadtree partitioning: each point lands at the COARSEST quad
+    resolution in [res_lo, res_hi] whose cell holds ≤ ``cap`` points
+    (res_hi if none) — (point_id, cell, res).
+
+    This is the skew-bounding partitioner: dense city cells recursively
+    split to finer resolutions while empty countryside stays coarse, so a
+    downstream repartition-by-cell gets bounded task sizes without salting.
+    The classic iterative split ("split every cell over cap, reassign,
+    repeat") reduces to a closed form because a cell's count does not depend
+    on whether its parent split: final res = first r with count(cell_r) ≤
+    cap.  So the plan is L pure projections + L map-side-combined counts +
+    L equi-joins back (L = res_hi−res_lo+1, a small constant) — no
+    iteration over data, no driver loop.
+    """
+    levels = list(range(res_lo, res_hi + 1))
+    pts = points.select(
+        F.col(point_id),
+        *[
+            F.expr(geo.quad_cell("lat", "lon", r, SPARK)).alias(f"__c{r}")
+            for r in levels
+        ],
+    )
+    out = pts
+    for r in levels[:-1]:
+        cnt = pts.groupBy(f"__c{r}").agg(F.count(F.lit(1)).alias(f"__n{r}"))
+        out = out.join(cnt, f"__c{r}")
+    cell = F.col(f"__c{res_hi}")
+    res = F.lit(res_hi)
+    for r in reversed(levels[:-1]):
+        cell = F.when(F.col(f"__n{r}") <= cap, F.col(f"__c{r}")).otherwise(cell)
+        res = F.when(F.col(f"__n{r}") <= cap, F.lit(r)).otherwise(res)
+    return out.select(F.col(point_id), cell.alias("cell"), res.alias("res"))

@@ -1801,3 +1801,31 @@ def q_geohash_oracle() -> str:
 
 
 QUERIES["geohash"] = (q_geohash, q_geohash_oracle)
+
+
+def q_adaptive_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree partition: coarsest res in 9-11 whose cell holds
+    <= 100 points (the skew-bounding partitioner, closed-form — no driver
+    iteration)."""
+    from ..operators import tiling
+
+    register_geometry_views(spark, sf_dir)
+    return tiling.adaptive_partition(
+        spark.table("geo_points"), cap=100, res_lo=9, res_hi=11
+    )
+
+
+def q_adaptive_cells_oracle() -> str:
+    cells = {r: geo.quad_cell("lat", "lon", r, DUCK) for r in (9, 10, 11)}
+    return f"""{duck_geometry_ctes()},
+        pts as (select point_id, {cells[9]} as c9, {cells[10]} as c10, {cells[11]} as c11
+                from geo_points),
+        n9 as (select c9, count(*) as k9 from pts group by c9),
+        n10 as (select c10, count(*) as k10 from pts group by c10)
+        select point_id,
+               case when k9 <= 100 then c9 when k10 <= 100 then c10 else c11 end as cell,
+               case when k9 <= 100 then 9 when k10 <= 100 then 10 else 11 end as res
+        from pts join n9 using (c9) join n10 using (c10)"""
+
+
+QUERIES["adaptive_cells"] = (q_adaptive_cells, q_adaptive_cells_oracle)

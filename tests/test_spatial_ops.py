@@ -336,3 +336,30 @@ def test_snap_join_equals_brute(spark, geo_fixture):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_adaptive_partition_bounds_and_levels(spark):
+    """Every cell emitted below res_hi holds <= cap points; dense clusters
+    actually escalate to finer levels; assignment is partition-invariant."""
+    from osm_to_netex_spark.operators import tiling as T
+
+    # 400 points jammed in one small spot + 30 scattered
+    rows = [(i, 50.001 + (i % 7) * 1e-4, 8.001 + (i % 11) * 1e-4) for i in range(400)]
+    rows += [(1000 + i, 40.0 + i * 1.7, -30.0 + i * 2.3) for i in range(30)]
+    df = spark.createDataFrame(rows, "point_id long, lat double, lon double")
+    out = T.adaptive_partition(df, cap=50, res_lo=5, res_hi=8).cache()
+    assert out.count() == 430
+    over = (
+        out.where("res < 8")
+        .groupBy("cell")
+        .count()
+        .where("count > 50")
+        .count()
+    )
+    assert over == 0
+    # the dense cluster hits res_hi, the scattered points stay coarse
+    levels = {r["res"] for r in out.select("res").distinct().collect()}
+    assert 8 in levels and 5 in levels
+    out2 = T.adaptive_partition(df.repartition(13), cap=50, res_lo=5, res_hi=8)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
+    out.unpersist()

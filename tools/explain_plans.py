@@ -115,6 +115,11 @@ CHECKS = {
     "top_terms": (["HashAggregate", "Window"], ["BatchEvalPython", "CartesianProduct"]),
     # geohash: pure projection — no shuffle at all
     "geohash": (["[codegen id"], ["Exchange", "BatchEvalPython"]),
+    # adaptive partition: count aggs + equi-joins, no cartesian
+    "adaptive_cells": (
+        ["HashAggregate", "[codegen id"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
