@@ -81,3 +81,69 @@ def zonal_stats(
             F.count("*").alias("n_cells"),
         )
     )
+
+
+def idw_interpolate(
+    points: DataFrame,
+    stations: DataFrame,
+    radius_m: float,
+    res: int = 10,
+    point_id: str = "point_id",
+    station_id: str = "station_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation: for each point, the
+    IDW-2 average of station values within ``radius_m`` —
+    (point_id, idw_value, n_stations).  Points with no station in range
+    drop out (no extrapolation).
+
+    Candidates come from the data-driven ring join (distjoin.radius_join) —
+    never a cartesian; weights are 1/max(d,1m)² (clamp kills the exact-hit
+    singularity).  Both weight sums fold in sorted station order
+    (collect_list → array_sort → aggregate), so the float result is
+    independent of partitioning and arrival order — the same order-free
+    discipline as BM25 — and the DuckDB oracle replays it exactly."""
+    from .distjoin import radius_join
+
+    pairs = radius_join(
+        points,
+        stations.withColumnRenamed(station_id, "point_id")
+        if station_id != "point_id"
+        else stations,
+        radius_m=radius_m,
+        res=res,
+        left_id=point_id,
+        right_id="point_id",
+    )
+    # radius_join names outputs point_id_a/point_id_b on a self-named join
+    a, b = f"{point_id}_a", f"{point_id}_b"
+    sv = stations.select(
+        F.col(station_id).alias(b), F.col(value_col).alias("__v")
+    )
+    w = "1.0e0 / (greatest(dist_m, 1.0e0) * greatest(dist_m, 1.0e0))"
+    per = (
+        pairs.join(sv, b)
+        .selectExpr(
+            f"{a} as __pid",
+            f"{b} as __sid",
+            f"{w} as __w",
+            f"({w}) * __v as __wv",
+        )
+        .groupBy("__pid")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(__sid, __w, __wv))), "
+                "x -> x.__w), cast(0.0 as double), (s, v) -> s + v)"
+            ).alias("__sw"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(__sid, __w, __wv))), "
+                "x -> x.__wv), cast(0.0 as double), (s, v) -> s + v)"
+            ).alias("__swv"),
+            F.count(F.lit(1)).alias("n_stations"),
+        )
+    )
+    return per.select(
+        F.col("__pid").alias(point_id),
+        F.round(F.expr("__swv / __sw"), 6).alias("idw_value"),
+        "n_stations",
+    )

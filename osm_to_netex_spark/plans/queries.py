@@ -1829,3 +1829,62 @@ def q_adaptive_cells_oracle() -> str:
 
 
 QUERIES["adaptive_cells"] = (q_adaptive_cells, q_adaptive_cells_oracle)
+
+
+def stations_sql(d: str, table: str = "supplier") -> str:
+    """Deterministic weather-station-style points with a measured value —
+    same center derivation as polys_sql, plus a hash value in [0, 2000)."""
+    pr_lat = _pr(["'z:lat:'", "s_suppkey"], d)
+    clat = f"({flit(LAT_LO + 0.05)} + {pr_lat} * {flit(DLAT - 0.1)})"
+    pr_lon = _pr(["'z:lon:'", "s_suppkey"], d)
+    clon = f"({flit(LON_LO + 0.05)} + {pr_lon} * {flit(DLON - 0.1)})"
+    pr_v = _pr(["'st:v:'", "s_suppkey"], d)
+    v = f"({pr_v} * 2000.0e0)"
+    return (
+        f"select s_suppkey as station_id, {clat} as lat, {clon} as lon, "
+        f"{v} as value from {table}"
+    )
+
+
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW-2 interpolation of station values onto points within 20 km —
+    ring-join candidates + order-free sorted weight fold."""
+    from ..operators import raster as R
+
+    register_geometry_views(spark, sf_dir)
+    stations = spark.sql(stations_sql(SPARK))
+    return R.idw_interpolate(
+        spark.table("geo_points"), stations, radius_m=20000.0, res=11
+    )
+
+
+def q_idw_oracle() -> str:
+    hav = haversine_m("p.lat", "p.lon", "s.lat", "s.lon", DUCK)
+    w = "1.0e0 / (greatest(dist_m, 1.0e0) * greatest(dist_m, 1.0e0))"
+    return f"""{duck_geometry_ctes()},
+        stations as ({stations_sql(DUCK)}),
+        pairs as (
+            select p.point_id as pid, s.station_id as sid,
+                   round({hav}, 6) as dist_m, s.value as v
+            from geo_points p cross join stations s
+            where {hav} <= 20000.0e0
+        ),
+        contrib as (
+            select pid, sid, {w} as w, ({w}) * v as wv from pairs
+        ),
+        per as (
+            select pid,
+                   list_reduce(list_prepend(0.0e0, list_transform(
+                       list_sort(list(struct_pack(sid := sid, w := w, wv := wv))),
+                       x -> x.w)), (s, v) -> s + v) as sw,
+                   list_reduce(list_prepend(0.0e0, list_transform(
+                       list_sort(list(struct_pack(sid := sid, w := w, wv := wv))),
+                       x -> x.wv)), (s, v) -> s + v) as swv,
+                   count(*) as n_stations
+            from contrib group by pid
+        )
+        select pid as point_id, round(swv / sw, 6) as idw_value, n_stations
+        from per"""
+
+
+QUERIES["idw"] = (q_idw, q_idw_oracle)

@@ -120,6 +120,8 @@ CHECKS = {
         ["HashAggregate", "[codegen id"],
         ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # IDW: ring-join candidates + one agg; Python never
+    "idw": (["HashAggregate", "[codegen id"], ["BatchEvalPython"]),
 }
 
 
