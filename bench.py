@@ -250,6 +250,12 @@ def main():
         "zone_stats",
         "hll_distinct",
         "stratified_sample",
+        "snap_join",
+        "adaptive_cells",
+        "idw",
+        "pagerank",
+        "cover_compact",
+        "top_terms",
     ]
     timings = {}
     for name in bench_queries:

@@ -194,9 +194,12 @@ def snap_join(
     the cell, exact seg_dist_m refine, then argmin per point via window
     (dist, line, seg tiebreak — doubles are bit-identical cross-engine, so
     the argmin is deterministic).  No cartesian term anywhere; fan-out is
-    segment-bbox cells, bounded for street-scale segments at res≈10."""
-    from pyspark.sql import Window
+    segment-bbox cells, bounded for street-scale segments.
 
+    Pick ``res`` so the cell edge ≈ the snap radius (radius_join's rule):
+    coarser cells multiply candidate pairs (every point meets every segment
+    sharing its big cell), finer ones multiply per-segment cover fan-out —
+    measured at sf0.1: res 10 → 57 s, res 14 → 6.7 s, same rows."""
     n = 2**res
     cell_h, cell_w = 180.0 / n, 360.0 / n
     r_deg = radius_m / geo.M_PER_DEG
@@ -251,14 +254,17 @@ def snap_join(
         .withColumn("__d", F.expr(dist))
         .where(F.col("__d") <= F.lit(float(radius_m)))
     )
-    w = Window.partitionBy("__pid").orderBy("__d", "__lid", "seg_idx")
-    return (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .where("__rn = 1")
-        .select(
-            F.col("__pid").alias(point_id),
-            F.col("__lid").alias(line_id),
-            "seg_idx",
-            F.round("__d", 6).alias("dist_m"),
-        )
+    # argmin as a lexicographic struct-min: (d, line, seg) compares the
+    # bit-identical double first, then the deterministic tiebreak — same row
+    # as a window row_number()=1, but it PARTIAL-AGGREGATES (map-side
+    # combine), so the shuffle carries one row per point per partition
+    # instead of sorting every candidate pair
+    agg = cand.groupBy("__pid").agg(
+        F.min(F.struct("__d", "__lid", "seg_idx")).alias("__m")
+    )
+    return agg.select(
+        F.col("__pid").alias(point_id),
+        F.col("__m.__lid").alias(line_id),
+        F.col("__m.seg_idx").alias("seg_idx"),
+        F.round(F.col("__m.__d"), 6).alias("dist_m"),
     )

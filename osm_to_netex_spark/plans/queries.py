@@ -1725,7 +1725,7 @@ def q_snap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("geo_points"),
         spark.table("geo_polys"),
         radius_m=2000.0,
-        res=10,
+        res=14,
     )
 
 

@@ -106,10 +106,11 @@ CHECKS = {
     ),
     # per-stratum weighted reservoir: one window shuffle, no joins
     "weighted_sample": (["Window", "[codegen id"], ["BatchEvalPython", "CartesianProduct"]),
-    # snap join: cell equi-join + window argmin — never cartesian/BNLJ
+    # snap join: cell equi-join + partial-agg struct-min argmin (map-side
+    # combine; no Window sort of the candidate set) — never cartesian/BNLJ
     "snap_join": (
-        ["Window", "[codegen id"],
-        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        ["HashAggregate", "[codegen id"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
     ),
     # vocab heavy hitters: partial agg before the shuffle, window over vocab
     "top_terms": (["HashAggregate", "Window"], ["BatchEvalPython", "CartesianProduct"]),
