@@ -1888,3 +1888,25 @@ def q_idw_oracle() -> str:
 
 
 QUERIES["idw"] = (q_idw, q_idw_oracle)
+
+
+def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-4 Douglas-Peucker simplification of every zone ring at 0.005 deg
+    tolerance — kept-vertex set, deterministic argmax splits."""
+    from ..operators import simplify
+
+    register_geometry_views(spark, sf_dir)
+    return simplify.simplify_dp(
+        spark.table("geo_polys"), eps_deg=0.005, k_rounds=4
+    )
+
+
+def q_simplify_oracle() -> str:
+    from ..operators import simplify
+
+    return duck_geometry_ctes() + simplify.simplify_dp_oracle_sql(
+        "geo_polys", eps_deg=0.005, k_rounds=4, with_prefix=False
+    )
+
+
+QUERIES["simplify"] = (q_simplify, q_simplify_oracle)

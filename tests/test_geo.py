@@ -259,3 +259,60 @@ def test_geohash_prefix_is_parent(spark):
         f"{layout.geohash_expr('lat', 'lon', 6, 'spark')} as direct",
     ).where("pre != direct")
     assert bad.count() == 0
+
+
+# --- Douglas-Peucker (depth-limited) ---------------------------------------
+def _dp_ref(pts, eps, depth):
+    """Pure-python depth-limited DP over [(lat, lon), ...] -> kept 1-based idx."""
+    kept = {1, len(pts)}
+
+    def rec(s, e, d):
+        if d == 0 or e <= s + 1:
+            return
+        ys, xs = pts[s - 1]
+        ye, xe = pts[e - 1]
+        dx, dy = xe - xs, ye - ys
+        len2 = dx * dx + dy * dy
+        best_m, best_v = -1.0, None
+        for v in range(s + 1, e):
+            yv, xv = pts[v - 1]
+            px, py = xv - xs, yv - ys
+            if len2 == 0.0:
+                m = px * px + py * py
+            else:
+                cr = dx * py - dy * px
+                m = (cr * cr) / len2
+            if m > best_m:
+                best_m, best_v = m, v
+        if best_m > eps * eps:
+            kept.add(best_v)
+            rec(s, best_v, d - 1)
+            rec(best_v, e, d - 1)
+
+    rec(1, len(pts), depth)
+    return kept
+
+
+def test_simplify_matches_python_reference(spark):
+    from osm_to_netex_spark.operators import simplify
+
+    # a noisy zigzag plus a straight run that must collapse
+    pts = [(0.0, float(i)) for i in range(5)]
+    pts += [(1.5, 5.0), (0.0, 6.0), (-2.0, 7.0), (0.1, 8.0), (0.0, 9.0)]
+    pl = [c for p in pts for c in p]
+    df = spark.createDataFrame([(1, pl)], "zone_id long, pos_list array<double>")
+    for eps, k in ((0.5, 4), (0.05, 2), (3.0, 4)):
+        got = {
+            r["vertex_idx"]
+            for r in simplify.simplify_dp(df, eps_deg=eps, k_rounds=k).collect()
+        }
+        assert got == _dp_ref(pts, eps, k), (eps, k)
+
+
+def test_simplify_straight_line_collapses(spark):
+    from osm_to_netex_spark.operators import simplify
+
+    pl = [c for i in range(20) for c in (float(i) * 0.1, float(i) * 0.2)]
+    df = spark.createDataFrame([(7, pl)], "zone_id long, pos_list array<double>")
+    got = simplify.simplify_dp(df, eps_deg=1e-9, k_rounds=5).collect()
+    assert {r["vertex_idx"] for r in got} == {1, 20}

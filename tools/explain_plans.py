@@ -123,6 +123,11 @@ CHECKS = {
     ),
     # IDW: ring-join candidates + one agg; Python never
     "idw": (["HashAggregate", "[codegen id"], ["BatchEvalPython"]),
+    # depth-K DP: K rounds of groupBy argmax — no joins, no Python
+    "simplify": (
+        ["HashAggregate", "[codegen id"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
