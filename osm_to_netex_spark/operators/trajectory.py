@@ -1,0 +1,118 @@
+"""Trajectory analytics: gap-based trip segmentation + movement statistics.
+
+The geospatial sibling of event sessionization: an ordered point stream per
+user becomes trips (30-min-gap rule), each with path length (sum of
+haversine legs in timestamp order), straight-line displacement, duration,
+and sinuosity.  One dual-dialect SQL string drives both the Spark plan and
+the DuckDB oracle, so every float op is replayed exactly:
+
+* legs are computed per-row with lag() inside ONE window partition per
+  user (no self-join), zeroed across trip boundaries;
+* the per-trip path SUM folds legs in (ts, event_id) order —
+  collect_list → array_sort → aggregate, the engine's order-free float
+  discipline — so the result is independent of partitioning;
+* trip endpoints come from lexicographic struct min/max (ts, event_id,
+  lat, lon) — partial-aggregatable, deterministic;
+* duration uses tz-free fractional epoch seconds (micros/1e6 in both
+  engines).
+
+Scale shape: one shuffle on user_id for the window, one groupBy
+(user, trip) with map-side combine; per-key state is a user's single trip
+— bounded by the gap rule, never corpus-sized.  The reference has no
+temporal surface at all; this is engine-side (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.portable import DUCK, SPARK, concat_str, flit, haversine_m, prand
+
+
+def _ep(d: str):
+    if d == SPARK:
+        return lambda c: (
+            f"(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {c}) / 1.0e6)"
+        )
+    return lambda c: f"epoch({c})"
+
+
+def trip_stats_sql(
+    d: str,
+    events_table: str = "events",
+    gap_s: float = 1800.0,
+    bbox: tuple[float, float, float, float] = (59.4, 9.6, 60.2, 10.6),
+) -> str:
+    """(user_id, trip, n_points, duration_s, path_m, displacement_m,
+    sinuosity) — trips are 1-based per user in time order.
+
+    Coordinates are synthesized deterministically from event_id (portable
+    hash into ``bbox``) so the same SQL is a complete, engine-independent
+    workload; swap the ``pts`` CTE for a real (user, ts, lat, lon) stream."""
+    lat_lo, lon_lo, lat_hi, lon_hi = bbox
+    plat = prand(concat_str(["'tr:lat:'", "event_id"], d), d)
+    plon = prand(concat_str(["'tr:lon:'", "event_id"], d), d)
+    ep = _ep(d)
+    gap = f"{ep('ts')} - {ep('lag(ts) over w')}"
+    leg = haversine_m(
+        "lag(lat) over w", "lag(lon) over w", "lat", "lon", d
+    )
+    if d == SPARK:
+        fold = (
+            "aggregate(transform(array_sort(collect_list(struct(ts, event_id, leg))), "
+            "x -> x.leg), cast(0.0 as double), (s, v) -> s + v)"
+        )
+        first_ = "min(struct(ts, event_id, lat, lon))"
+        last_ = "max(struct(ts, event_id, lat, lon))"
+    else:
+        fold = (
+            "list_reduce(list_prepend(0.0e0, list_transform("
+            "list_sort(list(struct_pack(ts := ts, event_id := event_id, leg := leg))), "
+            "x -> x.leg)), (s, v) -> s + v)"
+        )
+        first_ = "min(struct_pack(ts := ts, event_id := event_id, lat := lat, lon := lon))"
+        last_ = "max(struct_pack(ts := ts, event_id := event_id, lat := lat, lon := lon))"
+    disp = haversine_m("f0.lat", "f0.lon", "l0.lat", "l0.lon", d)
+    return f"""
+        with pts as (
+            select user_id, event_id, ts,
+                   {flit(lat_lo)} + {plat} * {flit(lat_hi - lat_lo)} as lat,
+                   {flit(lon_lo)} + {plon} * {flit(lon_hi - lon_lo)} as lon
+            from {events_table}
+        ),
+        flagged as (
+            select user_id, event_id, ts, lat, lon,
+                   case when ({gap}) is null or ({gap}) > {flit(gap_s)} then 1 else 0 end as brk,
+                   case when ({gap}) is null or ({gap}) > {flit(gap_s)} then 0.0e0
+                        else ({leg}) end as leg,
+                   {ep('ts')} as eps
+            from pts
+            window w as (partition by user_id order by ts asc, event_id asc)
+        ),
+        tripped as (
+            select *, cast(sum(brk) over w2 as bigint) as trip
+            from flagged
+            window w2 as (partition by user_id order by ts asc, event_id asc
+                          rows between unbounded preceding and current row)
+        ),
+        agg as (
+            select user_id, trip,
+                   cast(count(*) as bigint) as n_points,
+                   round(max(eps) - min(eps), 6) as duration_s,
+                   round({fold}, 6) as path_m,
+                   {first_} as f0,
+                   {last_} as l0
+            from tripped group by user_id, trip
+        )
+        select user_id, trip, n_points, duration_s, path_m,
+               round({disp}, 6) as displacement_m,
+               round(case when ({disp}) = 0.0e0 then 0.0e0 else path_m / ({disp}) end, 6)
+                   as sinuosity
+        from agg"""
+
+
+def trip_stats(
+    spark: SparkSession, events: DataFrame, gap_s: float = 1800.0
+) -> DataFrame:
+    events.createOrReplaceTempView("__traj_events")
+    return spark.sql(trip_stats_sql(SPARK, "__traj_events", gap_s))

@@ -1910,3 +1910,21 @@ def q_simplify_oracle() -> str:
 
 
 QUERIES["simplify"] = (q_simplify, q_simplify_oracle)
+
+
+def q_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory trip segmentation + movement stats (path via order-free
+    sorted leg fold, endpoints via struct min/max)."""
+    from ..operators import trajectory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trajectory.trip_stats(spark, ev)
+
+
+def q_trips_oracle() -> str:
+    from ..operators import trajectory
+
+    return trajectory.trip_stats_sql(DUCK, "events")
+
+
+QUERIES["trips"] = (q_trips, q_trips_oracle)

@@ -363,3 +363,20 @@ def test_adaptive_partition_bounds_and_levels(spark):
     out2 = T.adaptive_partition(df.repartition(13), cap=50, res_lo=5, res_hi=8)
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
     out.unpersist()
+
+
+def test_trip_stats_partition_invariant_and_sane(spark):
+    from osm_to_netex_spark.operators import trajectory
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = trajectory.trip_stats(spark, ev).collect()
+    b = trajectory.trip_stats(spark, ev.repartition(17, "event_id")).collect()
+    key = lambda rows: {(r["user_id"], r["trip"]): tuple(r) for r in rows}
+    assert key(a) == key(b) and len(a) > 0
+    for r in a:
+        # path is a sum of legs >= the straight-line displacement (up to the
+        # 1e-6 rounding applied to both)
+        assert r["path_m"] + 1e-5 >= r["displacement_m"]
+        assert r["n_points"] >= 1 and r["duration_s"] >= 0.0
+    multi = [r for r in a if r["n_points"] > 1]
+    assert multi, "fixture must contain multi-point trips"

@@ -128,6 +128,8 @@ CHECKS = {
         ["HashAggregate", "[codegen id"],
         ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # trips: one window + one agg, no joins
+    "trips": (["Window", "HashAggregate"], ["BatchEvalPython", "Join", "CartesianProduct"]),
 }
 
 
