@@ -1928,3 +1928,53 @@ def q_trips_oracle() -> str:
 
 
 QUERIES["trips"] = (q_trips, q_trips_oracle)
+
+
+def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: filter built over big-spender
+    custkeys (orders > 40k), probed by every customer; output carries the
+    deterministic might_contain verdict AND exact membership, so the false
+    positives themselves are value-hash-gated."""
+    from ..operators import bloom
+
+    register_geometry_views(spark, sf_dir)
+    keys = (
+        spark.table("orders")
+        .where("o_totalprice > 40000.0e0")
+        .selectExpr("o_custkey as k")
+        .distinct()
+    )
+    bits = bloom.bloom_build(keys, "k", m_bits=2048, k_hashes=3)
+    probes = spark.table("customer").selectExpr("c_custkey as k")
+    out = bloom.bloom_probe(probes, bits, "k", m_bits=2048, k_hashes=3)
+    actual = keys.selectExpr("k", "true as actual")
+    return out.join(actual, "k", "left").selectExpr(
+        "k as cust_key", "might_contain", "coalesce(actual, false) as actual"
+    )
+
+
+def q_bloom_oracle() -> str:
+    from ..operators import bloom
+
+    bits = ", ".join(
+        bloom.bit_expr("k", s, 2048, DUCK) for s in range(3)
+    )
+    return f"""
+        with keys as (select distinct o_custkey as k from orders
+                      where o_totalprice > 40000.0e0),
+        bts as (select distinct bit from (
+            {' union all '.join(f'select {bloom.bit_expr("k", s, 2048, DUCK)} as bit from keys' for s in range(3))}
+        )),
+        probes as (select c_custkey as k from customer),
+        pr as (select k, unnest([{bits}]) as bit from probes),
+        hits as (select k from pr join bts using (bit)
+                 group by k having count(*) = 3)
+        select p.k as cust_key,
+               (h.k is not null) as might_contain,
+               (kk.k is not null) as actual
+        from probes p
+        left join hits h on p.k = h.k
+        left join keys kk on p.k = kk.k"""
+
+
+QUERIES["bloom"] = (q_bloom, q_bloom_oracle)

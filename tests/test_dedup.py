@@ -306,3 +306,24 @@ def test_weighted_sample_global_topk_plan(spark):
         df.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
     assert df.count() == 10
+
+
+# --- bloom filter -----------------------------------------------------------
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from osm_to_netex_spark.operators import bloom
+
+    keys = spark.range(0, 400).selectExpr("id * 7 as k")
+    bits = bloom.bloom_build(keys, "k", m_bits=8192, k_hashes=3).cache()
+    # n=400, m=8192, k=3 -> theoretical FP ~ (1-e^(-kn/m))^k ~ 0.2%
+    probes = spark.range(0, 4000).selectExpr("id as k")
+    out = bloom.bloom_probe(probes, bits, "k", m_bits=8192, k_hashes=3)
+    rows = {r["k"]: r["might_contain"] for r in out.collect()}
+    members = {i * 7 for i in range(400)}
+    fp = 0
+    for k, might in rows.items():
+        if k in members and k < 4000:
+            assert might, f"false negative at {k}"
+        elif might and k not in members:
+            fp += 1
+    assert fp < 40  # ~1% slack over the ~0.2% expectation
+    bits.unpersist()

@@ -130,6 +130,11 @@ CHECKS = {
     ),
     # trips: one window + one agg, no joins
     "trips": (["Window", "HashAggregate"], ["BatchEvalPython", "Join", "CartesianProduct"]),
+    # bloom: bit table broadcast into the probe join
+    "bloom": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 
