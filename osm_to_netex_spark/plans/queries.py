@@ -1978,3 +1978,26 @@ def q_bloom_oracle() -> str:
 
 
 QUERIES["bloom"] = (q_bloom, q_bloom_oracle)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 10 != 0) flagged by
+    4-gram overlap with the held-out eval slice (doc_id % 10 == 0); eval
+    shingle-hash set is broadcast, the corpus is never shuffled by shingle."""
+    from ..operators import contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.where("doc_id % 10 <> 0")
+    ev = docs.where("doc_id % 10 = 0")
+    return contamination.decontaminate(train, ev, n_shingle=4)
+
+
+def q_decontaminate_oracle() -> str:
+    from ..operators import contamination
+
+    return contamination.decontaminate_oracle_sql(
+        "doc_id % 10 <> 0", "doc_id % 10 = 0", n_shingle=4
+    )
+
+
+QUERIES["decontaminate"] = (q_decontaminate, q_decontaminate_oracle)
