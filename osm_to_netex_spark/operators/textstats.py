@@ -88,3 +88,81 @@ def text_stats_oracle_sql(table: str = "documents", id_col: str = "doc_id", text
                {tx.rolling_fingerprint(text_col, d)} as fingerprint
         from {table}
     """
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition filters (Rae et al. 2021 §A1.1):
+    per doc, the fraction of n-gram OCCURRENCES that are repeats and the
+    fraction of document characters covered by the single most frequent
+    n-gram.  High values mean boilerplate / degenerate text.
+
+    Scale shape: one explode keyed by (doc_id, gram) with map-side combine —
+    per-doc cardinality is bounded by doc length, so partitions stay balanced
+    without salting (no gram is shared across groups).  The argmax n-gram is
+    a struct-max aggregate (count, then gram length, then gram — fully
+    deterministic), not a window, so the whole thing is two partial-agg
+    shuffles on doc_id.  Text leaves the scan only as the grams themselves.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+        F.explode(F.expr(tx.word_shingles(text_col, n, SPARK))).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "n_chars", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max(F.struct("cnt", F.length("gram").alias("glen"), "gram")).alias("top"),
+        F.first("n_chars").alias("n_chars"),
+    )
+    out = per_doc.selectExpr(
+        "doc_id",
+        "cast(n_grams as bigint) as n_grams",
+        "cast(n_distinct as bigint) as n_distinct",
+        "round(cast(n_grams - n_distinct as double) / cast(n_grams as double), 9) as dup_frac",
+        "cast(top.cnt as bigint) as top_cnt",
+        "round(cast(top.cnt * top.glen as double) / cast(n_chars as double), 9) as top_char_frac",
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(out, "doc_id", "left").selectExpr(
+        "doc_id",
+        "coalesce(n_grams, 0) as n_grams",
+        "coalesce(n_distinct, 0) as n_distinct",
+        "coalesce(dup_frac, 0.0e0) as dup_frac",
+        "coalesce(top_cnt, 0) as top_cnt",
+        "coalesce(top_char_frac, 0.0e0) as top_char_frac",
+    )
+
+
+def repetition_stats_oracle_sql(
+    n: int = 2, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB replay: same grams, same struct-max tiebreak (count desc,
+    gram length desc, gram desc), same rounding."""
+    d = DUCK
+    sh = tx.word_shingles(text_col, n, d)
+    return f"""
+        with g as (select {id_col} as doc_id, len({text_col}) as n_chars,
+                          unnest({sh}) as gram
+                   from {table}),
+        pg as (select doc_id, n_chars, gram, count(*) as cnt
+               from g group by doc_id, n_chars, gram),
+        pd as (select doc_id,
+                      sum(cnt) as n_grams,
+                      count(*) as n_distinct,
+                      any_value(n_chars) as n_chars,
+                      max(struct_pack(cnt := cnt, glen := len(gram), gram := gram)) as top
+               from pg group by doc_id)
+        select b.{id_col} as doc_id,
+               cast(coalesce(p.n_grams, 0) as bigint) as n_grams,
+               cast(coalesce(p.n_distinct, 0) as bigint) as n_distinct,
+               coalesce(round(cast(p.n_grams - p.n_distinct as double)
+                              / cast(p.n_grams as double), 9), 0.0e0) as dup_frac,
+               cast(coalesce((p.top).cnt, 0) as bigint) as top_cnt,
+               coalesce(round(cast((p.top).cnt * (p.top).glen as double)
+                              / cast(p.n_chars as double), 9), 0.0e0) as top_char_frac
+        from {table} b left join pd p on b.{id_col} = p.doc_id"""

@@ -2001,3 +2001,17 @@ def q_decontaminate_oracle() -> str:
 
 
 QUERIES["decontaminate"] = (q_decontaminate, q_decontaminate_oracle)
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: duplicate-2gram occurrence
+    fraction and top-2gram character coverage per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.repetition_stats(docs, n=2)
+
+
+def q_repetition_oracle() -> str:
+    return textstats.repetition_stats_oracle_sql(n=2)
+
+
+QUERIES["repetition"] = (q_repetition, q_repetition_oracle)
