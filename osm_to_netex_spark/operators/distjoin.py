@@ -268,3 +268,135 @@ def snap_join(
         F.col("__m.seg_idx").alias("seg_idx"),
         F.round(F.col("__m.__d"), 6).alias("dist_m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# polyline × polyline intersection join
+# ---------------------------------------------------------------------------
+def _seg_cross_exprs(prefix_a: str = "a", prefix_b: str = "b") -> tuple[str, str, str]:
+    """(predicate, intersect_lat, intersect_lon) SQL for one segment pair —
+    plain arithmetic, valid verbatim in BOTH dialects.
+
+    Proper crossing only (strict opposite orientations both ways): collinear
+    overlaps and endpoint touches are excluded, the same measure-zero
+    convention as geo.segments_cross.  The intersection point comes from the
+    parametric solve t = cross(b1-a1, s) / cross(r, s); under the predicate
+    the denominator is nonzero, and the op sequence is fixed so the doubles
+    are bit-identical cross-engine."""
+    a, b = prefix_a, prefix_b
+    ax1, ay1, ax2, ay2 = f"{a}x1", f"{a}y1", f"{a}x2", f"{a}y2"
+    bx1, by1, bx2, by2 = f"{b}x1", f"{b}y1", f"{b}x2", f"{b}y2"
+
+    def orient(ox, oy, px, py, qx, qy):
+        return (
+            f"(({px} - {ox}) * ({qy} - {oy}) - ({py} - {oy}) * ({qx} - {ox}))"
+        )
+
+    d1 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    pred = f"(({d1}) * ({d2}) < 0.0e0 AND ({d3}) * ({d4}) < 0.0e0)"
+    rx, ry = f"({ax2} - {ax1})", f"({ay2} - {ay1})"
+    sx, sy = f"({bx2} - {bx1})", f"({by2} - {by1})"
+    denom = f"({rx} * {sy} - {ry} * {sx})"
+    t = f"((({bx1} - {ax1}) * {sy} - ({by1} - {ay1}) * {sx}) / {denom})"
+    iy = f"({ay1} + {t} * {ry})"
+    ix = f"({ax1} + {t} * {rx})"
+    return pred, iy, ix
+
+
+def _segments(lines: DataFrame, line_id: str, pos_list: str, p: str) -> DataFrame:
+    """Explode packed pos_list → one row per segment with endpoint columns
+    {p}x1/{p}y1/{p}x2/{p}y2 (x=lon, y=lat)."""
+    return lines.selectExpr(
+        f"{line_id} as {p}_id",
+        f"{pos_list} as __pl",
+        f"explode(sequence(1, size({pos_list}) div 2 - 1)) as __i",
+    ).selectExpr(
+        f"{p}_id",
+        f"__i as {p}_seg",
+        f"element_at(__pl, cast(2*__i - 1 as int)) as {p}y1",
+        f"element_at(__pl, cast(2*__i as int)) as {p}x1",
+        f"element_at(__pl, cast(2*__i + 1 as int)) as {p}y2",
+        f"element_at(__pl, cast(2*__i + 2 as int)) as {p}x2",
+    )
+
+
+def _seg_bbox_cells(segs: DataFrame, p: str, res: int) -> DataFrame:
+    """Cells of each segment's (unpadded) bbox — any point ON the segment
+    lies in the bbox, so two intersecting segments always share ≥1 cell."""
+    ix_lo, iy_lo = geo.quad_ixy(f"least({p}y1, {p}y2)", f"least({p}x1, {p}x2)", res, SPARK)
+    ix_hi, iy_hi = geo.quad_ixy(f"greatest({p}y1, {p}y2)", f"greatest({p}x1, {p}x2)", res, SPARK)
+    keep = [f"{p}_id", f"{p}_seg", f"{p}y1", f"{p}x1", f"{p}y2", f"{p}x2"]
+    return (
+        segs.selectExpr(
+            *keep,
+            f"{ix_lo} as __ixl", f"{ix_hi} as __ixh",
+            f"explode(sequence({iy_lo}, {iy_hi})) as __cy",
+        )
+        .selectExpr(*keep, "__cy", "explode(sequence(__ixl, __ixh)) as __cx")
+        .selectExpr(*keep, geo.quad_pack("__cx", "__cy", res) + " as __cell")
+    )
+
+
+def line_intersection_join(
+    lines_a: DataFrame,
+    lines_b: DataFrame,
+    res: int = 12,
+    line_id: str = "zone_id",
+    pos_list: str = "pos_list",
+) -> DataFrame:
+    """All properly-crossing segment pairs between two polyline sets, with
+    the intersection point — (a_id, a_seg, b_id, b_seg, int_lat, int_lon).
+
+    The road×river / boundary-conflict workload (≈ ST_Intersects on
+    linestrings, crossing points materialized).  Shape: both sides explode
+    to segments ONCE, each segment emits its bbox cells at ``res`` (a point
+    common to two segments lies in both bboxes ⇒ in a shared cell, so the
+    prefilter is provably complete); candidates equi-join on the cell and
+    dedup on the pair key BEFORE the exact refine, so a pair spanning k
+    shared cells is tested once.  No cartesian term; the shuffle key is the
+    cell, AQE-splittable when geometry piles into dense cells.  Pick ``res``
+    with cell edge ≈ median segment length (snap_join's rule)."""
+    a = _seg_bbox_cells(_segments(lines_a, line_id, pos_list, "a"), "a", res)
+    b = _seg_bbox_cells(_segments(lines_b, line_id, pos_list, "b"), "b", res)
+    pred, iy, ix = _seg_cross_exprs("a", "b")
+    cand = (
+        a.join(b, "__cell")
+        .drop("__cell")
+        .dropDuplicates(["a_id", "a_seg", "b_id", "b_seg"])
+    )
+    return (
+        cand.where(F.expr(pred))
+        .selectExpr(
+            "a_id", "a_seg", "b_id", "b_seg",
+            f"round({iy}, 9) as int_lat",
+            f"round({ix}, 9) as int_lon",
+        )
+    )
+
+
+def line_intersection_oracle_sql(
+    lines_a_cte: str,
+    lines_b_cte: str,
+    line_id: str = "zone_id",
+    pos_list: str = "pos_list",
+) -> str:
+    """DuckDB brute replay: explode both sides, cross join, same predicate
+    and the same intersection-point op sequence."""
+    pred, iy, ix = _seg_cross_exprs("a", "b")
+
+    def seg(cte: str, p: str) -> str:
+        return f"""(
+            select {line_id} as {p}_id, t.i as {p}_seg,
+                   {pos_list}[2*t.i - 1] as {p}y1, {pos_list}[2*t.i] as {p}x1,
+                   {pos_list}[2*t.i + 1] as {p}y2, {pos_list}[2*t.i + 2] as {p}x2
+            from {cte}, unnest(generate_series(1, len({pos_list}) // 2 - 1)) t(i)
+        )"""
+
+    return f"""
+        select a_id, a_seg, b_id, b_seg,
+               round({iy}, 9) as int_lat, round({ix}, 9) as int_lon
+        from {seg(lines_a_cte, 'a')} a cross join {seg(lines_b_cte, 'b')} b
+        where {pred}"""

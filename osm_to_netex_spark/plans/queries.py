@@ -2015,3 +2015,29 @@ def q_repetition_oracle() -> str:
 
 
 QUERIES["repetition"] = (q_repetition, q_repetition_oracle)
+
+
+def q_line_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline crossing join: ring segments of odd zones × even zones,
+    properly-crossing pairs with the intersection point (cell-cover
+    prefilter, dedup before refine — operators.distjoin)."""
+    from ..operators import distjoin
+
+    register_geometry_views(spark, sf_dir)
+    polys = spark.table("geo_polys")
+    return distjoin.line_intersection_join(
+        polys.where("zone_id % 2 = 1"), polys.where("zone_id % 2 = 0"), res=12
+    )
+
+
+def q_line_intersect_oracle() -> str:
+    from ..operators import distjoin
+
+    body = distjoin.line_intersection_oracle_sql(
+        "(select * from geo_polys where zone_id % 2 = 1)",
+        "(select * from geo_polys where zone_id % 2 = 0)",
+    )
+    return f"{duck_geometry_ctes()} {body}"
+
+
+QUERIES["line_intersect"] = (q_line_intersect, q_line_intersect_oracle)
