@@ -313,3 +313,97 @@ def adaptive_partition(
         cell = F.when(F.col(f"__n{r}") <= cap, F.col(f"__c{r}")).otherwise(cell)
         res = F.when(F.col(f"__n{r}") <= cap, F.lit(r)).otherwise(res)
     return out.select(F.col(point_id), cell.alias("cell"), res.alias("res"))
+
+
+def smooth_density(
+    points: DataFrame,
+    res: int = 9,
+    k: int = 2,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Kernel-smoothed point density per quad cell — the heatmap /
+    hotspot-detection rollup: every cell's density is the kernel-weighted
+    sum of point counts over its (2k+1)² Chebyshev neighbourhood, weight
+    1/(1+ring_distance).
+
+    Float discipline: weights are carried as INTEGERS scaled by
+    lcm(1..k+1) — cnt·w folds as exact bigint arithmetic in any order
+    (partial-agg/merge safe), with ONE double division at the end, so the
+    result is bit-identical across partitionings and engines.
+
+    Shape: two partial-aggregated shuffles — (ix, iy) count, then the
+    (2k+1)²-way scatter re-aggregated on the target cell.  The scatter runs
+    over the CELL table (≪ points), not the corpus.  Cells with no point in
+    their neighbourhood are absent (density 0 by convention).
+    """
+    import math as _m
+
+    lcm = _m.lcm(*range(1, k + 2))
+    ix, iy = geo.quad_ixy(lat, lon, res, SPARK)
+    counts = (
+        points.selectExpr(f"{ix} as cx", f"{iy} as cy")
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n = 2**res
+    scatter = (
+        counts.selectExpr("cx", "cy", "cnt", f"explode(sequence({-k}, {k})) as dx")
+        .selectExpr("cx", "cy", "cnt", "dx", f"explode(sequence({-k}, {k})) as dy")
+        .selectExpr(
+            "cx + dx as tx",
+            "cy + dy as ty",
+            "cnt",
+            f"cast({lcm} as bigint) div (1 + greatest(abs(dx), abs(dy))) as w",
+            "cast(dx = 0 and dy = 0 as bigint) * cnt as self_cnt",
+        )
+        .where(f"tx >= 0 and tx < {n} and ty >= 0 and ty < {n}")
+    )
+    return (
+        scatter.groupBy("tx", "ty")
+        .agg(
+            F.sum(F.expr("cnt * w")).alias("wsum"),
+            F.sum("self_cnt").alias("raw_cnt"),
+        )
+        .selectExpr(
+            "tx as cell_x",
+            "ty as cell_y",
+            "cast(raw_cnt as bigint) as raw_cnt",
+            f"round(cast(wsum as double) / {float(lcm)!r}e0, 9) as density",
+        )
+    )
+
+
+def smooth_density_oracle_sql(
+    points_sql_text: str,
+    res: int = 9,
+    k: int = 2,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB replay: same integer-weight fold, same single division."""
+    import math as _m
+
+    from ..functions.portable import DUCK
+
+    lcm = _m.lcm(*range(1, k + 2))
+    ix, iy = geo.quad_ixy(lat, lon, res, DUCK)
+    n = 2**res
+    return f"""
+        with pts as ({points_sql_text}),
+        counts as (select {ix} as cx, {iy} as cy, count(*) as cnt
+                   from pts group by 1, 2),
+        scatter as (
+            select cx + dx.x as tx, cy + dy.y as ty, cnt,
+                   {lcm} // (1 + greatest(abs(dx.x), abs(dy.y))) as w,
+                   cast(dx.x = 0 and dy.y = 0 as bigint) * cnt as self_cnt
+            from counts,
+                 unnest(generate_series({-k}, {k})) dx(x),
+                 unnest(generate_series({-k}, {k})) dy(y)
+            where cx + dx.x >= 0 and cx + dx.x < {n}
+              and cy + dy.y >= 0 and cy + dy.y < {n}
+        )
+        select tx as cell_x, ty as cell_y,
+               cast(sum(self_cnt) as bigint) as raw_cnt,
+               round(cast(sum(cnt * w) as double) / {float(lcm)!r}e0, 9) as density
+        from scatter group by tx, ty"""

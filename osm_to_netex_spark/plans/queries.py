@@ -2041,3 +2041,21 @@ def q_line_intersect_oracle() -> str:
 
 
 QUERIES["line_intersect"] = (q_line_intersect, q_line_intersect_oracle)
+
+
+def q_smooth_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-smoothed cell density heatmap (quad res 12, Chebyshev k=2):
+    integer-scaled weights fold exactly, one double division at the end."""
+    from ..operators import tiling
+
+    register_geometry_views(spark, sf_dir)
+    return tiling.smooth_density(spark.table("geo_points"), res=12, k=2)
+
+
+def q_smooth_density_oracle() -> str:
+    from ..operators import tiling
+
+    return tiling.smooth_density_oracle_sql(points_sql(DUCK), res=12, k=2)
+
+
+QUERIES["smooth_density"] = (q_smooth_density, q_smooth_density_oracle)
