@@ -142,3 +142,127 @@ def kmeans_oracle_sql(
     return (
         "with " + ", ".join(ctes) + f" select vid, cluster from a{iters - 1}"
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over geographic points
+# ---------------------------------------------------------------------------
+def dbscan(
+    points: DataFrame,
+    eps_m: float,
+    min_pts: int,
+    res: int = 13,
+    id_col: str = "point_id",
+) -> DataFrame:
+    """Deterministic DBSCAN (Ester et al. KDD'96) over (lat, lon) points:
+    (point_id, cluster, kind) with kind ∈ core/border/noise and cluster =
+    the MIN core id reachable through the eps-graph (noise → cluster -1).
+
+    Composition of two existing exact primitives — nothing new to trust:
+
+    * eps-neighbor pairs come from ``distjoin.radius_join`` (cell-pruned,
+      provably equal to the brute cross join; the self-pair is included so
+      |N_eps(p)| counts p itself, the textbook definition);
+    * core points: one partial-agg count per point;
+    * clusters: ``dedup.connected_components`` (alternating-star, O(log n)
+      rounds) over CORE-CORE edges only — border points never enter the
+      component loop, which is what keeps chain-linking out (the classic
+      DBSCAN property) and bounds the graph by the core set;
+    * border points: min cluster label over their core neighbors — a
+      deterministic tiebreak where the original algorithm says "any".
+
+    Everything shuffles on point/cell keys; no driver state beyond the
+    component loop's bounded rounds.
+    """
+    from . import dedup
+    from .distjoin import radius_join
+
+    pairs = radius_join(points, points, radius_m=eps_m, res=res, left_id=id_col, right_id=id_col)
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    ncnt = pairs.groupBy(a).agg(F.count("*").alias("n_eps"))
+    core = ncnt.where(F.col("n_eps") >= min_pts).select(F.col(a).alias("cid"))
+
+    core_edges = (
+        pairs.where(F.col(a) < F.col(b))
+        .join(core.withColumnRenamed("cid", a), a)
+        .join(core.withColumnRenamed("cid", b), b)
+        .select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
+    )
+    comp = dedup.connected_components(core_edges)
+    core_label = core.join(
+        comp.withColumnRenamed("doc_id", "cid"), "cid", "left"
+    ).select(
+        "cid", F.coalesce("component", F.col("cid")).alias("cluster")
+    )
+
+    border = (
+        pairs.join(core_label.withColumnRenamed("cid", b), b)
+        .join(core.withColumnRenamed("cid", a), a, "left_anti")
+        .groupBy(a)
+        .agg(F.min("cluster").alias("cluster"))
+    )
+
+    base = points.select(F.col(id_col).alias("pid"))
+    out = (
+        base.join(core_label.withColumnRenamed("cid", "pid"), "pid", "left")
+        .withColumnRenamed("cluster", "core_cluster")
+        .join(border.withColumnRenamed(a, "pid").withColumnRenamed("cluster", "border_cluster"),
+              "pid", "left")
+    )
+    return out.selectExpr(
+        f"pid as {id_col}",
+        "coalesce(core_cluster, border_cluster, -1) as cluster",
+        "case when core_cluster is not null then 'core' "
+        "when border_cluster is not null then 'border' else 'noise' end as kind",
+    )
+
+
+def dbscan_oracle_sql(
+    points_sql_text: str,
+    eps_m: float,
+    min_pts: int,
+    id_col: str = "point_id",
+) -> str:
+    """DuckDB replay: brute eps-pairs (same haversine), recursive-CTE
+    reachability over core-core edges, same min-label conventions."""
+    from ..functions.portable import DUCK, haversine_m
+
+    dist = haversine_m("p.lat", "p.lon", "q.lat", "q.lon", DUCK)
+    return f"""
+        with recursive pts as ({points_sql_text}),
+        pairs as (
+            select p.{id_col} as a, q.{id_col} as b
+            from pts p cross join pts q
+            where {dist} <= {eps_m!r}e0
+        ),
+        core as (select a as cid from pairs group by a having count(*) >= {min_pts}),
+        ce as (
+            select a, b from pairs
+            where a < b and a in (select cid from core) and b in (select cid from core)
+        ),
+        edges as (select a, b from ce union select b as a, a as b from ce),
+        reach(v, l) as (
+            select a, a from edges
+            union
+            select e.a, r.l from edges e join reach r on r.v = e.b
+        ),
+        comp as (select v as cid, min(l) as component from reach group by v),
+        core_label as (
+            select c.cid, coalesce(m.component, c.cid) as cluster
+            from core c left join comp m on c.cid = m.cid
+        ),
+        border as (
+            select p.a as pid, min(cl.cluster) as cluster
+            from pairs p
+            join core_label cl on p.b = cl.cid
+            where p.a not in (select cid from core)
+            group by p.a
+        )
+        select t.{id_col},
+               coalesce(cl.cluster, b.cluster, -1) as cluster,
+               case when cl.cluster is not null then 'core'
+                    when b.cluster is not null then 'border'
+                    else 'noise' end as kind
+        from pts t
+        left join core_label cl on t.{id_col} = cl.cid
+        left join border b on t.{id_col} = b.pid"""

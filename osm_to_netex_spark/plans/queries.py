@@ -2059,3 +2059,23 @@ def q_smooth_density_oracle() -> str:
 
 
 QUERIES["smooth_density"] = (q_smooth_density, q_smooth_density_oracle)
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN spatial clustering (eps 2 km, min_pts 3): radius_join pairs →
+    core counts → connected components over core-core edges → deterministic
+    min-label borders; noise = -1 (operators.clustering.dbscan)."""
+    from ..operators import clustering
+
+    register_geometry_views(spark, sf_dir)
+    return clustering.dbscan(spark.table("geo_points"), eps_m=2000.0, min_pts=3, res=13)
+
+
+def q_dbscan_oracle() -> str:
+    from ..operators import clustering
+
+    body = clustering.dbscan_oracle_sql(points_sql(DUCK), eps_m=2000.0, min_pts=3)
+    return body
+
+
+QUERIES["dbscan"] = (q_dbscan, q_dbscan_oracle)
