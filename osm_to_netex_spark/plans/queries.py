@@ -2079,3 +2079,26 @@ def q_dbscan_oracle() -> str:
 
 
 QUERIES["dbscan"] = (q_dbscan, q_dbscan_oracle)
+
+
+def q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-preserving chunk packing of the interleaved text+media fixture
+    corpus: budget-64 chunks, media spans cost 16, spans never split or
+    reordered (operators.chunking)."""
+    from ..operators import chunking
+    from .convert_queries import FIXTURE_CORPUS
+
+    corpus = spark.read.parquet(FIXTURE_CORPUS)
+    return chunking.chunk_documents(corpus, token_budget=64, media_token_cost=16)
+
+
+def q_chunk_spans_oracle() -> str:
+    from ..operators import chunking
+    from .convert_queries import FIXTURE_CORPUS
+
+    return chunking.chunk_documents_oracle_sql(
+        FIXTURE_CORPUS, token_budget=64, media_token_cost=16
+    )
+
+
+QUERIES["chunk_spans"] = (q_chunk_spans, q_chunk_spans_oracle)
