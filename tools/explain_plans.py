@@ -135,6 +135,36 @@ CHECKS = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # decontamination: the eval shingle set must be the broadcast side; the
+    # train corpus is never cartesian-joined or shuffled through Python
+    "decontaminate": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # repetition filters: two partial aggs, argmax via struct-max — no window
+    "repetition": (
+        ["HashAggregate", "[codegen id"],
+        ["BatchEvalPython", "CartesianProduct", "Window"],
+    ),
+    # polyline crossing: cell equi-join prefilter — exact predicate must
+    # never drive a cartesian/BNLJ plan
+    "line_intersect": (
+        ["HashAggregate", "[codegen id"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # density smoothing: two partial-agg shuffles over cells — no joins
+    "smooth_density": (
+        ["HashAggregate", "[codegen id"],
+        ["BatchEvalPython", "CartesianProduct", "Join"],
+    ),
+    # dbscan: radius_join + CC loop (the BNLJ that appears is radius_join's
+    # degenerate-strip fallback, broadcast of a provably tiny side)
+    "dbscan": (["HashAggregate", "[codegen id"], ["BatchEvalPython", "CartesianProduct"]),
+    # chunk packing: posexplode + ONE window on doc_id — no joins at all
+    "chunk_spans": (
+        ["Window", "Generate"],
+        ["BatchEvalPython", "Join", "CartesianProduct"],
+    ),
 }
 
 
