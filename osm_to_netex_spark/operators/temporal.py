@@ -133,3 +133,104 @@ def date_interval_join(
         )
     )
     return refined.drop("__b")
+
+
+def trend_fit(
+    events: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_scale: int = 100,
+    time_unit_s: int = 1,
+) -> DataFrame:
+    """Per-group OLS trend line y = slope·x + intercept — (group, n, slope,
+    intercept), slope in value-units per ``time_unit_s`` seconds, x measured
+    from the group's FIRST event (so intercept = fitted value at min ts).
+
+    Exactness discipline (the reason this is value-hash-gateable): x is
+    centered integer seconds, y is half-up-quantized by ``value_scale`` —
+    every Σx, Σy, Σxy, Σx² is an exact bigint fold (order-free, map-side
+    combinable), and slope/intercept perform the ONLY floating divisions at
+    the end in a fixed op order.  Bound: |Σx²| < 2^63 holds for ~10^4 events
+    per group over a year at second resolution; for denser/longer groups
+    raise ``time_unit_s`` (hour-unit buys 3600²×) — a parameter, not a
+    redesign.
+
+    Shape: one window (min ts per group) + one aggregation, both keyed on
+    the group — the agg reuses the window's hash partitioning, so the whole
+    fit is one shuffle.  Groups with n < 2 or zero time variance emit null
+    slope/intercept.
+    """
+    # NTZ-safe integer micros: timestampdiff is timezone-free, matching
+    # DuckDB's epoch_us on the same NTZ values
+    x = (
+        f"cast(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {ts_col})"
+        f" div (1000000 * {time_unit_s}) as bigint)"
+    )
+    y = f"cast(floor({value_col} * {value_scale}.0e0 + 0.5e0) as bigint)"
+    w = Window.partitionBy("grp")
+    staged = (
+        events.selectExpr(f"{group_col} as grp", f"{x} as __x", f"{y} as __y")
+        .withColumn("__x0", F.min("__x").over(w))
+        .selectExpr("grp", "(__x - __x0) as xc", "__y as yc")
+    )
+    agg = staged.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.expr("xc * yc")).alias("sxy"),
+        F.sum(F.expr("xc * xc")).alias("sxx"),
+    )
+    denom = "(n * sxx - sx * sx)"
+    slope = f"(cast(n * sxy - sx * sy as double) / cast({denom} as double))"
+    intercept = (
+        f"((cast(sy as double) - {slope} * cast(sx as double)) / cast(n as double)"
+        f" / {float(value_scale)!r}e0)"
+    )
+    return agg.selectExpr(
+        f"grp as {group_col}",
+        "cast(n as bigint) as n",
+        f"case when n >= 2 and {denom} <> 0 then round({slope} / {float(value_scale)!r}e0, 9) end as slope",
+        f"case when n >= 2 and {denom} <> 0 then round({intercept}, 9) end as intercept",
+    )
+
+
+def trend_fit_oracle_sql(
+    table: str = "events",
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_scale: int = 100,
+    time_unit_s: int = 1,
+) -> str:
+    """DuckDB replay: same centering, same integer folds, same op order."""
+    x = f"cast(epoch_us({ts_col}) // (1000000 * {time_unit_s}) as bigint)"
+    y = f"cast(floor({value_col} * {value_scale}.0e0 + 0.5e0) as bigint)"
+    denom = "(n * sxx - sx * sx)"
+    slope = f"(cast(n * sxy - sx * sy as double) / cast({denom} as double))"
+    intercept = (
+        f"((cast(sy as double) - {slope} * cast(sx as double)) / cast(n as double)"
+        f" / {float(value_scale)!r}e0)"
+    )
+    return f"""
+        with staged as (
+            select {group_col} as grp, {x} as __x, {y} as yc
+            from {table}
+        ),
+        centered as (
+            select grp, __x - min(__x) over (partition by grp) as xc, yc
+            from staged
+        ),
+        agg as (
+            select grp, count(*) as n,
+                   sum(xc) as sx, sum(yc) as sy,
+                   sum(xc * yc) as sxy, sum(xc * xc) as sxx
+            from centered group by grp
+        )
+        select grp as {group_col},
+               cast(n as bigint) as n,
+               case when n >= 2 and {denom} <> 0
+                    then round({slope} / {float(value_scale)!r}e0, 9) end as slope,
+               case when n >= 2 and {denom} <> 0
+                    then round({intercept}, 9) end as intercept
+        from agg"""

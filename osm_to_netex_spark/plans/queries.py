@@ -2102,3 +2102,21 @@ def q_chunk_spans_oracle() -> str:
 
 
 QUERIES["chunk_spans"] = (q_chunk_spans, q_chunk_spans_oracle)
+
+
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend: exact integer sums (centered seconds ×
+    half-up-quantized values), one shuffle, two float divisions at the end."""
+    from ..operators import temporal
+
+    register_geometry_views(spark, sf_dir)
+    return temporal.trend_fit(spark.table("events"))
+
+
+def q_trend_fit_oracle() -> str:
+    from ..operators import temporal
+
+    return temporal.trend_fit_oracle_sql()
+
+
+QUERIES["trend_fit"] = (q_trend_fit, q_trend_fit_oracle)
