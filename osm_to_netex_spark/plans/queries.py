@@ -2120,3 +2120,72 @@ def q_trend_fit_oracle() -> str:
 
 
 QUERIES["trend_fit"] = (q_trend_fit, q_trend_fit_oracle)
+
+
+def _hll_setops_sql(d: str) -> str:
+    """HLL sketch SET ALGEBRA: union via per-register max (the property that
+    makes HLL mergeable across partitions/days/tables without re-scanning),
+    intersection via inclusion-exclusion — next to the exact answers.
+
+    A = click users with value > 120, B = purchase users with value > 120
+    (overlapping but distinct subsets).  Register sums stay integer
+    (Σ 2^(53-M_j)) exactly as _hll_distinct_sql; merging sketches is a
+    256-row full-outer max — constant cost no matter the corpus."""
+    from ..functions import sketch
+
+    reg = sketch.hll_register("user_id", d)
+    rho = sketch.hll_rho("user_id", d)
+    term = (
+        "shiftleft(cast(1 as bigint), 53 - m)" if d == SPARK
+        else "(cast(1 as bigint) << (53 - m))"
+    )
+    m_regs = sketch.M_REGISTERS
+    numer = sketch.ALPHA_256 * m_regs * m_regs * float(2**53)
+    est = (
+        lambda s, n: f"({numer!r} / cast({s} + ({m_regs} - {n}) * cast({2**53} as bigint) as double))"
+    )
+    return f"""
+        with a as (select distinct user_id from events
+                   where event_type = 'click' and value > 120.0e0),
+        b as (select distinct user_id from events
+              where event_type = 'purchase' and value > 120.0e0),
+        ra as (select {reg} as j, max({rho}) as m from a group by {reg}),
+        rb as (select {reg} as j, max({rho}) as m from b group by {reg}),
+        ru as (
+            select coalesce(ra.j, rb.j) as j,
+                   greatest(coalesce(ra.m, 0), coalesce(rb.m, 0)) as m
+            from ra full outer join rb on ra.j = rb.j
+        ),
+        sa as (select sum({term}) as s, cast(count(*) as bigint) as n from ra),
+        sb as (select sum({term}) as s, cast(count(*) as bigint) as n from rb),
+        su as (select sum({term}) as s, cast(count(*) as bigint) as n from ru),
+        ex as (
+            select cast(count(*) as bigint) as exact_intersection
+            from (select user_id from a) ia
+            join (select user_id from b) ib using (user_id)
+        ),
+        exu as (
+            select cast(count(distinct user_id) as bigint) as exact_union
+            from (select user_id from a union all select user_id from b) u
+        )
+        select round({est('sa.s', 'sa.n')}, 6) as est_a,
+               round({est('sb.s', 'sb.n')}, 6) as est_b,
+               round({est('su.s', 'su.n')}, 6) as est_union,
+               round({est('sa.s', 'sa.n')} + {est('sb.s', 'sb.n')}
+                     - {est('su.s', 'su.n')}, 6) as est_intersection,
+               ex.exact_intersection, exu.exact_union
+        from sa, sb, su, ex, exu"""
+
+
+def q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch union (register max merge) + inclusion-exclusion
+    intersection, beside exact answers — bit-exact integer register sums."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_hll_setops_sql(SPARK))
+
+
+def q_hll_setops_oracle() -> str:
+    return _hll_setops_sql(DUCK)
+
+
+QUERIES["hll_setops"] = (q_hll_setops, q_hll_setops_oracle)
