@@ -102,3 +102,90 @@ def pagerank_oracle_sql(table: str = "documents", n_iter: int = 5) -> str:
     return (
         "with " + ", ".join(ctes) + f" select doc_id, r as pagerank from r{n_iter}"
     )
+
+
+def grid_bfs(
+    sources: DataFrame,
+    blocked: DataFrame,
+    max_dist: int,
+    res: int,
+) -> DataFrame:
+    """Multi-source BFS over the quad-cell grid — the isochrone / catchment
+    primitive: (cell_x, cell_y, dist) for every cell reachable from any
+    source cell within ``max_dist`` 4-neighbor steps without entering a
+    blocked cell.
+
+    Inputs are cell tables (cell_x, cell_y) — sources (e.g. transit stops'
+    cells) and obstacles (e.g. water-polygon covers).  Blocked sources are
+    excluded (consistently with the oracle).
+
+    Scale shape: the classic frontier expansion, K fixed rounds — each round
+    is explode(4 offsets) → anti-join vs the settled set → distinct, all
+    keyed on the cell, so every step is a partial-agg-friendly shuffle on
+    (cell_x, cell_y) and the working set is the FRONTIER, not the grid.
+    ``localCheckpoint`` per round keeps the plan linear in K (the
+    connected-components lesson).  No data-dependent control flow: exactly K
+    rounds run, so the DuckDB recursive-CTE replay (bounded by dist <
+    max_dist) is row-identical.
+    """
+    from pyspark.sql import functions as F
+
+    n = 2**res
+    blk = blocked.selectExpr("cell_x as bx", "cell_y as by").distinct()
+    settled = (
+        sources.selectExpr("cell_x", "cell_y").distinct()
+        .join(blk, (F.col("cell_x") == F.col("bx")) & (F.col("cell_y") == F.col("by")), "left_anti")
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = settled
+    for step in range(1, max_dist + 1):
+        nxt = (
+            frontier.selectExpr(
+                "explode(array(struct(cell_x + 1 as x, cell_y as y),"
+                " struct(cell_x - 1 as x, cell_y as y),"
+                " struct(cell_x as x, cell_y + 1 as y),"
+                " struct(cell_x as x, cell_y - 1 as y))) as nb"
+            )
+            .selectExpr("nb.x as cell_x", "nb.y as cell_y")
+            .where(f"cell_x >= 0 and cell_x < {n} and cell_y >= 0 and cell_y < {n}")
+            .distinct()
+            .join(blk, (F.col("cell_x") == F.col("bx")) & (F.col("cell_y") == F.col("by")), "left_anti")
+            .join(settled.select("cell_x", "cell_y"), ["cell_x", "cell_y"], "left_anti")
+            .withColumn("dist", F.lit(step).cast("bigint"))
+            .localCheckpoint(eager=False)
+        )
+        settled = settled.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return settled
+
+
+def grid_bfs_oracle_sql(
+    sources_sql: str,
+    blocked_sql: str,
+    max_dist: int,
+    res: int,
+) -> str:
+    """DuckDB replay: recursive CTE bounded by dist < max_dist; min dist per
+    cell = BFS distance (uniform weights)."""
+    n = 2**res
+    return f"""
+        with recursive blk as (select distinct cell_x as bx, cell_y as by from ({blocked_sql}) b),
+        src as (
+            select distinct cell_x, cell_y from ({sources_sql}) s
+            where not exists (select 1 from blk where bx = cell_x and by = cell_y)
+        ),
+        reach(cell_x, cell_y, dist) as (
+            select cell_x, cell_y, cast(0 as bigint) from src
+            union
+            select r.cell_x + d.dx, r.cell_y + d.dy, r.dist + 1
+            from reach r,
+                 (values (1, 0), (-1, 0), (0, 1), (0, -1)) d(dx, dy)
+            where r.dist < {max_dist}
+              and r.cell_x + d.dx >= 0 and r.cell_x + d.dx < {n}
+              and r.cell_y + d.dy >= 0 and r.cell_y + d.dy < {n}
+              and not exists (select 1 from blk
+                              where bx = r.cell_x + d.dx and by = r.cell_y + d.dy)
+        )
+        select cell_x, cell_y, min(dist) as dist
+        from reach group by cell_x, cell_y"""

@@ -2189,3 +2189,55 @@ def q_hll_setops_oracle() -> str:
 
 
 QUERIES["hll_setops"] = (q_hll_setops, q_hll_setops_oracle)
+
+
+def _bfs_sources_sql(d: str, res: int) -> str:
+    ix, iy = geo.quad_ixy("lat", "lon", res, d)
+    return (
+        f"select {ix} as cell_x, {iy} as cell_y from geo_points "
+        f"where point_id % 20 = 0"
+    )
+
+
+def _bfs_blocked_sql(d: str, res: int) -> str:
+    """Obstacle cells: REFINED covers (center-inside or edge-overlap — the
+    tight covering, not the blanket bbox) of every 10th polygon, unpacked to
+    grid coordinates."""
+    ix, iy = geo.quad_unpack("cell", res, d)
+    cover = geo.quad_cover_refined("pos_list", res, d)
+    inner = (
+        f"select explode({cover}) as cell from geo_polys where zone_id % 10 = 0"
+        if d == SPARK
+        else f"select unnest({cover}) as cell from geo_polys where zone_id % 10 = 0"
+    )
+    return f"select {ix} as cell_x, {iy} as cell_y from ({inner}) t"
+
+
+def q_grid_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone grid BFS: 6-step multi-source frontier expansion at quad
+    res 12 from sampled stop cells, refined polygon covers as obstacles
+    (operators.graph.grid_bfs)."""
+    from ..operators import graph
+
+    register_geometry_views(spark, sf_dir)
+    res, k = 12, 6
+    sources = spark.sql(f"{_bfs_sources_sql(SPARK, res)}")
+    blocked = spark.sql(f"{_bfs_blocked_sql(SPARK, res)}")
+    return graph.grid_bfs(sources, blocked, max_dist=k, res=res)
+
+
+def q_grid_bfs_oracle() -> str:
+    from ..operators import graph
+
+    res, k = 12, 6
+    body = graph.grid_bfs_oracle_sql(
+        _bfs_sources_sql(DUCK, res), _bfs_blocked_sql(DUCK, res), max_dist=k, res=res
+    )
+    # graph.grid_bfs_oracle_sql opens its own `with recursive`; splice the
+    # geometry CTEs into it
+    return body.replace(
+        "with recursive", f"{duck_geometry_ctes().replace('with ', 'with recursive ')},", 1
+    )
+
+
+QUERIES["grid_bfs"] = (q_grid_bfs, q_grid_bfs_oracle)
