@@ -165,6 +165,18 @@ CHECKS = {
         ["Window", "Generate"],
         ["BatchEvalPython", "Join", "CartesianProduct"],
     ),
+    # OLS trend: window min + agg on the same key — ONE exchange, no joins
+    "trend_fit": (
+        ["Window", "HashAggregate"],
+        ["BatchEvalPython", "Join", "CartesianProduct"],
+    ),
+    # HLL set algebra: register aggs + constant-size (256-row) merges
+    "hll_setops": (["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
+    # grid BFS: per-round cell-keyed aggs/anti-joins; the printed plan is the
+    # post-localCheckpoint tail (per-round plans are deliberately truncated
+    # to stay linear in K), so only the no-Python/no-cartesian property is
+    # assertable here
+    "grid_bfs": ([], ["BatchEvalPython", "CartesianProduct"]),
 }
 
 
