@@ -234,3 +234,98 @@ def trend_fit_oracle_sql(
                case when n >= 2 and {denom} <> 0
                     then round({intercept}, 9) end as intercept
         from agg"""
+
+
+EPOCH_NTZ = "timestamp_ntz'1970-01-01 00:00:00'"
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: per group, the FIRST time each stage was
+    reached strictly after the previous stage — (group, n_stages,
+    t1..tk as integer epoch micros, null once the chain breaks).
+
+    The standard product-analytics query (view → click → purchase), done as
+    k chained conditional-min aggregations: stage i is
+    ``min(ts WHERE type = stages[i] AND ts > t_{i-1})`` per group.  Each
+    step is one partial-agg shuffle on the group key + one equi-join back to
+    the (tiny relative to events) per-group frontier; Catalyst pushes the
+    stage's type filter into the scan.  k is the funnel length (small
+    constant), so the whole thing is k scans of a type-partitioned events
+    table — at 100 TB you'd bucket events by group and ride the layout
+    (sources/layout.py), which removes the join shuffles entirely.
+
+    Timestamps are NTZ → integer micros via timezone-free timestampdiff, so
+    every comparison and min is exact integer arithmetic.
+    """
+    x = f"cast(timestampdiff(MICROSECOND, {EPOCH_NTZ}, {ts_col}) as bigint)"
+    base = events.selectExpr(
+        f"{group_col} as grp", f"{x} as __t", f"{type_col} as __ty"
+    )
+    frontier = base.select("grp").distinct()
+    outs = []
+    prev = None
+    for i, stage in enumerate(stages, start=1):
+        ev_i = base.where(F.col("__ty") == stage)
+        if prev is None:
+            step = ev_i.groupBy("grp").agg(F.min("__t").alias(f"t{i}"))
+        else:
+            step = (
+                ev_i.join(prev, "grp")
+                .where(F.col("__t") > F.col(f"t{i-1}"))
+                .groupBy("grp")
+                .agg(F.min("__t").alias(f"t{i}"))
+            )
+        prev = step.select("grp", f"t{i}") if prev is None else (
+            prev.join(step.select("grp", f"t{i}"), "grp")
+        )
+        outs.append(prev.select("grp", f"t{i}"))
+    result = frontier
+    for i, o in enumerate(outs, start=1):
+        result = result.join(o, "grp", "left")
+    reached = " + ".join(f"cast(t{i} is not null as int)" for i in range(1, len(stages) + 1))
+    return result.selectExpr(
+        f"grp as {group_col}",
+        f"cast({reached} as bigint) as n_stages",
+        *[f"t{i}" for i in range(1, len(stages) + 1)],
+    )
+
+
+def funnel_oracle_sql(
+    stages: list[str],
+    table: str = "events",
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB replay: identical chained conditional mins."""
+    x = f"cast(epoch_us({ts_col}) as bigint)"
+    ctes = [
+        f"base as (select {group_col} as grp, {x} as __t, {type_col} as __ty from {table})",
+        "f0 as (select distinct grp from base)",
+    ]
+    for i, stage in enumerate(stages, start=1):
+        if i == 1:
+            ctes.append(
+                f"s1 as (select grp, min(__t) as t1 from base where __ty = '{stage}' group by grp)"
+            )
+        else:
+            ctes.append(
+                f"s{i} as (select b.grp, min(b.__t) as t{i} from base b "
+                f"join s{i-1} p on b.grp = p.grp "
+                f"where b.__ty = '{stage}' and b.__t > p.t{i-1} group by b.grp)"
+            )
+    reached = " + ".join(f"cast(t{i} is not null as int)" for i in range(1, len(stages) + 1))
+    joins = " ".join(f"left join s{i} on f0.grp = s{i}.grp" for i in range(1, len(stages) + 1))
+    cols = ", ".join(f"t{i}" for i in range(1, len(stages) + 1))
+    return f"""
+        with {', '.join(ctes)}
+        select f0.grp as {group_col},
+               cast({reached} as bigint) as n_stages,
+               {cols}
+        from f0 {joins}"""

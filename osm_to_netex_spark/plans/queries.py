@@ -2241,3 +2241,21 @@ def q_grid_bfs_oracle() -> str:
 
 
 QUERIES["grid_bfs"] = (q_grid_bfs, q_grid_bfs_oracle)
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase per user: chained
+    conditional-min aggregations, integer epoch micros throughout."""
+    from ..operators import temporal
+
+    register_geometry_views(spark, sf_dir)
+    return temporal.funnel(spark.table("events"), ["view", "click", "purchase"])
+
+
+def q_funnel_oracle() -> str:
+    from ..operators import temporal
+
+    return temporal.funnel_oracle_sql(["view", "click", "purchase"])
+
+
+QUERIES["funnel"] = (q_funnel, q_funnel_oracle)
