@@ -329,3 +329,118 @@ def funnel_oracle_sql(
                cast({reached} as bigint) as n_stages,
                {cols}
         from f0 {joins}"""
+
+
+def gap_fill(
+    events: DataFrame,
+    bucket_s: int = 3600,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_scale: int = 100,
+) -> DataFrame:
+    """Regular-grid resampling with linear interpolation — (group, bucket,
+    value, filled): every ``bucket_s``-second bucket between a group's first
+    and last event, observed buckets carrying their mean, missing buckets
+    linearly interpolated between the surrounding observations.
+
+    The time-series-densification staple (sensor/metrics pipelines).  Float
+    discipline: per-bucket means are Σ(quantized int)/n — one deterministic
+    division; the interpolation v_prev + (v_next−v_prev)·Δ/span is a fixed
+    IEEE op sequence over those deterministic doubles, so the whole grid is
+    value-hash-gateable.
+
+    Shape: one partial-agg shuffle to (group, bucket) means; per-group
+    explode(sequence(min,max)) builds the grid (fan-out = time span, the
+    densification itself); two windows on the group carry the previous/next
+    observation — every stage keyed on the group, reusing one partitioning.
+    """
+    x = (
+        f"cast(timestampdiff(MICROSECOND, {EPOCH_NTZ}, {ts_col})"
+        f" div (cast(1000000 as bigint) * {bucket_s}) as bigint)"
+    )
+    y = f"cast(floor({value_col} * {value_scale}.0e0 + 0.5e0) as bigint)"
+    obs = (
+        events.selectExpr(f"{group_col} as grp", f"{x} as bucket", f"{y} as yq")
+        .groupBy("grp", "bucket")
+        .agg(F.sum("yq").alias("sy"), F.count("*").alias("n"))
+        .selectExpr(
+            "grp", "bucket",
+            f"(cast(sy as double) / cast(n as double) / {float(value_scale)!r}e0) as v",
+        )
+    )
+    grid = (
+        obs.groupBy("grp")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .selectExpr("grp", "explode(sequence(b0, b1)) as bucket")
+    )
+    g = grid.join(obs, ["grp", "bucket"], "left")
+    wp = (
+        Window.partitionBy("grp").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("grp").orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        g.withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("pb", F.last(F.expr("case when v is not null then bucket end"), ignorenulls=True).over(wp))
+        .withColumn("nv", F.last("v", ignorenulls=True).over(wn))
+        .withColumn("nb", F.last(F.expr("case when v is not null then bucket end"), ignorenulls=True).over(wn))
+    )
+    interp = (
+        "pv + (nv - pv) * (cast(bucket - pb as double) / cast(nb - pb as double))"
+    )
+    return filled.selectExpr(
+        f"grp as {group_col}",
+        "bucket",
+        f"round(case when v is not null then v else {interp} end, 9) as value",
+        "(v is null) as filled",
+    )
+
+
+def gap_fill_oracle_sql(
+    bucket_s: int = 3600,
+    table: str = "events",
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_scale: int = 100,
+) -> str:
+    """DuckDB replay: same buckets, same means, same interpolation ops."""
+    x = f"cast(epoch_us({ts_col}) // (cast(1000000 as bigint) * {bucket_s}) as bigint)"
+    y = f"cast(floor({value_col} * {value_scale}.0e0 + 0.5e0) as bigint)"
+    interp = (
+        "pv + (nv - pv) * (cast(bucket - pb as double) / cast(nb - pb as double))"
+    )
+    return f"""
+        with obs as (
+            select grp, bucket,
+                   (cast(sum(yq) as double) / cast(count(*) as double)
+                    / {float(value_scale)!r}e0) as v
+            from (select {group_col} as grp, {x} as bucket, {y} as yq from {table}) e
+            group by grp, bucket
+        ),
+        grid as (
+            select grp, unnest(generate_series(min(bucket), max(bucket))) as bucket
+            from obs group by grp
+        ),
+        g as (select grid.grp, grid.bucket, obs.v
+              from grid left join obs on grid.grp = obs.grp and grid.bucket = obs.bucket),
+        filled as (
+            select grp, bucket, v,
+                   last_value(v ignore nulls) over wp as pv,
+                   last_value(case when v is not null then bucket end ignore nulls) over wp as pb,
+                   last_value(v ignore nulls) over wn as nv,
+                   last_value(case when v is not null then bucket end ignore nulls) over wn as nb
+            from g
+            window wp as (partition by grp order by bucket
+                          rows between unbounded preceding and current row),
+                   wn as (partition by grp order by bucket desc
+                          rows between unbounded preceding and current row)
+        )
+        select grp as {group_col}, bucket,
+               round(case when v is not null then v else {interp} end, 9) as value,
+               (v is null) as filled
+        from filled"""

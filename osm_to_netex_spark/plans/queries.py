@@ -2259,3 +2259,21 @@ def q_funnel_oracle() -> str:
 
 
 QUERIES["funnel"] = (q_funnel, q_funnel_oracle)
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid resampling with linear interpolation per user: exact
+    bucket means (integer sums), fixed-op-order interpolation."""
+    from ..operators import temporal
+
+    register_geometry_views(spark, sf_dir)
+    return temporal.gap_fill(spark.table("events"), bucket_s=3600)
+
+
+def q_gap_fill_oracle() -> str:
+    from ..operators import temporal
+
+    return temporal.gap_fill_oracle_sql(bucket_s=3600)
+
+
+QUERIES["gap_fill"] = (q_gap_fill, q_gap_fill_oracle)
