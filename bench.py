@@ -256,6 +256,16 @@ def main():
         "pagerank",
         "cover_compact",
         "top_terms",
+        "decontaminate",
+        "repetition",
+        "line_intersect",
+        "smooth_density",
+        "dbscan",
+        "chunk_spans",
+        "trend_fit",
+        "funnel",
+        "gap_fill",
+        "grid_bfs",
     ]
     timings = {}
     for name in bench_queries:

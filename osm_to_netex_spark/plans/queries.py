@@ -2277,3 +2277,127 @@ def q_gap_fill_oracle() -> str:
 
 
 QUERIES["gap_fill"] = (q_gap_fill, q_gap_fill_oracle)
+
+
+def _hist_quantiles_sql(d: str, width: float = 5.0, qs=(0.5, 0.9, 0.99)) -> str:
+    """Mergeable histogram quantile sketch beside exact percentiles.
+
+    The fourth sketch of the family (CMS=frequency, HLL=distinct,
+    Bloom=membership, histogram=quantiles): per event_type, value counts in
+    fixed ``width`` buckets — a table of (key, bucket, cnt) rows, mergeable
+    by ADDITION like the others, constant-size per key no matter the corpus.
+    Quantile estimate = bucket lower edge + linear interpolation within the
+    bucket at rank q·n (integer cumsums; the interpolation is the only float
+    arithmetic, fixed op order).  The exact percentile_cont runs beside it so
+    the approximation error is visible in the gated output.
+    """
+    yq = "cast(floor(value * 100.0e0 + 0.5e0) as bigint)"
+    wq = int(round(width * 100))
+    bkt = f"({yq} div {wq})" if d == SPARK else f"({yq} // {wq})"
+    est_cols = []
+    for q in qs:
+        tag = str(q).replace("0.", "p")
+        # rank in [0, n-1] at quantile q, half-up; compare against cumulative
+        # counts to find the owning bucket, interpolate inside it
+        est_cols.append(
+            f"""max(case when cum_hi > rank_{tag} and cum_lo <= rank_{tag} then
+                round((bucket * {wq} + {wq}.0e0 *
+                       (cast(rank_{tag} - cum_lo as double) / cast(cnt as double)))
+                      / 100.0e0, 9) end) as est_{tag}"""
+        )
+        # declared per-row below
+    ranks = ", ".join(
+        f"cast(floor({q!r}e0 * cast(n - 1 as double) + 0.5e0) as bigint) as rank_{str(q).replace('0.', 'p')}"
+        for q in qs
+    )
+    exact = ", ".join(
+        f"round(quantile_cont(value, {q!r}e0), 9) as exact_{str(q).replace('0.', 'p')}"
+        if d == DUCK
+        else f"round(percentile(value, {q!r}e0), 9) as exact_{str(q).replace('0.', 'p')}"
+        for q in qs
+    )
+    win = "partition by event_type order by bucket rows between unbounded preceding and current row"
+    return f"""
+        with hist as (
+            select event_type, {bkt} as bucket,
+                   cast(count(*) as bigint) as cnt
+            from events group by event_type, {bkt}
+        ),
+        cum as (
+            select event_type, bucket, cnt,
+                   sum(cnt) over ({win}) as cum_hi,
+                   sum(cnt) over ({win}) - cnt as cum_lo
+            from hist
+        ),
+        tot as (select event_type, sum(cnt) as n from hist group by event_type),
+        ranked as (
+            select c.*, t.n, {ranks}
+            from cum c join tot t on c.event_type = t.event_type
+        ),
+        ests as (
+            select event_type, max(n) as n, {', '.join(est_cols)}
+            from ranked group by event_type
+        ),
+        ex as (select event_type, {exact} from events group by event_type)
+        select e.event_type, cast(e.n as bigint) as n,
+               {', '.join('e.est_' + str(q).replace('0.', 'p') for q in qs)},
+               {', '.join('x.exact_' + str(q).replace('0.', 'p') for q in qs)}
+        from ests e join ex x on e.event_type = x.event_type"""
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch (mergeable bucket-count rows) with exact
+    percentile_cont beside the estimates."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_hist_quantiles_sql(SPARK))
+
+
+def q_hist_quantiles_oracle() -> str:
+    return _hist_quantiles_sql(DUCK)
+
+
+QUERIES["hist_quantiles"] = (q_hist_quantiles, q_hist_quantiles_oracle)
+
+
+def _anomaly_sql(d: str, z_thresh: float = 3.0) -> str:
+    """Z-score outlier detection per event_type — exact integer moment sums.
+
+    Σy and Σy² over half-up-quantized values are order-free bigint folds
+    (map-side combinable; |Σy²| < 2^63 to ~10^9 rows/type at this value
+    range — quantization scale is the knob beyond that); mean and sample
+    std are two deterministic float ops on them, z a fixed op sequence.
+    Shape: one partial-agg pass for the 5-row stats table, broadcast back
+    into a second scan — both scans parallel, no wide shuffle.
+    """
+    yq = "cast(floor(value * 100.0e0 + 0.5e0) as bigint)"
+    return f"""
+        with s as (
+            select event_type, cast(count(*) as bigint) as n,
+                   sum({yq}) as sy, sum({yq} * {yq}) as syy
+            from events group by event_type
+        ),
+        st as (
+            select event_type, n,
+                   (cast(sy as double) / cast(n as double)) as mean_q,
+                   sqrt(cast(n * syy - sy * sy as double)
+                        / (cast(n as double) * cast(n - 1 as double))) as std_q
+            from s
+        )
+        select e.event_id, e.event_type, e.value,
+               round(({yq} - st.mean_q) / st.std_q, 6) as z
+        from events e join st on e.event_type = st.event_type
+        where abs(({yq} - st.mean_q) / st.std_q) > {z_thresh!r}e0"""
+
+
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier events per type: exact integer moments, broadcast
+    stats join, both passes scan-parallel."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_anomaly_sql(SPARK))
+
+
+def q_anomaly_oracle() -> str:
+    return _anomaly_sql(DUCK)
+
+
+QUERIES["anomaly"] = (q_anomaly, q_anomaly_oracle)

@@ -1,0 +1,30 @@
+"""Histogram quantile sketch + z-score anomaly: semantics on testdata."""
+
+from osm_to_netex_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hist_quantiles_bracket_exact(spark):
+    rows = Q.q_hist_quantiles(spark, SF).collect()
+    assert len(rows) == 5  # one per event_type
+    for r in rows:
+        # estimates must be finite, ordered, and within one bucket width of
+        # the exact percentile (bucket width 5.0)
+        assert r.est_p5 <= r.est_p9 <= r.est_p99
+        assert abs(r.est_p5 - r.exact_p5) <= 5.0
+        assert abs(r.est_p9 - r.exact_p9) <= 5.0
+        # p99 rank falls in the sparse tail at n≈200: percentile_cont
+        # interpolates between order stats that may span buckets, so the
+        # histogram estimate is only bucket-accurate to a few widths there
+        assert abs(r.est_p99 - r.exact_p99) <= 15.0
+
+
+def test_anomaly_flags_are_3_sigma(spark):
+    out = Q.q_anomaly(spark, SF).collect()
+    assert all(abs(r.z) > 3.0 for r in out)
+    # the synthetic value distribution is heavy-tailed → outliers exist
+    assert len(out) > 0
+    # and they are rare (< 2% of events)
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert len(out) < 0.02 * n_events

@@ -177,6 +177,26 @@ CHECKS = {
     # to stay linear in K), so only the no-Python/no-cartesian property is
     # assertable here
     "grid_bfs": ([], ["BatchEvalPython", "CartesianProduct"]),
+    # funnel: chained conditional mins — stage filters must reach the scan
+    "funnel": (
+        ["HashAggregate", "PushedFilters"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # gap fill: bucket agg + sequence-explode grid + two group-keyed windows
+    "gap_fill": (
+        ["HashAggregate", "Window", "Generate"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # histogram quantiles: bucket-count agg + cumsum window over buckets
+    "hist_quantiles": (
+        ["HashAggregate", "Window"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # anomaly: stats agg broadcast back into the probe scan — no wide shuffle
+    "anomaly": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 
