@@ -166,3 +166,57 @@ def repetition_stats_oracle_sql(
                coalesce(round(cast((p.top).cnt * (p.top).glen as double)
                               / cast(p.n_chars as double), 9), 0.0e0) as top_char_frac
         from {table} b left join pd p on b.{id_col} = p.doc_id"""
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing — (doc_id, clean_text, n_emails, n_ips, n_phones):
+    emails, IPv4 addresses, and phone-like digit runs replaced by typed
+    placeholder tokens, with per-doc redaction counts for pipeline metrics.
+
+    Passes run in a FIXED order (email → ip → phone) so later patterns see
+    earlier placeholders, never raw digits that were already classified —
+    the op sequence, not engine internals, defines the result.  The three
+    patterns are written in the common subset of Java regex and RE2
+    (character classes, bounded repeats, \\b) so Spark and the DuckDB oracle
+    match byte-for-byte.  Pure projection: scan-parallel, shuffle-free, and
+    the counts come from regexp_extract_all on the ORIGINAL text (so
+    overlapping classes count what each pass actually saw).
+    """
+    # Spark SQL string literals process backslash escapes (\b would become
+    # backspace); double them so the regex engine sees the same bytes the
+    # DuckDB oracle does
+    e, i, p = (x.replace("\\", "\\\\") for x in (PII_EMAIL, PII_IP, PII_PHONE))
+    step1 = f"regexp_replace({text_col}, '{e}', '<EMAIL>')"
+    step2 = f"regexp_replace({step1}, '{i}', '<IP>')"
+    step3 = f"regexp_replace({step2}, '{p}', '<PHONE>')"
+    return docs.selectExpr(
+        f"{id_col} as doc_id",
+        f"{step3} as clean_text",
+        f"cast(size(regexp_extract_all({text_col}, '{e}', 0)) as bigint) as n_emails",
+        f"cast(size(regexp_extract_all({step1}, '{i}', 0)) as bigint) as n_ips",
+        f"cast(size(regexp_extract_all({step2}, '{p}', 0)) as bigint) as n_phones",
+    )
+
+
+def redact_pii_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB replay: same patterns, same pass order ('g' = all matches)."""
+    e, i, p = PII_EMAIL, PII_IP, PII_PHONE
+    step1 = f"regexp_replace({text_col}, '{e}', '<EMAIL>', 'g')"
+    step2 = f"regexp_replace({step1}, '{i}', '<IP>', 'g')"
+    step3 = f"regexp_replace({step2}, '{p}', '<PHONE>', 'g')"
+    return f"""
+        select {id_col} as doc_id,
+               {step3} as clean_text,
+               cast(len(regexp_extract_all({text_col}, '{e}')) as bigint) as n_emails,
+               cast(len(regexp_extract_all({step1}, '{i}')) as bigint) as n_ips,
+               cast(len(regexp_extract_all({step2}, '{p}')) as bigint) as n_phones
+        from {table}"""

@@ -2401,3 +2401,36 @@ def q_anomaly_oracle() -> str:
 
 
 QUERIES["anomaly"] = (q_anomaly, q_anomaly_oracle)
+
+
+def _pii_docs_sql(d: str) -> str:
+    """Documents with deterministic synthetic PII appended (the shared
+    corpus carries none): an email, an IPv4 from the doc_id bytes, and a
+    phone-ish digit run — same text bytes on both engines."""
+    return f"""
+        select doc_id,
+               concat(text, ' contact user', cast(doc_id as {'string' if d == SPARK else 'varchar'}),
+                      '@example.com or 10.', cast(doc_id % 256 as {'string' if d == SPARK else 'varchar'}),
+                      '.0.1 call +47 22 33 44 ', cast(10 + doc_id % 90 as {'string' if d == SPARK else 'varchar'})) as text
+        from documents where doc_id % 3 <> 0
+        union all
+        select doc_id, text from documents where doc_id % 3 = 0"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus with deterministic synthetic PII: typed
+    placeholder redaction + per-doc counts, pure projection."""
+    from ..operators import textstats as T
+
+    register_geometry_views(spark, sf_dir)
+    docs = spark.sql(_pii_docs_sql(SPARK))
+    return T.redact_pii(docs)
+
+
+def q_redact_pii_oracle() -> str:
+    from ..operators import textstats as T
+
+    return T.redact_pii_oracle_sql(table=f"({_pii_docs_sql(DUCK)})")
+
+
+QUERIES["redact_pii"] = (q_redact_pii, q_redact_pii_oracle)
