@@ -2434,3 +2434,40 @@ def q_redact_pii_oracle() -> str:
 
 
 QUERIES["redact_pii"] = (q_redact_pii, q_redact_pii_oracle)
+
+
+def _winsorize_sql(d: str, lo: float = 0.05, hi: float = 0.95) -> str:
+    """Winsorized [0,1] scaling per event_type: clip at the exact p05/p95
+    (linear-interpolated percentiles — the same cross-engine-deterministic
+    primitive events_quantiles gates) then rescale.  The feature-
+    normalization step of a training pipeline, robust to the tail outliers
+    the anomaly query flags.  Shape: one percentile agg (5-row stats table)
+    broadcast into a second scan — no wide shuffle."""
+    pc = (
+        (lambda q: f"percentile(value, {q!r}e0)")
+        if d == SPARK
+        else (lambda q: f"quantile_cont(value, {q!r}e0)")
+    )
+    return f"""
+        with st as (
+            select event_type, {pc(lo)} as p_lo, {pc(hi)} as p_hi
+            from events group by event_type
+        )
+        select e.event_id, e.event_type,
+               round((least(greatest(e.value, st.p_lo), st.p_hi) - st.p_lo)
+                     / (st.p_hi - st.p_lo), 9) as scaled
+        from events e join st on e.event_type = st.event_type"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type feature scaling: winsorize at p05/p95, rescale to
+    [0,1]; stats broadcast, both passes scan-parallel."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_winsorize_sql(SPARK))
+
+
+def q_winsorize_oracle() -> str:
+    return _winsorize_sql(DUCK)
+
+
+QUERIES["winsorize"] = (q_winsorize, q_winsorize_oracle)

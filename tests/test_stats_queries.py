@@ -28,3 +28,11 @@ def test_anomaly_flags_are_3_sigma(spark):
     # and they are rare (< 2% of events)
     n_events = spark.read.parquet(f"{SF}/events.parquet").count()
     assert len(out) < 0.02 * n_events
+
+
+def test_winsorize_bounds_and_clipping(spark):
+    rows = Q.q_winsorize(spark, SF).collect()
+    assert all(0.0 <= r.scaled <= 1.0 for r in rows)
+    # the tails must actually clip: some rows at exactly 0 and exactly 1
+    assert any(r.scaled == 0.0 for r in rows)
+    assert any(r.scaled == 1.0 for r in rows)
