@@ -2471,3 +2471,94 @@ def q_winsorize_oracle() -> str:
 
 
 QUERIES["winsorize"] = (q_winsorize, q_winsorize_oracle)
+
+
+def _incremental_rollup_sql(d: str) -> str:
+    """Incremental materialized-view maintenance: partition the corpus into
+    BASE (first half of time) and DELTA (rest), roll each up independently,
+    MERGE the partials, and emit the merged stats next to a direct full
+    recompute — count/sum by addition, min/max by min/max, HLL distinct
+    registers by register-max.  Every pair of columns must agree, and the
+    oracle value-gates that equality.
+
+    This is the algebra that lets a 100 TB pipeline ingest a day at a time
+    and never rescan history: all the engine's sketches (HLL/CMS/Bloom/
+    histogram) were built as mergeable ROW tables precisely so this merge is
+    a groupBy, not a recompute."""
+    from ..functions import sketch
+
+    reg = sketch.hll_register("user_id", d)
+    rho = sketch.hll_rho("user_id", d)
+    yq = "cast(floor(value * 100.0e0 + 0.5e0) as bigint)"
+    term = (
+        "shiftleft(cast(1 as bigint), 53 - m)" if d == SPARK
+        else "(cast(1 as bigint) << (53 - m))"
+    )
+    m_regs = sketch.M_REGISTERS
+    numer = sketch.ALPHA_256 * m_regs * m_regs * float(2**53)
+    est = f"round({numer!r} / cast(s + ({m_regs} - nh) * cast({2**53} as bigint) as double), 6)"
+    cut = "timestamp '2024-01-04 00:00:00'" if d == DUCK else "timestamp_ntz'2024-01-04 00:00:00'"
+
+    def rollup(pred: str, tag: str) -> str:
+        return f"""
+        {tag}_stats as (
+            select event_type, cast(count(*) as bigint) as n, sum({yq}) as sm,
+                   min({yq}) as mn, max({yq}) as mx
+            from events where {pred} group by event_type
+        ),
+        {tag}_regs as (
+            select event_type, {reg} as j, max({rho}) as m
+            from events where {pred} group by event_type, {reg}
+        )"""
+
+    return f"""
+        with {rollup(f'ts < {cut}', 'base')},
+        {rollup(f'ts >= {cut}', 'delta')},
+        merged_stats as (
+            select event_type, sum(n) as n, sum(sm) as sm, min(mn) as mn, max(mx) as mx
+            from (select * from base_stats union all select * from delta_stats) u
+            group by event_type
+        ),
+        merged_regs as (
+            select event_type, j, max(m) as m
+            from (select * from base_regs union all select * from delta_regs) u
+            group by event_type, j
+        ),
+        merged_hll as (
+            select event_type, sum({term}) as s, cast(count(*) as bigint) as nh
+            from merged_regs group by event_type
+        ),
+        full_stats as (
+            select event_type, cast(count(*) as bigint) as n, sum({yq}) as sm,
+                   min({yq}) as mn, max({yq}) as mx
+            from events group by event_type
+        ),
+        full_regs as (
+            select event_type, {reg} as j, max({rho}) as m
+            from events group by event_type, {reg}
+        ),
+        full_hll as (
+            select event_type, sum({term}) as s, cast(count(*) as bigint) as nh
+            from full_regs group by event_type
+        )
+        select m.event_type,
+               cast(m.n as bigint) as n_merged, cast(f.n as bigint) as n_full,
+               cast(m.sm as bigint) as sum_merged, cast(f.sm as bigint) as sum_full,
+               cast(m.mn as bigint) as min_merged, cast(f.mx as bigint) as max_full,
+               (select {est} from merged_hll h where h.event_type = m.event_type) as hll_merged,
+               (select {est} from full_hll h where h.event_type = m.event_type) as hll_full
+        from merged_stats m join full_stats f on m.event_type = f.event_type"""
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base+delta partial-rollup merge vs direct full recompute — the
+    mergeable-aggregate algebra, value-gated."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_incremental_rollup_sql(SPARK))
+
+
+def q_incremental_rollup_oracle() -> str:
+    return _incremental_rollup_sql(DUCK)
+
+
+QUERIES["incremental_rollup"] = (q_incremental_rollup, q_incremental_rollup_oracle)

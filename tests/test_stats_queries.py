@@ -36,3 +36,12 @@ def test_winsorize_bounds_and_clipping(spark):
     # the tails must actually clip: some rows at exactly 0 and exactly 1
     assert any(r.scaled == 0.0 for r in rows)
     assert any(r.scaled == 1.0 for r in rows)
+
+
+def test_incremental_rollup_merge_equals_full(spark):
+    rows = Q.q_incremental_rollup(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_merged == r.n_full
+        assert r.sum_merged == r.sum_full
+        assert r.hll_merged == r.hll_full
