@@ -197,6 +197,18 @@ CHECKS = {
         ["HashAggregate", "BroadcastHashJoin"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # PII redaction: pure projection — no shuffle at all
+    "redact_pii": (["[codegen id"], ["Exchange hash", "BatchEvalPython"]),
+    # winsorize: percentile agg broadcast into the probe scan
+    "winsorize": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # incremental rollup: partial rollups + merge groupBys, all JVM-side
+    "incremental_rollup": (
+        ["HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 
