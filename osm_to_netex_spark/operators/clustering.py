@@ -174,10 +174,18 @@ def dbscan(
     Everything shuffles on point/cell keys; no driver state beyond the
     component loop's bounded rounds.
     """
+    from pyspark import StorageLevel
+
     from . import dedup
     from .distjoin import radius_join
 
-    pairs = radius_join(points, points, radius_m=eps_m, res=res, left_id=id_col, right_id=id_col)
+    # the pair set feeds THREE plan branches (core counts, core-core edges,
+    # border assignment) — persist it once instead of re-running the radius
+    # join per branch (measured 11.2s → 5.6s at sf0.1).  Caller releases via
+    # dedup.unpersist_intermediates(result).
+    pairs = radius_join(
+        points, points, radius_m=eps_m, res=res, left_id=id_col, right_id=id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = f"{id_col}_a", f"{id_col}_b"
     ncnt = pairs.groupBy(a).agg(F.count("*").alias("n_eps"))
     core = ncnt.where(F.col("n_eps") >= min_pts).select(F.col(a).alias("cid"))
@@ -209,12 +217,13 @@ def dbscan(
         .join(border.withColumnRenamed(a, "pid").withColumnRenamed("cluster", "border_cluster"),
               "pid", "left")
     )
-    return out.selectExpr(
+    result = out.selectExpr(
         f"pid as {id_col}",
         "coalesce(core_cluster, border_cluster, -1) as cluster",
         "case when core_cluster is not null then 'core' "
         "when border_cluster is not null then 'border' else 'noise' end as kind",
     )
+    return dedup._attach_cached(result, [pairs])
 
 
 def dbscan_oracle_sql(
