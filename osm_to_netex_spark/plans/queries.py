@@ -2562,3 +2562,74 @@ def q_incremental_rollup_oracle() -> str:
 
 
 QUERIES["incremental_rollup"] = (q_incremental_rollup, q_incremental_rollup_oracle)
+
+
+def q_streaming_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user OLS trend via applyInPandasWithState: exact
+    integer moment state (order-free by algebra), replayed availableNow.
+    ORACLE-GATED — the rare custom stateful op whose final state is provably
+    arrival-independent, so DuckDB re-derives it exactly."""
+    import tempfile
+
+    from ..streaming import stateful
+    from .. import schemas  # noqa: F401  (events schema defined inline below)
+
+    register_geometry_views(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="graft_trend_")
+    spark.table("events").repartition(6).write.mode("overwrite").parquet(f"{tmp}/src")
+    ev_schema = spark.table("events").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/src")
+    )
+    epoch0 = "timestamp_ntz'2024-01-01 00:00:00'"
+    xy = stream.selectExpr(
+        "user_id",
+        f"cast(timestampdiff(SECOND, {epoch0}, ts) as bigint) as x",
+        "cast(floor(value * 100.0e0 + 0.5e0) as bigint) as y",
+    )
+    stateful.run_stateful_to_memory(
+        spark, stateful.stateful_trend(xy), name="q_trend_state"
+    )
+    w = Window.partitionBy("user_id")
+    final = (
+        spark.table("q_trend_state")
+        .withColumn("mx", F.max("n").over(w))
+        .where("n = mx")
+        .dropDuplicates(["user_id"])
+    )
+    denom = "(n * sxx - sx * sx)"
+    slope = f"(cast(n * sxy - sx * sy as double) / cast({denom} as double))"
+    intercept = f"((cast(sy as double) - {slope} * cast(sx as double)) / cast(n as double) / 100.0e0)"
+    return final.selectExpr(
+        "user_id",
+        "cast(n as bigint) as n",
+        f"case when n >= 2 and {denom} <> 0 then round({slope} / 100.0e0, 9) end as slope",
+        f"case when n >= 2 and {denom} <> 0 then round({intercept}, 9) end as intercept",
+    )
+
+
+def q_streaming_trend_oracle() -> str:
+    denom = "(n * sxx - sx * sx)"
+    slope = f"(cast(n * sxy - sx * sy as double) / cast({denom} as double))"
+    intercept = f"((cast(sy as double) - {slope} * cast(sx as double)) / cast(n as double) / 100.0e0)"
+    return f"""
+        with xy as (
+            select user_id,
+                   cast(epoch_us(ts) // 1000000 - epoch_us(timestamp '2024-01-01 00:00:00') // 1000000 as bigint) as x,
+                   cast(floor(value * 100.0e0 + 0.5e0) as bigint) as y
+            from events
+        ),
+        agg as (
+            select user_id, cast(count(*) as bigint) as n,
+                   sum(x) as sx, sum(y) as sy, sum(x*y) as sxy, sum(x*x) as sxx
+            from xy group by user_id
+        )
+        select user_id, n,
+               case when n >= 2 and {denom} <> 0 then round({slope} / 100.0e0, 9) end as slope,
+               case when n >= 2 and {denom} <> 0 then round({intercept}, 9) end as intercept
+        from agg"""
+
+
+QUERIES["streaming_trend"] = (q_streaming_trend, q_streaming_trend_oracle)

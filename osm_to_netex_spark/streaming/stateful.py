@@ -244,3 +244,48 @@ def stateful_topk_per_cell(scored: DataFrame, k: int = 3) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_LONGS = lambda names: T.StructType([T.StructField(c, T.LongType()) for c in names])
+TREND_STATE = _LONGS(["n", "sx", "sy", "sxy", "sxx"])
+TREND_OUTPUT = _LONGS(["user_id", "n", "sx", "sy", "sxy", "sxx"])
+
+
+def _trend_update(key, pdfs, state: GroupState):
+    """Accumulate exact integer OLS moments per user.
+
+    Integer addition is associative/commutative, so the final state is
+    provably arrival-order- and batching-independent — which is what makes
+    this custom stateful operator fully ORACLE-GATEABLE, unlike typical
+    streaming state machines.  Vectorized: one pandas .sum() per column per
+    micro-batch, no per-row Python.
+    """
+    if state.exists:
+        n, sx, sy, sxy, sxx = state.get
+    else:
+        n = sx = sy = sxy = sxx = 0
+    for pdf in pdfs:
+        x = pdf["x"].astype("int64")
+        y = pdf["y"].astype("int64")
+        n += len(pdf)
+        sx += int(x.sum())
+        sy += int(y.sum())
+        sxy += int((x * y).sum())
+        sxx += int((x * x).sum())
+    state.update((n, sx, sy, sxy, sxx))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n": [n], "sx": [sx], "sy": [sy], "sxy": [sxy], "sxx": [sxx]}
+    )
+
+
+def stateful_trend(xy_stream: DataFrame) -> DataFrame:
+    """Streaming per-user OLS moment accumulation — (user_id, n, sx, sy,
+    sxy, sxx) after each micro-batch; the max-n emission per user carries
+    the final moments.  State is 5 bigints per user, bounded forever."""
+    return xy_stream.groupBy("user_id").applyInPandasWithState(
+        _trend_update,
+        outputStructType=TREND_OUTPUT,
+        stateStructType=TREND_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -269,3 +269,30 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expect and len(got) > 10
+
+
+def test_stateful_trend_batching_invariant(spark, tmp_path):
+    """Integer moment state is order/batch independent: 1-file-per-trigger
+    and all-at-once replays produce identical final moments."""
+    import pandas as pd
+
+    from osm_to_netex_spark.streaming import stateful
+
+    src = str(tmp_path / "ev")
+    spark.sql("""
+        select cast(id % 5 as bigint) as user_id,
+               cast(id * 37 % 1000 as bigint) as x,
+               cast((id * 13) % 400 as bigint) as y
+        from range(200)
+    """).repartition(8).write.parquet(src)
+    schema = "user_id bigint, x bigint, y bigint"
+
+    def run(max_files, name):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files).parquet(src))
+        stateful.run_stateful_to_memory(spark, stateful.stateful_trend(stream), name=name)
+        df = spark.table(name).toPandas()
+        final = df.sort_values("n").groupby("user_id").tail(1)
+        return {tuple(r) for r in final[["user_id", "n", "sx", "sy", "sxy", "sxx"]].itertuples(index=False)}
+
+    assert run(1, "tr_a") == run(16, "tr_b") and len(run(16, "tr_c")) == 5
