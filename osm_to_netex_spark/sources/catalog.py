@@ -91,6 +91,44 @@ class SnapshotCatalog:
         os.replace(tmp, os.path.join(self._meta_dir(table), f"v{meta['sequence']:09d}.json"))
         return snap_id
 
+    # -- retention ----------------------------------------------------------
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
+        """Iceberg-style `expireSnapshots`: drop all but the newest
+        ``keep_last`` snapshot versions and DELETE data directories no
+        longer referenced by any surviving snapshot.
+
+        Metadata-only decision, file-system deletion after: the surviving
+        metadata jsons are untouched (time travel within the retained window
+        keeps working), expired version files are removed first so a crash
+        between the two steps leaves only unreferenced-but-present data
+        (safe: re-running completes the cleanup; readers never see a
+        snapshot whose files were deleted).
+        """
+        import shutil
+
+        vs = self._versions(table)
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        expired, survivors = vs[:-keep_last], vs[-keep_last:]
+        keep_dirs: set[str] = set()
+        for v in survivors:
+            with open(os.path.join(self._meta_dir(table), v)) as fh:
+                keep_dirs.update(json.load(fh)["data_dirs"])
+        drop_dirs: set[str] = set()
+        for v in expired:
+            path = os.path.join(self._meta_dir(table), v)
+            with open(path) as fh:
+                drop_dirs.update(json.load(fh)["data_dirs"])
+            os.remove(path)
+        drop_dirs -= keep_dirs
+        for d in sorted(drop_dirs):
+            shutil.rmtree(d, ignore_errors=True)
+        return {
+            "expired_versions": len(expired),
+            "deleted_dirs": len(drop_dirs),
+            "surviving_versions": len(survivors),
+        }
+
     # -- read ---------------------------------------------------------------
     def read(self, table: str, snapshot_id: str | None = None) -> DataFrame:
         """Read the table pinned at a snapshot (default: current)."""
