@@ -400,3 +400,78 @@ def line_intersection_oracle_sql(
                round({iy}, 9) as int_lat, round({ix}, 9) as int_lon
         from {seg(lines_a_cte, 'a')} a cross join {seg(lines_b_cte, 'b')} b
         where {pred}"""
+
+
+def corridor_join(
+    points: DataFrame,
+    lines: DataFrame,
+    radius_m: float,
+    res: int = 10,
+    point_id: str = "point_id",
+    line_id: str = "zone_id",
+    pos_list: str = "pos_list",
+) -> DataFrame:
+    """ALL (point, segment) pairs within ``radius_m`` — snap_join without
+    the argmin: the corridor / route-buffer workload (every stop within R of
+    any segment of a route).  Same provably-complete padded-bbox cell
+    prefilter and exact planar metric; the result is the brute cross join's
+    rows, reached through a cell equi-join.  Dedup on (point, line, seg)
+    removes multi-cell candidates BEFORE the distance evaluation."""
+    n = 2**res
+    cell_h = 180.0 / n
+    r_deg = radius_m / geo.M_PER_DEG
+    ky = int(r_deg / cell_h) + 1  # noqa: F841 (documented parallel to snap_join)
+    segs = lines.selectExpr(
+        f"{line_id} as __lid",
+        f"{pos_list} as __pl",
+        f"explode(sequence(1, size({pos_list}) div 2 - 1)) as __i",
+    ).selectExpr(
+        "__lid",
+        "__i as seg_idx",
+        "element_at(__pl, cast(2*__i - 1 as int)) as __ay",
+        "element_at(__pl, cast(2*__i as int)) as __ax",
+        "element_at(__pl, cast(2*__i + 1 as int)) as __by",
+        "element_at(__pl, cast(2*__i + 2 as int)) as __bx",
+    )
+    lat_lo = f"(least(__ay, __by) - {r_deg!r}e0)"
+    lat_hi = f"(greatest(__ay, __by) + {r_deg!r}e0)"
+    cosmin = f"cos(radians(least(89.0e0, greatest(abs(__ay), abs(__by)) + {r_deg!r}e0)))"
+    lon_pad = f"({r_deg!r}e0 / {cosmin})"
+    lon_lo = f"(least(__ax, __bx) - {lon_pad})"
+    lon_hi = f"(greatest(__ax, __bx) + {lon_pad})"
+    ix_lo, iy_lo = geo.quad_ixy(lat_lo, lon_lo, res, SPARK)
+    ix_hi, iy_hi = geo.quad_ixy(lat_hi, lon_hi, res, SPARK)
+    seg_cells = (
+        segs.selectExpr(
+            "__lid", "seg_idx", "__ay", "__ax", "__by", "__bx",
+            f"{ix_lo} as __ixl", f"{ix_hi} as __ixh",
+            f"explode(sequence({iy_lo}, {iy_hi})) as __cy",
+        )
+        .selectExpr(
+            "__lid", "seg_idx", "__ay", "__ax", "__by", "__bx", "__cy",
+            "explode(sequence(__ixl, __ixh)) as __cx",
+        )
+        .selectExpr(
+            "__lid", "seg_idx", "__ay", "__ax", "__by", "__bx",
+            geo.quad_pack("__cx", "__cy", res) + " as __cell",
+        )
+    )
+    pts = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col("lat").alias("__plat"),
+        F.col("lon").alias("__plon"),
+        F.expr(geo.quad_cell("lat", "lon", res, SPARK)).alias("__cell"),
+    )
+    dist = seg_dist_m("__plat", "__plon", "__ay", "__ax", "__by", "__bx", SPARK)
+    return (
+        pts.join(seg_cells, "__cell")
+        .dropDuplicates(["__pid", "__lid", "seg_idx"])
+        .withColumn("__d", F.expr(dist))
+        .where(F.col("__d") <= F.lit(float(radius_m)))
+        .select(
+            F.col("__pid").alias(point_id),
+            F.col("__lid").alias(line_id),
+            "seg_idx",
+            F.round("__d", 6).alias("dist_m"),
+        )
+    )

@@ -2633,3 +2633,85 @@ def q_streaming_trend_oracle() -> str:
 
 
 QUERIES["streaming_trend"] = (q_streaming_trend, q_streaming_trend_oracle)
+
+
+def q_corridor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corridor join: every (point, polyline segment) pair within 2 km —
+    all refined pairs, not just the snap argmin."""
+    from ..operators import distjoin
+
+    register_geometry_views(spark, sf_dir)
+    return distjoin.corridor_join(
+        spark.table("geo_points"), spark.table("geo_polys"), radius_m=2000.0, res=14
+    )
+
+
+def q_corridor_join_oracle() -> str:
+    from ..operators import distjoin
+
+    dist = distjoin.seg_dist_m("p.lat", "p.lon", "s.say", "s.sax", "s.sby", "s.sbx", DUCK)
+    return f"""{duck_geometry_ctes()},
+        segs as (
+            select zone_id, t.i as seg_idx,
+                   pos_list[2*t.i - 1] as say, pos_list[2*t.i] as sax,
+                   pos_list[2*t.i + 1] as sby, pos_list[2*t.i + 2] as sbx
+            from geo_polys, unnest(generate_series(1, len(pos_list) // 2 - 1)) t(i)
+        )
+        select p.point_id, s.zone_id, s.seg_idx, round({dist}, 6) as dist_m
+        from geo_points p cross join segs s
+        where {dist} <= 2000.0e0"""
+
+
+QUERIES["corridor_join"] = (q_corridor_join, q_corridor_join_oracle)
+
+
+def _bpe_pairs_sql(d: str, top_n: int = 50) -> str:
+    """First BPE merge step (tokenizer training prep): frequency of adjacent
+    CHARACTER pairs inside words, weighted by word frequency — the statistic
+    the merge rule argmaxes over.
+
+    Shape: corpus explodes to tokens once, collapses to the VOCABULARY
+    (distinct word → freq, map-side combined); pair enumeration then runs
+    over the vocab (≪ corpus — the same trick as top_terms), one explode of
+    len-1 positions per word; global top-n via ORDER BY + LIMIT ⇒
+    TakeOrderedAndProject (per-partition top-n + driver merge), never a full
+    sort.  Deterministic tiebreak (count desc, pair asc)."""
+    toks = tx.tokens("text", d)
+    if d == SPARK:
+        tok_rows = f"select explode({toks}) as w from documents"
+        pair_rows = (
+            "select substring(w, i, 2) as pair, freq from vocab "
+            "lateral view explode(sequence(1, length(w) - 1)) t as i "
+            "where length(w) >= 2"
+        )
+    else:
+        tok_rows = f"select unnest({toks}) as w from documents"
+        pair_rows = (
+            "select substring(w, t.i, 2) as pair, freq from vocab "
+            "cross join unnest(generate_series(1, length(w) - 1)) t(i) "
+            "where length(w) >= 2"
+        )
+    return f"""
+        with vocab as (
+            select w, cast(count(*) as bigint) as freq
+            from ({tok_rows}) tk group by w
+        ),
+        pairs as ({pair_rows})
+        select pair, cast(sum(freq) as bigint) as pair_count
+        from pairs group by pair
+        order by pair_count desc, pair asc
+        limit {top_n}"""
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs (BPE merge candidates), vocab-level
+    counting, global top-k via TakeOrderedAndProject."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_bpe_pairs_sql(SPARK))
+
+
+def q_bpe_pairs_oracle() -> str:
+    return _bpe_pairs_sql(DUCK)
+
+
+QUERIES["bpe_pairs"] = (q_bpe_pairs, q_bpe_pairs_oracle)

@@ -45,3 +45,24 @@ def test_incremental_rollup_merge_equals_full(spark):
         assert r.n_merged == r.n_full
         assert r.sum_merged == r.sum_full
         assert r.hll_merged == r.hll_full
+
+
+def test_bpe_pairs_reference(spark):
+    # pure-Python reference over the same corpus slice
+    import duckdb as dk
+    import collections
+
+    docs = dk.sql(f"select text from '{SF}/documents.parquet'").fetchall()
+    import re
+    counts = collections.Counter()
+    vocab = collections.Counter()
+    for (t,) in docs:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                vocab[w] += 1
+    for w, f in vocab.items():
+        for i in range(len(w) - 1):
+            counts[w[i:i+2]] += f
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [(r.pair, r.pair_count) for r in Q.q_bpe_pairs(spark, SF).collect()]
+    assert got == expect
