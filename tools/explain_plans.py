@@ -209,6 +209,16 @@ CHECKS = {
         ["HashAggregate"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # corridor join: cell equi-join, never cartesian/BNLJ
+    "corridor_join": (
+        ["[codegen id"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # BPE pairs: vocab-level aggs; global top-n must be TakeOrderedAndProject
+    "bpe_pairs": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
 }
 
 
