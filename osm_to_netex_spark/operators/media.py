@@ -112,3 +112,37 @@ def frame_sample(media_features: DataFrame, every_n: int = 2) -> DataFrame:
         "media_ref",
         F.explode(F.expr("sequence(0, n_frames - 1)")).alias("frame_idx"),
     ).where(F.col("frame_idx") % every_n == 0)
+
+
+def resize_media(
+    media_features: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """mapInPandas resize stage: (… width, height, features) → the same rows
+    at (target_w, target_h) with features linearly resampled (np.interp over
+    the feature axis — the 1-D stand-in for spatial resampling; a real
+    implementation swaps a PIL/cv2 call into the same Arrow batch slot).
+
+    Deterministic: float32 interpolation over sha-derived inputs, so output
+    is stable across runs and partitionings (pytest-pinned against a NumPy
+    reference; the scalar columns ride the media_meta oracle pattern).
+    Schema, batching, and column plumbing are the real thing — only the
+    pixel math is the labeled stub.
+    """
+
+    def batches(it):
+        for pdf in it:
+            scale = [
+                np.interp(
+                    np.linspace(0.0, 1.0, num=FEATURE_DIM, dtype=np.float64),
+                    np.linspace(0.0, 1.0, num=len(f), dtype=np.float64),
+                    np.asarray(f, dtype=np.float64),
+                ).astype(np.float32)
+                for f in pdf["features"]
+            ]
+            out = pdf.copy()
+            out["width"] = pd.array([target_w] * len(pdf), dtype="int32")
+            out["height"] = pd.array([target_h] * len(pdf), dtype="int32")
+            out["features"] = scale
+            yield out
+
+    return media_features.mapInPandas(batches, schema=MEDIA_FEATURES)

@@ -1221,7 +1221,7 @@ QUERIES.update(CONVERT_QUERIES)
 # rows-only queries (no SQL oracle: Arrow-batched media decode, streaming state)
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media spans → binary payload → mapInPandas decode
-    (deterministic stub; sha256-keyed fake features) → frame sampling.
+    (deterministic stub; sha256-keyed fake features) → resize → frame sampling.
     Rows-only: the Arrow-batched decode has no SQL oracle, but every value it
     emits is a pure function of media_ref, so the output is deterministic."""
     from ..operators import media
@@ -1229,7 +1229,7 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = spark.read.parquet(FIXTURE_CORPUS)
     refs = media.extract_media_refs(corpus)
-    feats = media.decode_media(refs)
+    feats = media.resize_media(media.decode_media(refs), target_w=224, target_h=224)
     frames = media.frame_sample(feats, every_n=2)
     return (
         feats.join(frames.groupBy("doc_id", "media_ref").count(), ["doc_id", "media_ref"])

@@ -197,3 +197,44 @@ def test_cms_overestimates_and_bounds(spark):
     # with width 256 >> 150 users, most estimates are exact
     exact_frac = sum(1 for r in rows if r["cms_est"] == r["exact_n"]) / len(rows)
     assert exact_frac > 0.5
+
+
+def test_resize_media_matches_numpy_reference(spark):
+    import hashlib
+
+    import numpy as np
+
+    from osm_to_netex_spark.operators import media
+
+    from osm_to_netex_spark.plans.convert_queries import FIXTURE_CORPUS
+
+    corpus = spark.read.parquet(FIXTURE_CORPUS).limit(40)
+    feats = media.decode_media(media.extract_media_refs(corpus))
+    resized = media.resize_media(feats, target_w=128, target_h=96)
+    rows = {r.media_ref: r for r in resized.collect()}
+    assert rows and all(r.width == 128 and r.height == 96 for r in rows.values())
+    # reference: re-derive one row end-to-end from the payload hash
+    ref, row = next(iter(rows.items()))
+    h = hashlib.sha256(f"blob:{ref}".encode()).digest()
+    base = (
+        np.frombuffer(h[: media.FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
+        / np.float32(65535.0)
+    )
+    expect = np.interp(
+        np.linspace(0.0, 1.0, num=media.FEATURE_DIM),
+        np.linspace(0.0, 1.0, num=len(base)),
+        base.astype(np.float64),
+    ).astype(np.float32)
+    assert np.array_equal(np.asarray(row.features, dtype=np.float32), expect)
+
+
+def test_resize_partition_invariant(spark):
+    from osm_to_netex_spark.operators import media
+    from osm_to_netex_spark.plans.convert_queries import FIXTURE_CORPUS
+
+    corpus = spark.read.parquet(FIXTURE_CORPUS).limit(60)
+    feats = media.decode_media(media.extract_media_refs(corpus))
+    a = {(r.media_ref, tuple(r.features)) for r in media.resize_media(feats).collect()}
+    b = {(r.media_ref, tuple(r.features))
+         for r in media.resize_media(feats.repartition(7)).collect()}
+    assert a == b and len(a) > 0
