@@ -62,7 +62,10 @@ class SnapshotCatalog:
         return out
 
     # -- write --------------------------------------------------------------
-    def commit(self, df: DataFrame, table: str, mode: str = "append") -> str:
+    def commit(
+        self, df: DataFrame, table: str, mode: str = "append",
+        extra_meta: dict | None = None,
+    ) -> str:
         """Write df as a new immutable snapshot; returns snapshot_id.
 
         append: new snapshot = previous data dirs + new dir (no rewrite);
@@ -81,6 +84,7 @@ class SnapshotCatalog:
             "snapshot_id": snap_id,
             "sequence": (prev["sequence"] + 1) if prev else 0,
             "mode": mode,
+            **(extra_meta or {}),
             "data_dirs": dirs,
             "committed_at_ms": int(time.time() * 1000),
         }

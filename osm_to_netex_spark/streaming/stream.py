@@ -181,3 +181,50 @@ def streaming_interval_join(
         F.expr(f"k = k2 AND rts >= lts - {lookback} AND rts <= lts"),
         "inner",
     ).select("left_event_id", "right_event_id")
+
+
+def stream_upsert_to_catalog(
+    stream_df: DataFrame,
+    catalog_root: str,
+    table: str,
+    keys: list[str],
+    checkpoint: str,
+):
+    """foreachBatch upsert sink into the snapshot catalog — the streaming
+    MERGE INTO: per micro-batch, last-write-wins dedup within the batch,
+    anti-join replaces matching keys in the current snapshot, and the merged
+    table commits as a NEW immutable snapshot.
+
+    Exactly-once across restarts: the committed snapshot metadata carries
+    ``batch_id``; a replayed micro-batch (same checkpoint, crash between
+    sink write and offset commit) sees ``batch_id <= last committed`` and
+    SKIPS — the Structured Streaming idempotent-sink contract, implemented
+    against our own catalog instead of Delta/Iceberg jars.
+
+    Scale: the anti-join is keyed (shuffle on the upsert key); the rewrite
+    cost is the current snapshot, which is the compaction trade every
+    copy-on-write table format makes — for huge tables, partition the
+    catalog table and rewrite only touched partitions.
+    """
+    from ..sources.catalog import SnapshotCatalog
+
+    def upsert(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        cat = SnapshotCatalog(spark, catalog_root)
+        cur_meta = cat.current_snapshot(table)
+        last = cur_meta.get("batch_id", -1) if cur_meta else -1
+        if batch_id <= last:
+            return  # replayed batch — already committed
+        fresh = batch_df.dropDuplicates(keys)
+        if cur_meta:
+            merged = cat.read(table).join(fresh.select(keys), keys, "left_anti").unionByName(fresh)
+        else:
+            merged = fresh
+        cat.commit(merged, table, mode="overwrite", extra_meta={"batch_id": batch_id})
+
+    return (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

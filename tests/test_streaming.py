@@ -296,3 +296,43 @@ def test_stateful_trend_batching_invariant(spark, tmp_path):
         return {tuple(r) for r in final[["user_id", "n", "sx", "sy", "sxy", "sxx"]].itertuples(index=False)}
 
     assert run(1, "tr_a") == run(16, "tr_b") and len(run(16, "tr_c")) == 5
+
+
+def test_stream_upsert_to_catalog(spark, tmp_path):
+    """foreachBatch upsert: within-batch dedup, key replacement across
+    batches, and replay idempotence (same checkpoint, re-run → no change)."""
+    from osm_to_netex_spark.sources.catalog import SnapshotCatalog
+    from osm_to_netex_spark.streaming import stream as st
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "wh")
+
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (2, "b2", 1)], ["k", "v", "rev"]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        s = (spark.readStream.schema("k bigint, v string, rev bigint")
+             .option("maxFilesPerTrigger", 1).parquet(src))
+        q = st.stream_upsert_to_catalog(s, root, "t", ["k"], ckpt)
+        q.awaitTermination()
+
+    run()
+    cat = SnapshotCatalog(spark, root)
+    first = {r.k: r.v for r in cat.read("t").collect()}
+    assert set(first) == {1, 2}  # within-batch dedup kept one row per key
+
+    # second file: updates k=2, inserts k=3
+    spark.createDataFrame(
+        [(2, "B", 2), (3, "c", 2)], ["k", "v", "rev"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = {r.k: r.v for r in cat.read("t").collect()}
+    assert got[2] == "B" and got[3] == "c" and got[1] == "a"
+    n_snapshots = len(cat.snapshots("t"))
+
+    # replay with the same checkpoint: no new data → no new snapshot
+    run()
+    assert len(cat.snapshots("t")) == n_snapshots
+    assert {r.k: r.v for r in cat.read("t").collect()} == got
