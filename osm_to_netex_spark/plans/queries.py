@@ -2715,3 +2715,79 @@ def q_bpe_pairs_oracle() -> str:
 
 
 QUERIES["bpe_pairs"] = (q_bpe_pairs, q_bpe_pairs_oracle)
+
+
+def _cdc_log_sql(d: str) -> str:
+    """Deterministic CDC log synthesized from orders: each key emits 1-3
+    versions (seq), the last being a DELETE for every 7th key; value and
+    timestamp derive from (key, seq)."""
+    n_versions = "(1 + o_orderkey % 3)"
+    if d == SPARK:
+        seq_rows = f"lateral view explode(sequence(1, {n_versions})) t as seq"
+        dcol = "date_add(o_orderdate, cast(seq as int))"
+    else:
+        seq_rows = f"cross join unnest(generate_series(1, {n_versions})) t(seq)"
+        dcol = "o_orderdate + to_days(cast(seq as int))"
+    return f"""
+        select o_orderkey as k, cast(seq as bigint) as seq,
+               case when seq = {n_versions} and o_orderkey % 7 = 0 then 'D'
+                    when seq = 1 then 'I' else 'U' end as op,
+               round(o_totalprice + seq * 0.25e0, 2) as val,
+               {dcol} as valid_from
+        from orders {seq_rows}"""
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log → final table state: latest version per key wins, deletes
+    drop the key — ONE partial-aggregated struct-max per key (no window
+    sort of the log)."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(f"""
+        with log as ({_cdc_log_sql(SPARK)}),
+        latest as (
+            select k, max(struct(seq, op, val)) as m
+            from log group by k
+        )
+        select k, m.seq as seq, m.val as val
+        from latest where m.op <> 'D'""")
+
+
+def q_cdc_apply_oracle() -> str:
+    return f"""
+        with log as ({_cdc_log_sql(DUCK)}),
+        latest as (
+            select k, max(struct_pack(seq := seq, op := op, val := val)) as m
+            from log group by k
+        )
+        select k, (m).seq as seq, (m).val as val
+        from latest where (m).op <> 'D'"""
+
+
+QUERIES["cdc_apply"] = (q_cdc_apply, q_cdc_apply_oracle)
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from the CDC log: one
+    validity interval per version (valid_from, valid_to = next version's
+    start or null, is_current), one window on the key."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(f"""
+        with log as ({_cdc_log_sql(SPARK)})
+        select k, seq, op, val,
+               cast(valid_from as string) as valid_from,
+               cast(lead(valid_from) over (partition by k order by seq) as string) as valid_to,
+               (lead(valid_from) over (partition by k order by seq) is null and op <> 'D') as is_current
+        from log""")
+
+
+def q_scd2_oracle() -> str:
+    return f"""
+        with log as ({_cdc_log_sql(DUCK)})
+        select k, seq, op, val,
+               cast(cast(valid_from as date) as varchar) as valid_from,
+               cast(cast(lead(valid_from) over (partition by k order by seq) as date) as varchar) as valid_to,
+               (lead(valid_from) over (partition by k order by seq) is null and op <> 'D') as is_current
+        from log"""
+
+
+QUERIES["scd2"] = (q_scd2, q_scd2_oracle)

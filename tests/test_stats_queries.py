@@ -66,3 +66,19 @@ def test_bpe_pairs_reference(spark):
     expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     got = [(r.pair, r.pair_count) for r in Q.q_bpe_pairs(spark, SF).collect()]
     assert got == expect
+
+
+def test_cdc_scd2_consistency(spark):
+    cdc = {r.k: r for r in Q.q_cdc_apply(spark, SF).collect()}
+    scd = Q.q_scd2(spark, SF).collect()
+    # deleted keys (key % 7 == 0 with multi-version) are absent from the
+    # applied state but present in history
+    hist_keys = {r.k for r in scd}
+    assert set(cdc) <= hist_keys
+    deleted = {r.k for r in scd if r.op == "D"}
+    assert deleted and deleted.isdisjoint(cdc)
+    # exactly one current row per surviving key, and it matches the applied state
+    current = [r for r in scd if r.is_current]
+    assert len(current) == len(cdc)
+    for r in current:
+        assert cdc[r.k].val == r.val and cdc[r.k].seq == r.seq
