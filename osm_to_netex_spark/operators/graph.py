@@ -189,3 +189,45 @@ def grid_bfs_oracle_sql(
         )
         select cell_x, cell_y, min(dist) as dist
         from reach group by cell_x, cell_y"""
+
+
+def triangles_sql(d: str, table: str = "documents") -> str:
+    """Per-node triangle counts over the deterministic link graph — the
+    classic distributed-graph statistic (clustering-coefficient numerator).
+
+    Algorithm: undirect + distinct the edge multiset, canonicalize each edge
+    to a < b, and enumerate each triangle exactly once through its ordered
+    form a < b < c: join edges (a,b)⋈(b,c) on the shared middle vertex, then
+    close with a semi-join on (a,c).  Per-node count = triangles touching
+    the node, from one explode of the closed wedge.  Ordering the vertices
+    is the standard trick that both dedups and bounds the join — the wedge
+    fan-out is Σ deg_lo·deg_hi over the ORDERED adjacency, far below deg²
+    for skewed graphs (each hub's wedges pair only its higher-id neighbors).
+
+    Both dialects share this text verbatim (pure ANSI joins).
+    """
+    base = edges_sql(d, table)
+    return f"""
+        with raw as ({base}),
+        und as (
+            select least(src, dst) as a, greatest(src, dst) as b
+            from raw where src <> dst
+            group by 1, 2
+        ),
+        wedge as (
+            select e1.a as a, e1.b as b, e2.b as c
+            from und e1 join und e2 on e1.b = e2.a
+        ),
+        tri as (
+            select w.a, w.b, w.c
+            from wedge w join und e3 on w.a = e3.a and w.c = e3.b
+        ),
+        pernode as (
+            select v, count(*) as n_tri from (
+                select a as v from tri
+                union all select b as v from tri
+                union all select c as v from tri
+            ) t group by v
+        )
+        select v as doc_id, cast(n_tri as bigint) as n_triangles
+        from pernode"""

@@ -2791,3 +2791,21 @@ def q_scd2_oracle() -> str:
 
 
 QUERIES["scd2"] = (q_scd2, q_scd2_oracle)
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the deterministic link graph: ordered-
+    vertex wedge join + closure semi-join (each triangle counted once)."""
+    from ..operators import graph
+
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(graph.triangles_sql(SPARK))
+
+
+def q_triangles_oracle() -> str:
+    from ..operators import graph
+
+    return graph.triangles_sql(DUCK)
+
+
+QUERIES["triangles"] = (q_triangles, q_triangles_oracle)

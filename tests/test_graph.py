@@ -38,3 +38,19 @@ def test_pagerank_hubs_concentrate_rank(spark):
     # integer floors only ever lose mass: total <= SCALE, but stays close
     assert row["total"] <= graph.SCALE
     assert row["total"] >= graph.SCALE * 0.95
+
+
+def test_triangles_known_graph(spark):
+    """Hand-built graph: K4 on {0,1,2,3} (4 triangles, 3 per node) plus a
+    pendant chain 3-4-5 (no triangles)."""
+    from osm_to_netex_spark.operators import graph
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5),
+             (1, 0), (2, 2)]  # reverse dup + self loop must be ignored
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    df.createOrReplaceTempView("toy_edges")
+    sql = graph.triangles_sql("spark").replace(
+        f"with raw as ({graph.edges_sql('spark')})", "with raw as (select * from toy_edges)"
+    )
+    got = {r.doc_id: r.n_triangles for r in spark.sql(sql).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
