@@ -219,6 +219,21 @@ CHECKS = {
         ["TakeOrderedAndProject", "HashAggregate"],
         ["BatchEvalPython", "CartesianProduct"],
     ),
+    # CDC apply: ONE struct-max agg (SortAggregate — struct keys aren't
+    # hash-aggregable — but still PARTIAL before the exchange, i.e.
+    # map-side combined); no window sort of the log
+    "cdc_apply": (
+        ["SortAggregate", "partial_max"],
+        ["BatchEvalPython", "CartesianProduct", "Window"],
+    ),
+    # SCD2: one window per key
+    "scd2": (["Window"], ["BatchEvalPython", "CartesianProduct", "Join"]),
+    # triangles: equi-joins only — the ordered wedge join must never
+    # degenerate to cartesian/BNLJ
+    "triangles": (
+        ["HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
