@@ -2809,3 +2809,81 @@ def q_triangles_oracle() -> str:
 
 
 QUERIES["triangles"] = (q_triangles, q_triangles_oracle)
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joined per-micro-batch to
+    a broadcast static dimension (customer→nation), availableNow replay.
+    ORACLE-GATED: enrichment is stateless, so the final set is
+    arrival-independent — the batch join re-derives it exactly."""
+    import tempfile
+
+    register_geometry_views(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="graft_enrich_")
+    spark.table("events").repartition(6).write.mode("overwrite").parquet(f"{tmp}/src")
+    ev_schema = spark.table("events").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/src")
+    )
+    dim = F.broadcast(
+        spark.table("customer")
+        .join(spark.table("nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .selectExpr("c_custkey", "n_name as nation")
+    )
+    enriched = stream.join(dim, stream["user_id"] == dim["c_custkey"], "left").selectExpr(
+        "event_id", "user_id", "event_type", "coalesce(nation, 'UNKNOWN') as nation"
+    )
+    q = (
+        enriched.writeStream.format("memory").queryName("q_enrich")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table("q_enrich")
+
+
+def q_stream_enrich_oracle() -> str:
+    return """
+        select e.event_id, e.user_id, e.event_type,
+               coalesce(n.n_name, 'UNKNOWN') as nation
+        from events e
+        left join customer c on e.user_id = c.c_custkey
+        left join nation n on c.c_nationkey = n.n_nationkey"""
+
+
+QUERIES["stream_enrich"] = (q_stream_enrich, q_stream_enrich_oracle)
+
+
+def _eqfreq_bins_sql(d: str, k: int = 8) -> str:
+    """Equal-frequency discretization (quantile binning) per event_type:
+    bucket = floor((rank-1)·k / n) over (value, event_id) order — an
+    unambiguous total order and an explicit floor (Spark casts truncate,
+    DuckDB casts round — floor() is the portable spelling), so bucket
+    boundaries are deterministic even with duplicate values.  The feature-bucketization
+    primitive (monotone-binned features for GBDTs etc.)."""
+    return f"""
+        with ranked as (
+            select event_id, event_type, value,
+                   row_number() over (partition by event_type
+                                      order by value, event_id) as rn,
+                   count(*) over (partition by event_type) as n
+            from events
+        )
+        select event_id, event_type, value,
+               cast(floor((rn - 1) * {k} / n) as bigint) as bucket
+        from ranked"""
+
+
+def q_eqfreq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency value binning per event_type (k=8), deterministic
+    total order."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_eqfreq_bins_sql(SPARK))
+
+
+def q_eqfreq_bins_oracle() -> str:
+    return _eqfreq_bins_sql(DUCK)
+
+
+QUERIES["eqfreq_bins"] = (q_eqfreq_bins, q_eqfreq_bins_oracle)

@@ -82,3 +82,16 @@ def test_cdc_scd2_consistency(spark):
     assert len(current) == len(cdc)
     for r in current:
         assert cdc[r.k].val == r.val and cdc[r.k].seq == r.seq
+
+
+def test_eqfreq_bins_are_balanced(spark):
+    rows = Q.q_eqfreq_bins(spark, SF).collect()
+    import collections
+    per = collections.Counter((r.event_type, r.bucket) for r in rows)
+    by_type = collections.defaultdict(list)
+    for (t, b), c in per.items():
+        by_type[t].append((b, c))
+    for t, bs in by_type.items():
+        assert sorted(b for b, _ in bs) == list(range(8))
+        counts = [c for _, c in bs]
+        assert max(counts) - min(counts) <= 1  # equal frequency ± rounding
