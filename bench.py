@@ -266,6 +266,18 @@ def main():
         "funnel",
         "gap_fill",
         "grid_bfs",
+        "hist_quantiles",
+        "anomaly",
+        "winsorize",
+        "redact_pii",
+        "incremental_rollup",
+        "hll_setops",
+        "corridor_join",
+        "bpe_pairs",
+        "cdc_apply",
+        "scd2",
+        "triangles",
+        "eqfreq_bins",
     ]
     timings = {}
     for name in bench_queries:

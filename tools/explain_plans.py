@@ -234,6 +234,8 @@ CHECKS = {
         ["HashAggregate"],
         ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # equal-frequency binning: one window per type, no joins
+    "eqfreq_bins": (["Window"], ["BatchEvalPython", "Join", "CartesianProduct"]),
 }
 
 
