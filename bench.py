@@ -189,7 +189,10 @@ def _measure_times(cores: int, corpus_path: str, warm_path: str,
              cp=corpus_path, wp=warm_path, nr=n_runs or N_RUNS)
     cmd = [sys.executable, "-c", code]
     if PIN_CPUS:
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        # optional offset: rotate the pin window so a noisy neighbor camped
+        # on low CPU ids doesn't bias every low-parallelism measurement
+        off = int(os.environ.get("SPARK_GRAFT_BENCH_PIN_OFFSET", "0"))
+        cmd = ["taskset", "-c", f"{off}-{off + cores - 1}"] + cmd
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     times = [
         float(line.split("=", 1)[1])
