@@ -2887,3 +2887,64 @@ def q_eqfreq_bins_oracle() -> str:
 
 
 QUERIES["eqfreq_bins"] = (q_eqfreq_bins, q_eqfreq_bins_oracle)
+
+
+def _cohort_sql(d: str) -> str:
+    """Weekly cohort retention: users grouped by first-activity week, counted
+    per subsequent activity week — the product-analytics retention matrix.
+    Integer week arithmetic (epoch-day div 7) keeps everything exact."""
+    if d == SPARK:
+        wk = "cast(datediff(cast(ts as date), date'1970-01-01') div 7 as bigint)"
+    else:
+        wk = "cast(date_diff('day', date '1970-01-01', cast(ts as date)) // 7 as bigint)"
+    return f"""
+        with w as (select user_id, {wk} as week from events),
+        first_w as (select user_id, min(week) as cohort from w group by user_id),
+        activity as (select distinct w.user_id, f.cohort, w.week - f.cohort as offset_w
+                     from w join first_w f on w.user_id = f.user_id)
+        select cohort, offset_w, cast(count(*) as bigint) as n_users
+        from activity group by cohort, offset_w"""
+
+
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (cohort week × offset week × users)."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_cohort_sql(SPARK))
+
+
+def q_cohort_oracle() -> str:
+    return _cohort_sql(DUCK)
+
+
+QUERIES["cohort"] = (q_cohort, q_cohort_oracle)
+
+
+def _transitions_sql(d: str) -> str:
+    """Event-type transition counts (first-order Markov statistics): for
+    each user's ts-ordered event stream, count (prev_type → type) bigrams.
+    Deterministic order: (ts, event_id) is a total order.  One window on the
+    user key + one map-side-combined count."""
+    return """
+        with seq as (
+            select user_id, event_type,
+                   lag(event_type) over (partition by user_id
+                                         order by ts, event_id) as prev_type
+            from events
+        )
+        select prev_type, event_type as next_type,
+               cast(count(*) as bigint) as n
+        from seq where prev_type is not null
+        group by prev_type, event_type"""
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per the user timeline."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_transitions_sql(SPARK))
+
+
+def q_transitions_oracle() -> str:
+    return _transitions_sql(DUCK)
+
+
+QUERIES["transitions"] = (q_transitions, q_transitions_oracle)

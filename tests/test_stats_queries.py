@@ -95,3 +95,20 @@ def test_eqfreq_bins_are_balanced(spark):
         assert sorted(b for b, _ in bs) == list(range(8))
         counts = [c for _, c in bs]
         assert max(counts) - min(counts) <= 1  # equal frequency ± rounding
+
+
+def test_cohort_and_transitions_shape(spark):
+    coh = Q.q_cohort(spark, SF).collect()
+    # offset 0 row exists for every cohort and counts all its users
+    by_cohort = {}
+    for r in coh:
+        by_cohort.setdefault(r.cohort, {})[r.offset_w] = r.n_users
+    for c, offs in by_cohort.items():
+        assert 0 in offs
+        assert all(offs[0] >= n for o, n in offs.items())  # retention <= cohort size
+
+    tr = Q.q_transitions(spark, SF).collect()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    n_users = spark.read.parquet(f"{SF}/events.parquet").select("user_id").distinct().count()
+    # each user's chain has len-1 transitions
+    assert sum(r.n for r in tr) == n_events - n_users
