@@ -236,6 +236,13 @@ CHECKS = {
     ),
     # equal-frequency binning: one window per type, no joins
     "eqfreq_bins": (["Window"], ["BatchEvalPython", "Join", "CartesianProduct"]),
+    # cohort: two keyed aggs + one equi-join
+    "cohort": (["HashAggregate"], ["BatchEvalPython", "CartesianProduct"]),
+    # transitions: one window + combined count, no joins
+    "transitions": (
+        ["Window", "HashAggregate"],
+        ["BatchEvalPython", "Join", "CartesianProduct"],
+    ),
 }
 
 
