@@ -444,3 +444,99 @@ def gap_fill_oracle_sql(
                round(case when v is not null then v else {interp} end, 9) as value,
                (v is null) as filled
         from filled"""
+
+
+def interval_merge(
+    events: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    dur_scale_us: int = 3_000_000,
+) -> DataFrame:
+    """Overlapping-interval dissolve (interval union per key) — the validity-
+    period consolidation the reference's ValidBetween semantics imply
+    (`OsmToNetexMapper.java:219-238` builds one ValidBetween per zone; a
+    multi-source feed needs overlapping validity windows merged per entity).
+
+    Each event becomes the interval [t, t + floor(value·100+.5)·dur_scale_us]
+    in integer epoch micros; intervals per ``group_col`` are merged when they
+    overlap or touch, returning (group, island, start_us, end_us, n_events).
+
+    Scale shape: ONE shuffle on the group key; the sweep (running max of
+    interval ends over strictly-preceding rows → gap flag → running sum =
+    island id) is two frames over the same per-key sort, which Spark executes
+    as a single Window exchange+sort.  Integer micros end-to-end — bit-exact
+    across engines, no float accumulation.
+    """
+    s = f"cast(timestampdiff(MICROSECOND, {EPOCH_NTZ}, {ts_col}) as bigint)"
+    e = f"{s} + cast(floor({value_col} * 100.0e0 + 0.5e0) as bigint) * {dur_scale_us}"
+    iv = events.selectExpr(
+        f"{group_col} as grp", f"{s} as s_us", f"{e} as e_us", "event_id"
+    )
+    w_pre = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("s_us").asc(), F.col("e_us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("s_us").asc(), F.col("e_us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = (
+        iv.withColumn("pre_end", F.max("e_us").over(w_pre))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("pre_end").isNull() | (F.col("s_us") > F.col("pre_end")), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w_run))
+    )
+    return (
+        flagged.groupBy("grp", "island")
+        .agg(
+            F.min("s_us").alias("start_us"),
+            F.max("e_us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .selectExpr(
+            f"grp as {group_col}", "island", "start_us", "end_us", "n_events"
+        )
+    )
+
+
+def interval_merge_oracle_sql(
+    table: str = "events",
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    dur_scale_us: int = 3_000_000,
+) -> str:
+    """DuckDB replay: identical integer sweep."""
+    s = f"cast(epoch_us({ts_col}) as bigint)"
+    e = f"{s} + cast(floor({value_col} * 100.0e0 + 0.5e0) as bigint) * {dur_scale_us}"
+    return f"""
+        with iv as (
+            select {group_col} as grp, {s} as s_us, {e} as e_us, event_id
+            from {table}
+        ),
+        flagged as (
+            select grp, s_us, e_us, event_id,
+                   case when max(e_us) over w_pre is null
+                             or s_us > max(e_us) over w_pre
+                        then 1 else 0 end as brk
+            from iv
+            window w_pre as (partition by grp order by s_us asc, e_us asc, event_id asc
+                             rows between unbounded preceding and 1 preceding)
+        ),
+        islands as (
+            select grp, s_us, e_us,
+                   sum(brk) over (partition by grp order by s_us asc, e_us asc, event_id asc
+                                  rows between unbounded preceding and current row) as island
+            from flagged
+        )
+        select grp as {group_col}, island,
+               min(s_us) as start_us, max(e_us) as end_us,
+               count(*) as n_events
+        from islands group by grp, island"""

@@ -2948,3 +2948,116 @@ def q_transitions_oracle() -> str:
 
 
 QUERIES["transitions"] = (q_transitions, q_transitions_oracle)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy record linkage (blocked edit-distance join)
+# ---------------------------------------------------------------------------
+_FUZZY_MUL = 2654435761  # Knuth multiplicative constant — portable int arith
+
+
+def _dirty_names_sql(d: str) -> str:
+    """Deterministically corrupt each part name: delete the character at
+    position 1 + (p_partkey·MUL mod len) — pure integer arithmetic and
+    substr, identical in both engines."""
+    k = f"(1 + ((p_partkey * {_FUZZY_MUL}) % length(p_name)))"
+    return f"""
+        select p_partkey as rec_id,
+               concat(substr(p_name, 1, {k} - 1), substr(p_name, {k} + 1))
+                   as dirty_name
+        from part"""
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: corrupted part names matched back to the clean
+    name dictionary under levenshtein<=2 — broadcast dictionary, length-band
+    prefilter, bounded-DP distance, one map-side argmin (linkage.py)."""
+    from ..operators import linkage
+
+    register_geometry_views(spark, sf_dir)
+    dirty = spark.sql(_dirty_names_sql(SPARK))
+    clean = spark.table("part").select(F.col("p_name").alias("name"))
+    return linkage.fuzzy_match(
+        dirty, clean, dirty_key="rec_id", dirty_col="dirty_name",
+        clean_col="name", max_dist=2,
+    )
+
+
+def q_fuzzy_match_oracle() -> str:
+    return f"""
+        with dirty as ({_dirty_names_sql(DUCK)}),
+        clean as (select distinct p_name as name from part),
+        cand as (
+            select d.rec_id, d.dirty_name, c.name,
+                   levenshtein(d.dirty_name, c.name) as dist
+            from dirty d join clean c
+              on abs(length(d.dirty_name) - length(c.name)) <= 2
+        ),
+        ranked as (
+            select rec_id, dirty_name, name as match_name, dist,
+                   row_number() over (partition by rec_id
+                                      order by dist asc, name asc) as rn
+            from cand where dist <= 2
+        )
+        select rec_id, dirty_name, match_name, dist from ranked where rn = 1"""
+
+
+QUERIES["fuzzy_match"] = (q_fuzzy_match, q_fuzzy_match_oracle)
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts — minimal price, maximal size — via the
+    bucketed two-phase plan (skyline.py): distinct-first, per-bucket window,
+    cross-bucket prefix max.  Oracle is the O(n²) NOT EXISTS dominance
+    definition; agreement proves the linear plan exact."""
+    from ..operators import skyline
+
+    register_geometry_views(spark, sf_dir)
+    sky = skyline.skyline2d(
+        spark.table("part"), "p_retailprice", "p_size", n_buckets=64
+    )
+    return sky.selectExpr(
+        "x as price", "cast(y as int) as size", "n_rows as n_parts"
+    )
+
+
+def q_skyline_oracle() -> str:
+    return """
+        with pairs as (
+            select p_retailprice as price, p_size as size,
+                   count(*) as n_parts
+            from part group by 1, 2
+        )
+        select price, size, n_parts from pairs p
+        where not exists (
+            select 1 from pairs q
+            where q.price <= p.price and q.size >= p.size
+              and (q.price < p.price or q.size > p.size))"""
+
+
+QUERIES["skyline"] = (q_skyline, q_skyline_oracle)
+
+
+# ---------------------------------------------------------------------------
+# overlapping-interval dissolve
+# ---------------------------------------------------------------------------
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity-window consolidation: events become [t, t+dur] intervals in
+    integer micros, merged per user when overlapping/touching — one shuffle,
+    two frames over one per-key sort (temporal.interval_merge)."""
+    from ..operators import temporal
+
+    register_geometry_views(spark, sf_dir)
+    return temporal.interval_merge(spark.table("events"))
+
+
+def q_interval_merge_oracle() -> str:
+    from ..operators import temporal
+
+    return temporal.interval_merge_oracle_sql()
+
+
+QUERIES["interval_merge"] = (q_interval_merge, q_interval_merge_oracle)

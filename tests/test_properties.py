@@ -19,6 +19,12 @@ from osm_to_netex_spark.functions.portable import DUCK, haversine_m
 CON = duckdb.connect()
 
 
+def _dlit(v: float) -> str:
+    # float literal as DOUBLE: bare repr() of a 16-digit float parses as
+    # DECIMAL in DuckDB and fails to widen against larger magnitudes
+    return f"cast({v!r} as double)"
+
+
 def _eval(expr: str):
     return CON.sql(f"select {expr} as v").fetchone()[0]
 
@@ -30,7 +36,7 @@ lon_st = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False, width=64)
 @settings(max_examples=60, deadline=None)
 @given(lat=lat_st, lon=lon_st, res=st.integers(min_value=1, max_value=15))
 def test_quad_pack_unpack_roundtrip(lat, lon, res):
-    cell = _eval(geo.quad_cell(repr(lat), repr(lon), res, DUCK))
+    cell = _eval(geo.quad_cell(_dlit(lat), _dlit(lon), res, DUCK))
     ix, iy = geo.quad_unpack(str(cell), res, DUCK)
     gx, gy = _eval(ix), _eval(iy)
     n = 2**res
@@ -42,11 +48,11 @@ def test_quad_pack_unpack_roundtrip(lat, lon, res):
 @settings(max_examples=40, deadline=None)
 @given(lat1=lat_st, lon1=lon_st, lat2=lat_st, lon2=lon_st)
 def test_haversine_symmetry_and_bounds(lat1, lon1, lat2, lon2):
-    d12 = _eval(haversine_m(repr(lat1), repr(lon1), repr(lat2), repr(lon2), DUCK))
-    d21 = _eval(haversine_m(repr(lat2), repr(lon2), repr(lat1), repr(lon1), DUCK))
+    d12 = _eval(haversine_m(_dlit(lat1), _dlit(lon1), _dlit(lat2), _dlit(lon2), DUCK))
+    d21 = _eval(haversine_m(_dlit(lat2), _dlit(lon2), _dlit(lat1), _dlit(lon1), DUCK))
     assert d12 == pytest.approx(d21, rel=1e-9)
     assert 0.0 <= d12 <= math.pi * geo.EARTH_RADIUS_M * 1.0000001
-    d_self = _eval(haversine_m(repr(lat1), repr(lon1), repr(lat1), repr(lon1), DUCK))
+    d_self = _eval(haversine_m(_dlit(lat1), _dlit(lon1), _dlit(lat1), _dlit(lon1), DUCK))
     assert d_self == 0.0
 
 
@@ -75,7 +81,7 @@ def test_fingerprint_whitespace_invariant(words):
 @settings(max_examples=40, deadline=None)
 @given(lat=lat_st, lon=lon_st, res=st.integers(min_value=2, max_value=12), k=st.integers(min_value=1, max_value=3))
 def test_quad_kring_contains_self_and_is_bounded(lat, lon, res, k):
-    cell_expr = geo.quad_cell(repr(lat), repr(lon), res, DUCK)
+    cell_expr = geo.quad_cell(_dlit(lat), _dlit(lon), res, DUCK)
     ring = CON.sql(
         f"select unnest({geo.quad_kring(cell_expr, res, k, DUCK)}) as c"
     ).fetchall()
