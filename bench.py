@@ -281,6 +281,9 @@ def main():
         "scd2",
         "triangles",
         "eqfreq_bins",
+        "fuzzy_match",
+        "skyline",
+        "interval_merge",
     ]
     timings = {}
     for name in bench_queries:
