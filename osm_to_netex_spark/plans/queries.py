@@ -3061,3 +3061,78 @@ def q_interval_merge_oracle() -> str:
 
 
 QUERIES["interval_merge"] = (q_interval_merge, q_interval_merge_oracle)
+
+
+# ---------------------------------------------------------------------------
+# frequent itemset pairs (a-priori market basket)
+# ---------------------------------------------------------------------------
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs sharing >=3 orders, with lift
+    — distinct-first, a-priori singleton prefilter before the pair join,
+    broadcast supports (basket.py)."""
+    from ..operators import basket
+
+    register_geometry_views(spark, sf_dir)
+    return basket.frequent_pairs(spark.table("lineitem"), min_support=3)
+
+
+def q_frequent_pairs_oracle() -> str:
+    from ..operators import basket
+
+    return basket.frequent_pairs_oracle_sql(min_support=3)
+
+
+QUERIES["frequent_pairs"] = (q_frequent_pairs, q_frequent_pairs_oracle)
+
+
+# ---------------------------------------------------------------------------
+# token distribution drift (chi-squared per source)
+# ---------------------------------------------------------------------------
+def _token_drift_sql(d: str) -> str:
+    """Chi-squared drift of each source's token distribution against the
+    pooled corpus — the training-data monitoring staple (did a crawl slice
+    shift vocabulary?).  Expected counts e = row_total·col_total/grand are
+    pure +,*,/ (IEEE-deterministic both engines); each (o−e)²/e term is
+    quantized to integer 1e-9 units BEFORE the sum, so the per-source total
+    is order-free under any partitioning.  Shape: one token-explode scan,
+    three tiny aggregates (sources, vocabulary, grand total), a sources ×
+    vocab grid join — the grid is dimension-sized (prune vocabulary to
+    global top-K first when |vocab| is corpus-scale), never corpus-sized."""
+    ex = (
+        f"explode({tx.tokens('text', SPARK)})"
+        if d == SPARK
+        else f"unnest({tx.tokens('text', DUCK)})"
+    )
+    return f"""
+        with tok as (select source, {ex} as w from documents),
+        counts as (select source, w, count(*) as c from tok group by source, w),
+        rt as (select source, sum(c) as st from counts group by source),
+        ct as (select w, sum(c) as cw from counts group by w),
+        g as (select sum(c) as gt from counts),
+        grid as (
+            select rt.source, ct.w, coalesce(c.c, 0) as o,
+                   cast(rt.st as double) * cast(ct.cw as double)
+                       / cast(g.gt as double) as e
+            from rt cross join ct cross join g
+            left join counts c on c.source = rt.source and c.w = ct.w
+        ),
+        terms as (
+            select source,
+                   cast(floor((cast(o as double) - e) * (cast(o as double) - e)
+                        / e * 1.0e9 + 0.5e0) as bigint) as tq
+            from grid
+        )
+        select source, sum(tq) as chi2_q9, count(*) as n_cells
+        from terms group by source"""
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_token_drift_sql(SPARK))
+
+
+def q_token_drift_oracle() -> str:
+    return _token_drift_sql(DUCK)
+
+
+QUERIES["token_drift"] = (q_token_drift, q_token_drift_oracle)
