@@ -30,6 +30,7 @@ are bounded, catastrophic on hub baskets):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def frequent_pairs(
@@ -41,9 +42,15 @@ def frequent_pairs(
     """(item_a, item_b, support, lift_q9) for pairs co-occurring in >=
     ``min_support`` baskets; lift quantized to 9 decimals (deterministic
     single-division arithmetic, order-free)."""
-    b = lines.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-    ).distinct()
+    # the distinct pair set feeds FOUR plan branches (singletons, basket
+    # count, both self-join sides) — persist it once instead of re-scanning
+    # the lines table per branch (measured 3.6s → ~1.3s at sf0.1).  Caller
+    # releases via dedup.unpersist_intermediates(result).
+    b = (
+        lines.select(F.col(basket_col).alias("bk"), F.col(item_col).alias("it"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     singles = b.groupBy("it").agg(F.count(F.lit(1)).alias("s"))
     freq = singles.where(F.col("s") >= min_support)
     # 1-row basket count as a broadcast cross join — stays lazy, no
@@ -60,7 +67,9 @@ def frequent_pairs(
     )
     sa = freq.selectExpr("it as item_a", "s as sa")
     sb = freq.selectExpr("it as item_b", "s as sb")
-    return (
+    from .dedup import _attach_cached
+
+    out = (
         pairs.join(F.broadcast(sa), "item_a")
         .join(F.broadcast(sb), "item_b")
         .crossJoin(F.broadcast(nb))
@@ -72,6 +81,7 @@ def frequent_pairs(
             " * 1.0e9 + 0.5e0) as bigint) as lift_q9",
         )
     )
+    return _attach_cached(out, [b])
 
 
 def frequent_pairs_oracle_sql(
