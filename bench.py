@@ -284,14 +284,22 @@ def main():
         "fuzzy_match",
         "skyline",
         "interval_merge",
+        "frequent_pairs",
+        "token_drift",
     ]
+    from osm_to_netex_spark.operators.dedup import unpersist_intermediates
+
     timings = {}
     for name in bench_queries:
         builder, _ = Q.QUERIES[name]
-        builder(spark, SF_DIR).count()  # warm: Catalyst codegen compile is 5-10 s
+        warm = builder(spark, SF_DIR)
+        warm.count()  # warm: Catalyst codegen compile is 5-10 s
+        unpersist_intermediates(warm)  # release caller-owned caches per run
         t0 = time.perf_counter()
-        builder(spark, SF_DIR).count()  # steady state (fresh plan, warm codegen cache)
+        timed = builder(spark, SF_DIR)
+        timed.count()  # steady state (fresh plan, warm codegen cache)
         timings[name] = round(time.perf_counter() - t0, 3)
+        unpersist_intermediates(timed)
     spark.stop()
 
     # --- flagship + scaling -------------------------------------------------

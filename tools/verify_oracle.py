@@ -65,10 +65,15 @@ def main():
         if name not in oracles:
             df = builder(spark, sf_dir)
             n = df.count()
+            from osm_to_netex_spark.operators.dedup import unpersist_intermediates
+            unpersist_intermediates(df)
             print(f"{name:26s} rows-only  rows={n}")
             continue
         try:
-            sdf = builder(spark, sf_dir).toPandas()
+            built = builder(spark, sf_dir)
+            sdf = built.toPandas()
+            from osm_to_netex_spark.operators.dedup import unpersist_intermediates
+            unpersist_intermediates(built)  # release caller-owned caches
             duck = con.sql(oracles[name]).fetchdf()
         except Exception as e:
             print(f"{name:26s} ERROR  {str(e)[:160]}")
