@@ -231,3 +231,72 @@ def triangles_sql(d: str, table: str = "documents") -> str:
         )
         select v as doc_id, cast(n_tri as bigint) as n_triangles
         from pernode"""
+
+
+# ---------------------------------------------------------------------------
+# K-round Bellman-Ford SSSP (Pregel-style synchronous relaxation)
+# ---------------------------------------------------------------------------
+def weighted_edges_sql(d: str, table: str = "documents", n_expr: str | None = None) -> str:
+    """Distinct (src, dst, w): the link graph with a deterministic integer
+    weight 1..9 per edge (hash of the endpoint pair)."""
+    wh = phash60(concat_str(["'w:'", "src", "':'", "dst"], d), d)
+    w = f"1 + ({wh}) % 9"
+    return (
+        f"select src, dst, {w} as w from "
+        f"(select distinct src, dst from ({edges_sql(d, table, n_expr)}))"
+    )
+
+
+def _sssp_iter_sql(edges: str, prev: str) -> str:
+    """One synchronous relaxation: keep current labels, add every edge
+    extension, take the min per node.  Pure integer min — order-free."""
+    return (
+        f"select doc_id, min(dist) as dist from ("
+        f"  select doc_id, dist from {prev}"
+        f"  union all"
+        f"  select e.dst as doc_id, p.dist + e.w as dist"
+        f"  from {edges} e join {prev} p on e.src = p.doc_id"
+        f") group by doc_id"
+    )
+
+
+def sssp(spark: SparkSession, docs: DataFrame, n_rounds: int = 4,
+         source_mod: int = 997) -> DataFrame:
+    """(doc_id, dist): exact min-cost path length from the source set
+    (doc_id % source_mod == 0) reachable within ``n_rounds`` relaxations.
+
+    Scale shape: the frontier table is SPARSE (only reached nodes), one
+    join + one map-side-combined min-agg per round, K a small constant —
+    the Pregel/GraphX SSSP shape without per-vertex driver state.  Integer
+    weights and min() make every round order-free, so the K-round label
+    table is bit-identical across partitionings and both engines (the
+    oracle unrolls the same K rounds as CTEs).
+    """
+    docs.select("doc_id").createOrReplaceTempView("__sp_docs")
+    n_expr = "(select count(*) from __sp_docs)"
+    spark.sql(weighted_edges_sql(SPARK, "__sp_docs", n_expr)).createOrReplaceTempView(
+        "__sp_edges"
+    )
+    cur = spark.sql(
+        f"select doc_id, cast(0 as bigint) as dist from __sp_docs "
+        f"where doc_id % {source_mod} = 0"
+    )
+    for t in range(n_rounds):
+        cur.createOrReplaceTempView(f"__sp_d{t}")
+        cur = spark.sql(_sssp_iter_sql("__sp_edges", f"__sp_d{t}"))
+    return cur
+
+
+def sssp_oracle_sql(table: str = "documents", n_rounds: int = 4,
+                    source_mod: int = 997) -> str:
+    """The same K rounds unrolled as chained CTEs (DuckDB dialect)."""
+    n_expr = "(select count(*) from d0)"
+    ctes = [
+        f"d0 as (select doc_id from {table})",
+        f"e0 as ({weighted_edges_sql(DUCK, 'd0', n_expr)})",
+        f"s0 as (select doc_id, cast(0 as bigint) as dist from d0 "
+        f"where doc_id % {source_mod} = 0)",
+    ]
+    for t in range(n_rounds):
+        ctes.append(f"s{t + 1} as ({_sssp_iter_sql('e0', f's{t}')})")
+    return "with " + ", ".join(ctes) + f" select doc_id, dist from s{n_rounds}"

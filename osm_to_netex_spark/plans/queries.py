@@ -3136,3 +3136,64 @@ def q_token_drift_oracle() -> str:
 
 
 QUERIES["token_drift"] = (q_token_drift, q_token_drift_oracle)
+
+
+# ---------------------------------------------------------------------------
+# K-round Bellman-Ford SSSP
+# ---------------------------------------------------------------------------
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pregel-style synchronous SSSP: 4 relaxation rounds over the weighted
+    link graph from a sparse source set — sparse frontier table, one join +
+    one min-agg per round, exact integer labels (operators.graph.sssp)."""
+    from ..operators import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return graph.sssp(spark, docs, n_rounds=4)
+
+
+def q_sssp_oracle() -> str:
+    from ..operators import graph
+
+    return graph.sssp_oracle_sql(n_rounds=4)
+
+
+QUERIES["sssp"] = (q_sssp, q_sssp_oracle)
+
+
+# ---------------------------------------------------------------------------
+# star-schema rollup (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+def _star_rollup_sql(d: str) -> str:
+    """Revenue by region/nation through the full dimension chain
+    lineitem→orders→customer→nation→region.  Per-row revenue
+    l_extendedprice·(1−l_discount) is a deterministic IEEE product,
+    quantized to int 1e-4 units BEFORE the sum so group totals are
+    order-free integers.  Shape: two fact-sized hash joins (lineitem⨝orders,
+    orders⨝customer — sort-merge + AQE at scale), then broadcast snowflake
+    dims (nation, region); aggregation map-side combines on (region,
+    nation)."""
+    rev = (
+        "cast(floor(l_extendedprice * (1.0e0 - l_discount) * 1.0e4 + 0.5e0)"
+        " as bigint)"
+    )
+    return f"""
+        select r_name as region, n_name as nation,
+               count(*) as n_lines, sum({rev}) as revenue_q4
+        from lineitem
+        join orders   on l_orderkey  = o_orderkey
+        join customer on o_custkey   = c_custkey
+        join nation   on c_nationkey = n_nationkey
+        join region   on n_regionkey = r_regionkey
+        group by r_name, n_name"""
+
+
+def q_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_star_rollup_sql(SPARK))
+
+
+def q_star_rollup_oracle() -> str:
+    return _star_rollup_sql(DUCK)
+
+
+QUERIES["star_rollup"] = (q_star_rollup, q_star_rollup_oracle)

@@ -41,3 +41,15 @@ def test_token_drift_zero_when_identical(spark):
 
     rows = spark.sql(_token_drift_sql(SPARK)).collect()
     assert len(rows) == 2 and all(r["chi2_q9"] == 0 for r in rows)
+
+
+def test_sssp_rounds_monotone(spark):
+    from osm_to_netex_spark.operators import graph
+
+    docs = spark.range(0, 300).selectExpr("id as doc_id")
+    d2 = {r["doc_id"]: r["dist"] for r in graph.sssp(spark, docs, n_rounds=2, source_mod=100).collect()}
+    d4 = {r["doc_id"]: r["dist"] for r in graph.sssp(spark, docs, n_rounds=4, source_mod=100).collect()}
+    # sources stay at 0; labels never increase with more rounds; reach grows
+    assert d2[0] == 0 and d4[0] == 0 and d4[100] == 0 and d4[200] == 0
+    assert set(d2) <= set(d4)
+    assert all(d4[k] <= v for k, v in d2.items())
