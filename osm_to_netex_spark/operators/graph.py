@@ -274,15 +274,18 @@ def sssp(spark: SparkSession, docs: DataFrame, n_rounds: int = 4,
     """
     docs.select("doc_id").createOrReplaceTempView("__sp_docs")
     n_expr = "(select count(*) from __sp_docs)"
-    spark.sql(weighted_edges_sql(SPARK, "__sp_docs", n_expr)).createOrReplaceTempView(
-        "__sp_edges"
-    )
+    # edges feed every round, and prev feeds TWO branches per round (carry +
+    # relax) — localCheckpoint keeps the plan linear in K instead of 2^K
+    # (the grid_bfs / connected-components lesson)
+    spark.sql(weighted_edges_sql(SPARK, "__sp_docs", n_expr)).localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("__sp_edges")
     cur = spark.sql(
         f"select doc_id, cast(0 as bigint) as dist from __sp_docs "
         f"where doc_id % {source_mod} = 0"
     )
     for t in range(n_rounds):
-        cur.createOrReplaceTempView(f"__sp_d{t}")
+        cur.localCheckpoint(eager=False).createOrReplaceTempView(f"__sp_d{t}")
         cur = spark.sql(_sssp_iter_sql("__sp_edges", f"__sp_d{t}"))
     return cur
 
