@@ -286,6 +286,8 @@ def main():
         "interval_merge",
         "frequent_pairs",
         "token_drift",
+        "sssp",
+        "star_rollup",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 
