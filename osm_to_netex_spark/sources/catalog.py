@@ -133,6 +133,64 @@ class SnapshotCatalog:
             "surviving_versions": len(survivors),
         }
 
+    # -- compaction ---------------------------------------------------------
+    def compact(
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        layout_col: str | None = None,
+    ) -> dict:
+        """Iceberg-style `rewriteDataFiles`: bin-pack the current snapshot's
+        accumulated small files (one dir per append) into ~target-size files
+        and commit the rewrite as a new overwrite snapshot.
+
+        Why it matters at 10^12 docs: a streaming/micro-batch append path
+        produces one small dir per commit; scan cost and driver planning
+        degrade with file count, not byte count.  Compaction pays one
+        bounded rewrite to restore scan efficiency; older snapshots keep
+        their original files (time travel intact) until `expire_snapshots`.
+
+        * no ``layout_col``: `coalesce(n)` — a shuffle-free narrow rewrite.
+        * with ``layout_col`` (e.g. a Z-order key): `repartitionByRange` +
+          `sortWithinPartitions` — one shuffle buying range-clustered files
+          whose min/max stats prune future scans.
+        * idempotent no-op when the table is already one compacted dir.
+        """
+        meta = self.current_snapshot(table)
+        if meta is None:
+            raise FileNotFoundError(f"table {table!r} has no snapshots")
+        n_bytes = 0
+        n_files = 0
+        for d in meta["data_dirs"]:
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n_files += 1
+                        n_bytes += os.path.getsize(os.path.join(root, f))
+        n_out = max(1, -(-n_bytes // target_file_bytes))  # ceil
+        if len(meta["data_dirs"]) == 1 and meta.get("compaction_of") and n_files <= n_out:
+            return {"compacted": False, "n_files": n_files, "snapshot_id": meta["snapshot_id"]}
+        df = self.read(table)
+        if layout_col is not None:
+            from pyspark.sql import functions as F
+
+            df = df.repartitionByRange(n_out, F.col(layout_col)).sortWithinPartitions(
+                layout_col
+            )
+        else:
+            df = df.coalesce(n_out)
+        snap_id = self.commit(
+            df, table, mode="overwrite",
+            extra_meta={"compaction_of": meta["snapshot_id"]},
+        )
+        return {
+            "compacted": True,
+            "in_files": n_files,
+            "in_dirs": len(meta["data_dirs"]),
+            "out_files": n_out,
+            "snapshot_id": snap_id,
+        }
+
     # -- read ---------------------------------------------------------------
     def read(self, table: str, snapshot_id: str | None = None) -> DataFrame:
         """Read the table pinned at a snapshot (default: current)."""

@@ -100,3 +100,53 @@ def test_batched_units_equivalent_and_resumable(spark, catalog):
     assert out.count() == 100
     assert out.groupBy("doc_id").count().where("count > 1").count() == 0
     assert out.where("unit_id != pmod(xxhash64(doc_id), 6)").count() == 0
+
+
+def test_compaction_preserves_rows_and_time_travel(spark, catalog):
+    for i in range(4):  # 4 appends -> 4 data dirs of small files
+        catalog.commit(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id * 2 as v"),
+            "events_c", mode="append",
+        )
+    pre = catalog.current_snapshot("events_c")
+    assert len(pre["data_dirs"]) == 4
+    res = catalog.compact("events_c")
+    assert res["compacted"] and res["in_dirs"] == 4 and res["out_files"] == 1
+    post = catalog.read("events_c")
+    assert sorted(r["id"] for r in post.collect()) == list(range(40))
+    # time travel to the pre-compaction snapshot still reads original files
+    old = catalog.read("events_c", snapshot_id=pre["snapshot_id"])
+    assert old.count() == 40
+    # second compaction is a no-op
+    res2 = catalog.compact("events_c")
+    assert res2["compacted"] is False
+
+
+def test_compaction_with_layout_clusters_ranges(spark, catalog):
+    catalog.commit(
+        spark.range(0, 100).selectExpr("cast(id * 37 % 100 as bigint) as k", "id"),
+        "layout_c", mode="append",
+    )
+    catalog.commit(
+        spark.range(100, 200).selectExpr("cast(id * 37 % 100 as bigint) as k", "id"),
+        "layout_c", mode="append",
+    )
+    res = catalog.compact("layout_c", target_file_bytes=2048, layout_col="k")
+    assert res["compacted"] and res["out_files"] >= 2
+    assert catalog.read("layout_c").count() == 200
+    # range layout: every output file is internally sorted on k, and file
+    # [min,max] ranges don't interleave (scan pruning via footer stats works)
+    import glob
+    import os
+
+    new_dir = catalog.current_snapshot("layout_c")["data_dirs"][0]
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(new_dir, "*.parquet"))):
+        ks = [r["k"] for r in spark.read.parquet(f).collect()]
+        if not ks:
+            continue
+        assert ks == sorted(ks)
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    assert all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
