@@ -243,6 +243,45 @@ CHECKS = {
         ["Window", "HashAggregate"],
         ["BatchEvalPython", "Join", "CartesianProduct"],
     ),
+    # fuzzy linkage: the length-band predicate is non-equi, so the dictionary
+    # join is a broadcast nested loop (dictionary side broadcast — the probe
+    # corpus never moves); argmin is a map-side-combined HashAggregate
+    "fuzzy_match": (
+        ["BroadcastNestedLoopJoin", "HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # skyline: distinct-first agg + two windows (in-bucket partitioned, tiny
+    # summary prefix); extent/summary cross joins are broadcast 1-row/64-row
+    "skyline": (
+        ["Window", "HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # interval dissolve: ONE keyed shuffle, two frames on one sort, no joins
+    "interval_merge": (
+        ["Window", "HashAggregate"],
+        ["BatchEvalPython", "Join", "CartesianProduct"],
+    ),
+    # a-priori pairs: equi self-join on the basket key + broadcast singleton
+    # supports; the 1-row basket count is a broadcast BNLJ (allowed)
+    "frequent_pairs": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # token drift: explode scan + tiny-dimension grid joins
+    "token_drift": (
+        ["HashAggregate", "Generate"],
+        ["BatchEvalPython", "CartesianProduct"],
+    ),
+    # SSSP: K rounds of equi-join + min-agg, checkpointed, all JVM-side
+    "sssp": (
+        ["HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # star rollup: all-equi snowflake joins — BNLJ/cartesian would be a bug
+    "star_rollup": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
