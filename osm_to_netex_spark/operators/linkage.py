@@ -46,17 +46,40 @@ def fuzzy_match(
     dirty_col: str = "dirty_name",
     clean_col: str = "name",
     max_dist: int = 2,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """(dirty_key, dirty_col, match_name, dist): the closest dictionary name
     within ``max_dist`` edits of each dirty string; ties broken by the
-    lexicographically smallest name (deterministic across partitionings)."""
+    lexicographically smallest name (deterministic across partitionings).
+
+    strategy="broadcast": dictionary broadcast, non-equi length-band join —
+    the probe corpus never shuffles.  strategy="bucket": the dictionary is
+    keyed by string length and each probe explodes its 2·max_dist+1
+    candidate lengths into an EQUI-join key — a plain hash join that scales
+    past the broadcast threshold (the pip.py dual-strategy shape).  Both
+    strategies produce identical rows (the length band is exactly the
+    bucket set)."""
     d = dirty.select(F.col(dirty_key), F.col(dirty_col))
     c = clean.select(F.col(clean_col).alias("__clean")).distinct()
-    cand = d.join(
-        F.broadcast(c),
-        F.abs(F.length(F.col(dirty_col)) - F.length(F.col("__clean"))) <= max_dist,
-        "inner",
-    ).withColumn(
+    if strategy == "bucket":
+        probe = d.withColumn(
+            "__blen",
+            F.explode(
+                F.sequence(
+                    F.length(F.col(dirty_col)) - max_dist,
+                    F.length(F.col(dirty_col)) + max_dist,
+                )
+            ),
+        ).where(F.col("__blen") >= 1)
+        dic = c.withColumn("__blen", F.length(F.col("__clean")))
+        cand = probe.join(dic, "__blen").drop("__blen")
+    else:
+        cand = d.join(
+            F.broadcast(c),
+            F.abs(F.length(F.col(dirty_col)) - F.length(F.col("__clean"))) <= max_dist,
+            "inner",
+        )
+    cand = cand.withColumn(
         # 3-arg form early-abandons the DP past the bound and returns -1
         "__dist",
         F.levenshtein(F.col(dirty_col), F.col("__clean"), max_dist),

@@ -102,3 +102,22 @@ def test_interval_merge_islands(spark):
     assert got[(1, 1)] == (0, 200, 3)
     assert got[(1, 2)] == (300, 310, 1)
     assert got[(2, 1)] == (7, 12, 1)
+
+
+def test_fuzzy_match_bucket_strategy_equals_broadcast(spark):
+    dirty = spark.createDataFrame(
+        [Row(rec_id=i, dirty_name=n) for i, n in enumerate(
+            ["red widgt", "blu ring", "zzz", "abcd", "a"])]
+    )
+    clean = spark.createDataFrame(
+        [Row(name=n) for n in
+         ["red widget", "red widgets", "blue ring", "blu rings", "ab", "abc"]]
+    )
+    a = sorted(map(tuple, linkage.fuzzy_match(dirty, clean).collect()))
+    b_df = linkage.fuzzy_match(dirty, clean, strategy="bucket")
+    b = sorted(map(tuple, b_df.collect()))
+    assert a == b
+    # the bucket plan is a pure equi-join: no nested-loop, no broadcast of
+    # the probe side
+    plan = b_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
