@@ -288,6 +288,7 @@ def main():
         "token_drift",
         "sssp",
         "star_rollup",
+        "hull",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -3197,3 +3197,39 @@ def q_star_rollup_oracle() -> str:
 
 
 QUERIES["star_rollup"] = (q_star_rollup, q_star_rollup_oracle)
+
+
+# ---------------------------------------------------------------------------
+# distributed convex hull
+# ---------------------------------------------------------------------------
+def q_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group convex hull of the point corpus in integer micro-degrees —
+    the two-phase plan (hull.py): per-x reduce, bucket-summary envelope
+    prune, output-sensitive exact refine.  Oracle is the brute O(n³)
+    spanning-chord characterization; integer cross products make the
+    comparison bit-exact."""
+    from ..operators import hull
+
+    register_geometry_views(spark, sf_dir)
+    pts = spark.table("geo_points").selectExpr(
+        "cast(point_id % 8 as int) as grp",
+        "cast(floor(lon * 1000000.0e0) as bigint) as ix",
+        "cast(floor(lat * 1000000.0e0) as bigint) as iy",
+    )
+    return hull.convex_hull(pts, "ix", "iy", ["grp"], n_buckets=32).selectExpr(
+        "grp", "x", "y", "on_upper", "on_lower"
+    )
+
+
+def q_hull_oracle() -> str:
+    from ..operators import hull
+
+    return hull.hull_oracle_sql(
+        points_sql(DUCK),
+        "floor(lon * 1000000.0e0)",
+        "floor(lat * 1000000.0e0)",
+        "cast(point_id % 8 as int)",
+    )
+
+
+QUERIES["hull"] = (q_hull, q_hull_oracle)
