@@ -289,6 +289,7 @@ def main():
         "sssp",
         "star_rollup",
         "hull",
+        "hilbert_key",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

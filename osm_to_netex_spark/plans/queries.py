@@ -3233,3 +3233,32 @@ def q_hull_oracle() -> str:
 
 
 QUERIES["hull"] = (q_hull, q_hull_oracle)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout key
+# ---------------------------------------------------------------------------
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering key at quad res 10 — zorder_key's
+    locality-superior sibling (consecutive indices are always grid
+    neighbors): res unrolled let-binding levels of pure integer SQL, bit
+    identical across engines (sources.layout.hilbert_expr)."""
+    from ..sources import layout
+
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(
+        f"select point_id, {layout.hilbert_expr('lat', 'lon', 10, SPARK)} as h "
+        "from geo_points"
+    )
+
+
+def q_hilbert_key_oracle() -> str:
+    from ..sources import layout
+
+    return (
+        f"{duck_geometry_ctes()} select point_id, "
+        f"{layout.hilbert_expr('lat', 'lon', 10, DUCK)} as h from geo_points"
+    )
+
+
+QUERIES["hilbert_key"] = (q_hilbert_key, q_hilbert_key_oracle)

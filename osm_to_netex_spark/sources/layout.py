@@ -164,3 +164,50 @@ def geohash_expr(lat: str, lon: str, precision: int, d: str) -> str:
         idx = f"((({zv}) // {2**shift}) % 32)" if d != SPARK else f"((({zv}) div {2**shift}) % 32)"
         chars.append(f"substring('{GEOHASH_B32}', cast({idx} + 1 as int), 1)")
     return let_({"z": z}, "concat(" + ", ".join(chars) + ")", d, var="__gh")
+
+
+def _idiv(a: str, b: int, d: str) -> str:
+    return f"({a} div {b})" if d == SPARK else f"({a} // {b})"
+
+
+def hilbert_expr(lat: str, lon: str, res: int, d: str) -> str:
+    """Hilbert-curve index of the point's quad-grid coordinates at ``res``.
+
+    The locality-superior alternative to ``zorder_expr`` for file layout:
+    consecutive Hilbert indices are always grid NEIGHBORS (Morton jumps
+    across the map at power-of-two boundaries), so range-partitioned files
+    cover rounder, never-split spatial blobs — fewer files overlap a box
+    query.  Standard bottom-up construction (res levels, MSB first): per
+    level the quadrant digit is 3*rx + ry*(1-2*rx) — the arithmetic form of
+    ``(3*rx) XOR ry``, portable to both dialects — and the low bits are
+    reflected/swapped into the rotated sub-curve frame.  Unrolled into
+    ``res`` nested let-bindings of pure integer SQL: no UDF, no fold, bit
+    identical across engines; d in [0, 4^res).
+    """
+    ix, iy = geo.quad_ixy(lat, lon, res, d)
+    from ..functions.portable import let_
+
+    def level(i: int, x: str, y: str, acc: str) -> str:
+        if i == res:
+            return acc
+        s = 2 ** (res - 1 - i)
+        v = f"__h{i}"
+        bind = {
+            "rx": _idiv(x, s, d),
+            "ry": _idiv(y, s, d),
+            "xl": f"({x} % {s})",
+            "yl": f"({y} % {s})",
+            "dd": acc,
+        }
+        nx = (
+            f"(case when {v}.ry = 1 then {v}.xl "
+            f"when {v}.rx = 1 then {s - 1} - {v}.yl else {v}.yl end)"
+        )
+        ny = (
+            f"(case when {v}.ry = 1 then {v}.yl "
+            f"when {v}.rx = 1 then {s - 1} - {v}.xl else {v}.xl end)"
+        )
+        nacc = f"({v}.dd + {s * s} * (3 * {v}.rx + {v}.ry * (1 - 2 * {v}.rx)))"
+        return let_(bind, level(i + 1, nx, ny, nacc), d, var=v)
+
+    return level(0, f"({ix})", f"({iy})", "cast(0 as bigint)")

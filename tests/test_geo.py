@@ -316,3 +316,46 @@ def test_simplify_straight_line_collapses(spark):
     df = spark.createDataFrame([(7, pl)], "zone_id long, pos_list array<double>")
     got = simplify.simplify_dp(df, eps_deg=1e-9, k_rounds=5).collect()
     assert {r["vertex_idx"] for r in got} == {1, 20}
+
+
+# --- hilbert key --------------------------------------------------------------
+def test_hilbert_canonical_order_and_adjacency(spark):
+    """Spark evaluation of hilbert_expr matches the canonical xy2d reference
+    on the full res-3 grid, is bijective, and consecutive indices are always
+    Manhattan-distance-1 grid neighbors (the property Morton lacks — and the
+    reason the layout prunes rounder file rectangles)."""
+    from osm_to_netex_spark.sources import layout
+
+    res, n = 3, 8
+
+    def xy2d(n_, x, y):
+        d = 0
+        s = n_ // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - (x % s), s - 1 - (y % s)
+                x, y = y % s, x % s
+            else:
+                x, y = x % s, y % s
+            s //= 2
+        return d
+
+    # lat/lon chosen so quad_ixy yields exactly (ix, iy) on the res-3 grid
+    rows = spark.sql(
+        f"select ix, iy, {layout.hilbert_expr('lat', 'lon', res, 'spark')} as h "
+        f"from (select ix, iy, -180.0e0 + (ix + 0.5e0) * (360.0e0 / {n}) as lon, "
+        f"-90.0e0 + (iy + 0.5e0) * (180.0e0 / {n}) as lat "
+        f"from (select explode(sequence(0, {n - 1})) as ix) "
+        f"cross join (select explode(sequence(0, {n - 1})) as iy))"
+    ).collect()
+    got = {(r.ix, r.iy): r.h for r in rows}
+    assert got == {(x, y): xy2d(n, x, y) for x in range(n) for y in range(n)}
+    inv = {h: p for p, h in got.items()}
+    assert len(inv) == n * n
+    for h in range(n * n - 1):
+        (x1, y1), (x2, y2) = inv[h], inv[h + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
