@@ -290,6 +290,7 @@ def main():
         "star_rollup",
         "hull",
         "hilbert_key",
+        "rolling_stats",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

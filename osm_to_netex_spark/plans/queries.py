@@ -3262,3 +3262,46 @@ def q_hilbert_key_oracle() -> str:
 
 
 QUERIES["hilbert_key"] = (q_hilbert_key, q_hilbert_key_oracle)
+
+
+# ---------------------------------------------------------------------------
+# rolling time-range window stats
+# ---------------------------------------------------------------------------
+def _rolling_stats_sql(d: str) -> str:
+    """Trailing-1-hour per-user rolling stats at every event (RANGE frame on
+    integer epoch micros): count, exact integer sum, min/max.  The RANGE
+    frame is resolved per partition after one keyed sort — a single shuffle
+    on user_id; values quantized to bigint 1e-6 units so the sliding-sum
+    accumulation is order-free and bit-exact in both engines."""
+    us = (
+        "cast(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) as bigint)"
+        if d == SPARK
+        else "cast(epoch_us(ts) as bigint)"
+    )
+    return f"""
+        select event_id, user_id, epoch_us,
+               count(*) over w as n_1h,
+               sum(iv) over w as sum_1h_q,
+               min(iv) over w as min_1h_q,
+               max(iv) over w as max_1h_q
+        from (
+            select event_id, user_id, {us} as epoch_us,
+                   cast(floor(value * 1000000.0e0 + 0.5e0) as bigint) as iv
+            from events
+        ) e
+        window w as (
+            partition by user_id order by epoch_us
+            range between 3600000000 preceding and current row
+        )"""
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_rolling_stats_sql(SPARK))
+
+
+def q_rolling_stats_oracle() -> str:
+    return _rolling_stats_sql(DUCK)
+
+
+QUERIES["rolling_stats"] = (q_rolling_stats, q_rolling_stats_oracle)

@@ -112,3 +112,27 @@ def test_cohort_and_transitions_shape(spark):
     n_users = spark.read.parquet(f"{SF}/events.parquet").select("user_id").distinct().count()
     # each user's chain has len-1 transitions
     assert sum(r.n for r in tr) == n_events - n_users
+
+
+def test_rolling_stats_frame_boundary(spark):
+    """RANGE frame includes an event exactly 3600 s earlier, excludes one a
+    microsecond older, and the quantized sum is the exact integer total."""
+    spark.sql("drop view if exists events")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00.000000", 10, "a", 1.5, ""),
+            (2, "2024-01-01 01:00:00.000000", 10, "a", 2.25, ""),   # t1 - 3600s ago included
+            (3, "2024-01-01 01:00:00.000001", 10, "a", 4.0, ""),    # evicts event 1
+            (4, "2024-01-02 00:00:00.000000", 11, "a", 7.0, ""),    # other user
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp_ntz) as ts", "user_id",
+        "event_type", "value", "props"
+    ).createOrReplaceTempView("events")
+    rows = {r.event_id: r for r in spark.sql(Q._rolling_stats_sql("spark")).collect()}
+    assert rows[2].n_1h == 2 and rows[2].sum_1h_q == 3_750_000
+    assert rows[3].n_1h == 2 and rows[3].sum_1h_q == 6_250_000
+    assert rows[4].n_1h == 1 and rows[4].sum_1h_q == 7_000_000
+    spark.catalog.dropTempView("events")
+    spark._graft_geo_views = None  # force view re-registration downstream
