@@ -291,6 +291,7 @@ def main():
         "hull",
         "hilbert_key",
         "rolling_stats",
+        "nb_langid",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

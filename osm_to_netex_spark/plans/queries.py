@@ -3305,3 +3305,25 @@ def q_rolling_stats_oracle() -> str:
 
 
 QUERIES["rolling_stats"] = (q_rolling_stats, q_rolling_stats_oracle)
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes language classification
+# ---------------------------------------------------------------------------
+def q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial NB over char trigrams: train on the 80% split, classify
+    the held-out 20%.  Integer-quantized log-probs make every score an exact
+    fold and the argmax deterministic (operators/classify.py)."""
+    from ..operators import classify
+
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(classify.nb_langid_sql(SPARK))
+
+
+def q_nb_langid_oracle() -> str:
+    from ..operators import classify
+
+    return classify.nb_langid_sql(DUCK)
+
+
+QUERIES["nb_langid"] = (q_nb_langid, q_nb_langid_oracle)
