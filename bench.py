@@ -292,6 +292,7 @@ def main():
         "hilbert_key",
         "rolling_stats",
         "nb_langid",
+        "ridge_fit",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -3327,3 +3327,39 @@ def q_nb_langid_oracle() -> str:
 
 
 QUERIES["nb_langid"] = (q_nb_langid, q_nb_langid_oracle)
+
+
+# ---------------------------------------------------------------------------
+# multivariate ridge regression via exact normal equations
+# ---------------------------------------------------------------------------
+def _ridge_sql() -> str:
+    from ..operators import regression
+
+    return regression.ridge_fit_sql(
+        SPARK,  # text is dialect-shared
+        "lineitem",
+        "l_returnflag",
+        [
+            "l_quantity",
+            "cast(floor(l_discount * 100.0e0 + 0.5e0) as bigint)",
+            "cast(floor(l_tax * 100.0e0 + 0.5e0) as bigint)",
+        ],
+        "cast(floor(l_extendedprice * 100.0e0 + 0.5e0) as bigint)",
+        lam=0,
+    )
+
+
+def q_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag linear model price_cents ~ quantity + discount + tax:
+    exact integer moment matrix in ONE map-side-combined aggregate, Cramer
+    solve generated as fixed-order IEEE arithmetic (operators/regression.py)
+    — the d-feature generalization of trend_fit."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_ridge_sql())
+
+
+def q_ridge_fit_oracle() -> str:
+    return _ridge_sql()
+
+
+QUERIES["ridge_fit"] = (q_ridge_fit, q_ridge_fit_oracle)
