@@ -78,14 +78,18 @@ class SnapshotCatalog:
 
         prev = self.current_snapshot(table)
         dirs = [data_dir]
+        dels: list[str] = []
         if mode == "append" and prev:
             dirs = prev["data_dirs"] + dirs
+            # delete vectors keyed by file path still apply to carried files
+            dels = prev.get("delete_dirs", [])
         meta = {
             "snapshot_id": snap_id,
             "sequence": (prev["sequence"] + 1) if prev else 0,
             "mode": mode,
             **(extra_meta or {}),
             "data_dirs": dirs,
+            "delete_dirs": dels,
             "committed_at_ms": int(time.time() * 1000),
         }
         os.makedirs(self._meta_dir(table), exist_ok=True)
@@ -94,6 +98,65 @@ class SnapshotCatalog:
             json.dump(meta, fh)
         os.replace(tmp, os.path.join(self._meta_dir(table), f"v{meta['sequence']:09d}.json"))
         return snap_id
+
+    # -- positional deletes (deletion vectors) -------------------------------
+    def _read_with_pos(self, meta: dict) -> DataFrame:
+        """Current rows of a snapshot plus their physical identity
+        (__fp, __ri) = (file path, row index), deletes already applied."""
+        from pyspark.sql import functions as F
+
+        df = self.spark.read.parquet(*meta["data_dirs"]).select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        if meta.get("delete_dirs"):
+            dv = self.spark.read.parquet(*meta["delete_dirs"])
+            df = df.join(
+                F.broadcast(dv),
+                (df["__fp"] == dv["file_path"]) & (df["__ri"] == dv["row_index"]),
+                "left_anti",
+            )
+        return df
+
+    def delete_where(self, table: str, condition: str) -> dict:
+        """Iceberg-v2-style positional delete: rows matching ``condition``
+        are tombstoned as (file_path, row_index) pairs in a DELETE FILE —
+        no data file is rewritten.  The new snapshot shares every data dir
+        with its parent and carries one more delete dir; time travel to the
+        parent still sees the rows.
+
+        Why it matters at 10^12 docs: a GDPR/dedup purge touching 0.001% of
+        rows must not rewrite 100 TB.  Scans apply the vectors as a
+        broadcast anti-join on physical row identity (exact, no key columns
+        needed); `compact()` materializes them away when they accumulate.
+        """
+        meta = self.current_snapshot(table)
+        if meta is None:
+            raise FileNotFoundError(f"table {table!r} has no snapshots")
+        live = self._read_with_pos(meta)
+        hits = live.where(condition).selectExpr(
+            "__fp as file_path", "__ri as row_index"
+        )
+        snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        del_dir = os.path.join(self.root, table, "deletes", snap_id)
+        hits.write.mode("overwrite").parquet(del_dir)
+        n = self.spark.read.parquet(del_dir).count()
+        new_meta = {
+            "snapshot_id": snap_id,
+            "sequence": meta["sequence"] + 1,
+            "mode": "delete",
+            "data_dirs": meta["data_dirs"],
+            "delete_dirs": meta.get("delete_dirs", []) + [del_dir],
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        tmp = os.path.join(self._meta_dir(table), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(new_meta, fh)
+        os.replace(
+            tmp, os.path.join(self._meta_dir(table), f"v{new_meta['sequence']:09d}.json")
+        )
+        return {"snapshot_id": snap_id, "n_deleted": n}
 
     # -- retention ----------------------------------------------------------
     def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
@@ -117,12 +180,14 @@ class SnapshotCatalog:
         keep_dirs: set[str] = set()
         for v in survivors:
             with open(os.path.join(self._meta_dir(table), v)) as fh:
-                keep_dirs.update(json.load(fh)["data_dirs"])
+                m = json.load(fh)
+                keep_dirs.update(m["data_dirs"] + m.get("delete_dirs", []))
         drop_dirs: set[str] = set()
         for v in expired:
             path = os.path.join(self._meta_dir(table), v)
             with open(path) as fh:
-                drop_dirs.update(json.load(fh)["data_dirs"])
+                m = json.load(fh)
+                drop_dirs.update(m["data_dirs"] + m.get("delete_dirs", []))
             os.remove(path)
         drop_dirs -= keep_dirs
         for d in sorted(drop_dirs):
@@ -168,7 +233,8 @@ class SnapshotCatalog:
                         n_files += 1
                         n_bytes += os.path.getsize(os.path.join(root, f))
         n_out = max(1, -(-n_bytes // target_file_bytes))  # ceil
-        if len(meta["data_dirs"]) == 1 and meta.get("compaction_of") and n_files <= n_out:
+        if (len(meta["data_dirs"]) == 1 and meta.get("compaction_of")
+                and not meta.get("delete_dirs") and n_files <= n_out):
             return {"compacted": False, "n_files": n_files, "snapshot_id": meta["snapshot_id"]}
         df = self.read(table)
         if layout_col is not None:
@@ -202,6 +268,8 @@ class SnapshotCatalog:
             )
         if meta is None:
             raise FileNotFoundError(f"table {table!r} snapshot {snapshot_id!r} not found")
+        if meta.get("delete_dirs"):
+            return self._read_with_pos(meta).drop("__fp", "__ri")
         return self.spark.read.parquet(*meta["data_dirs"])
 
 

@@ -150,3 +150,53 @@ def test_compaction_with_layout_clusters_ranges(spark, catalog):
     ranges.sort()
     assert len(ranges) >= 2
     assert all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
+
+
+# --- positional deletes (deletion vectors) ----------------------------------
+def test_positional_delete_hides_rows_without_rewrite(spark, catalog):
+    _seed_input(spark, catalog, n=100)
+    before = catalog.current_snapshot("docs_in")
+    res = catalog.delete_where("docs_in", "payload % 10 = 3")
+    assert res["n_deleted"] == 10
+    after = catalog.current_snapshot("docs_in")
+    # zero data rewrite: same data dirs, one delete vector added
+    assert after["data_dirs"] == before["data_dirs"]
+    assert len(after["delete_dirs"]) == 1
+    live = catalog.read("docs_in")
+    assert live.count() == 90
+    assert live.where("payload % 10 = 3").count() == 0
+    # time travel to the parent still sees every row
+    assert catalog.read("docs_in", before["snapshot_id"]).count() == 100
+
+
+def test_deletes_survive_append_and_stack(spark, catalog):
+    _seed_input(spark, catalog, n=50)
+    catalog.delete_where("docs_in", "payload < 5")            # -5
+    extra = spark.range(50, 60).selectExpr(
+        "concat('doc-', id) as doc_id", "id as payload"
+    )
+    catalog.commit(extra, "docs_in", mode="append")           # +10 new rows
+    assert catalog.read("docs_in").count() == 55
+    catalog.delete_where("docs_in", "payload >= 55")          # -5 (new files)
+    assert catalog.read("docs_in").count() == 50
+    assert len(catalog.current_snapshot("docs_in")["delete_dirs"]) == 2
+    # deleting an already-deleted row is a no-op (vectors apply before match)
+    res = catalog.delete_where("docs_in", "payload < 5")
+    assert res["n_deleted"] == 0
+
+
+def test_compact_materializes_deletes_and_expire_drops_vectors(spark, catalog):
+    _seed_input(spark, catalog, n=100)
+    catalog.delete_where("docs_in", "payload >= 90")
+    out = catalog.compact("docs_in")
+    assert out["compacted"]
+    meta = catalog.current_snapshot("docs_in")
+    assert meta["delete_dirs"] == [] and catalog.read("docs_in").count() == 90
+    import os
+
+    gone = catalog.expire_snapshots("docs_in", keep_last=1)
+    assert gone["expired_versions"] >= 2
+    # the delete-vector dir is unreferenced after expiry and physically gone
+    assert not os.path.isdir(os.path.join(catalog.root, "docs_in", "deletes")) or not any(
+        os.scandir(os.path.join(catalog.root, "docs_in", "deletes"))
+    )
