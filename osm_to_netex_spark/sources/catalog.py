@@ -99,6 +99,94 @@ class SnapshotCatalog:
         os.replace(tmp, os.path.join(self._meta_dir(table), f"v{meta['sequence']:09d}.json"))
         return snap_id
 
+    # -- write-audit-publish --------------------------------------------------
+    def stage(self, df: DataFrame, table: str, mode: str = "append") -> str:
+        """WAP step 1: write a snapshot that READERS CANNOT SEE.
+
+        The staged snapshot is a full candidate version (data written, meta
+        journaled with ``staged: true``); `current_snapshot`/`read` skip it,
+        so audits run against it explicitly (``read(table, snap_id)``) while
+        production reads keep serving the last published version.  Publish
+        with `publish()` (atomic rename — the audit-to-visible flip is one
+        filesystem op) or drop it with `abandon()`.
+        """
+        snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        data_dir = os.path.join(self.root, table, "snapshots", snap_id)
+        df.write.mode("overwrite").parquet(data_dir)
+        prev = self.current_snapshot(table)
+        dirs = [data_dir]
+        dels: list[str] = []
+        if mode == "append" and prev:
+            dirs = prev["data_dirs"] + dirs
+            dels = prev.get("delete_dirs", [])
+        meta = {
+            "snapshot_id": snap_id,
+            "sequence": (prev["sequence"] + 1) if prev else 0,
+            "mode": mode,
+            "staged": True,
+            "data_dirs": dirs,
+            "delete_dirs": dels,
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        os.makedirs(self._meta_dir(table), exist_ok=True)
+        tmp = os.path.join(self._meta_dir(table), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(
+            tmp, os.path.join(self._meta_dir(table), f"staged-{snap_id}.json")
+        )
+        return snap_id
+
+    def publish(self, table: str, snap_id: str) -> None:
+        """WAP step 3: atomically promote an audited staged snapshot.
+
+        The staged meta becomes the next version file via one rename; its
+        sequence is re-assigned at publish time so staged snapshots can be
+        audited (and abandoned) in any order."""
+        path = os.path.join(self._meta_dir(table), f"staged-{snap_id}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no staged snapshot {snap_id!r} for {table!r}")
+        with open(path) as fh:
+            meta = json.load(fh)
+        cur = self.current_snapshot(table)
+        meta["sequence"] = (cur["sequence"] + 1) if cur else 0
+        if meta["mode"] == "append" and cur:
+            # re-base on whatever was published while this snapshot was staged
+            meta["data_dirs"] = cur["data_dirs"] + meta["data_dirs"][-1:]
+            meta["delete_dirs"] = cur.get("delete_dirs", [])
+        meta.pop("staged")
+        tmp = os.path.join(self._meta_dir(table), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(
+            tmp, os.path.join(self._meta_dir(table), f"v{meta['sequence']:09d}.json")
+        )
+        os.remove(path)
+
+    def abandon(self, table: str, snap_id: str) -> None:
+        """Drop a staged snapshot that failed its audit: meta first, then the
+        (never-visible) data dir."""
+        import shutil
+
+        path = os.path.join(self._meta_dir(table), f"staged-{snap_id}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no staged snapshot {snap_id!r} for {table!r}")
+        os.remove(path)
+        shutil.rmtree(
+            os.path.join(self.root, table, "snapshots", snap_id), ignore_errors=True
+        )
+
+    def staged_snapshots(self, table: str) -> list[dict]:
+        d = self._meta_dir(table)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in sorted(os.listdir(d)):
+            if f.startswith("staged-") and f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
     # -- positional deletes (deletion vectors) -------------------------------
     def _read_with_pos(self, meta: dict) -> DataFrame:
         """Current rows of a snapshot plus their physical identity
@@ -263,8 +351,11 @@ class SnapshotCatalog:
         if snapshot_id is None:
             meta = self.current_snapshot(table)
         else:
+            # explicit pins may target staged (pre-publish) snapshots: that is
+            # how a WAP audit reads its candidate
+            cands = self.snapshots(table) + self.staged_snapshots(table)
             meta = next(
-                (m for m in self.snapshots(table) if m["snapshot_id"] == snapshot_id), None
+                (m for m in cands if m["snapshot_id"] == snapshot_id), None
             )
         if meta is None:
             raise FileNotFoundError(f"table {table!r} snapshot {snapshot_id!r} not found")

@@ -200,3 +200,38 @@ def test_compact_materializes_deletes_and_expire_drops_vectors(spark, catalog):
     assert not os.path.isdir(os.path.join(catalog.root, "docs_in", "deletes")) or not any(
         os.scandir(os.path.join(catalog.root, "docs_in", "deletes"))
     )
+
+
+# --- write-audit-publish ------------------------------------------------------
+def test_wap_staged_invisible_until_published(spark, catalog):
+    _seed_input(spark, catalog, n=20)
+    bad = spark.range(5).selectExpr("concat('doc-', id) as doc_id", "id - 100 as payload")
+    sid = catalog.stage(bad, "docs_in", mode="append")
+    # production reads keep serving the published version
+    assert catalog.read("docs_in").count() == 20
+    # the audit reads the candidate explicitly
+    audit = catalog.read("docs_in", sid)
+    assert audit.count() == 25
+    assert audit.where("payload < 0").count() == 5  # audit FAILS
+    catalog.abandon("docs_in", sid)
+    assert catalog.staged_snapshots("docs_in") == []
+    assert catalog.read("docs_in").count() == 20
+
+
+def test_wap_publish_promotes_atomically_and_rebases(spark, catalog):
+    _seed_input(spark, catalog, n=20)
+    good = spark.range(100, 105).selectExpr(
+        "concat('doc-', id) as doc_id", "id as payload"
+    )
+    sid = catalog.stage(good, "docs_in", mode="append")
+    # a concurrent append publishes while the candidate is under audit
+    other = spark.range(200, 203).selectExpr(
+        "concat('doc-', id) as doc_id", "id as payload"
+    )
+    catalog.commit(other, "docs_in", mode="append")
+    assert catalog.read("docs_in").count() == 23
+    catalog.publish("docs_in", sid)
+    # published candidate rebased on the concurrent append: 20 + 3 + 5
+    assert catalog.read("docs_in").count() == 28
+    assert catalog.current_snapshot("docs_in")["snapshot_id"] == sid
+    assert catalog.staged_snapshots("docs_in") == []
