@@ -72,11 +72,14 @@ class SnapshotCatalog:
         overwrite: new snapshot = new dir only.  The metadata json is written
         via atomic rename, so a crash mid-write never exposes a torn table.
         """
+        prev = self.current_snapshot(table)
+        merge = bool(prev and prev.get("merge_schema")) if mode == "append" else False
+        if mode == "append" and prev and prev.get("schema"):
+            merge = self._check_evolution(prev, df) or merge
         snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.root, table, "snapshots", snap_id)
         df.write.mode("overwrite").parquet(data_dir)
 
-        prev = self.current_snapshot(table)
         dirs = [data_dir]
         dels: list[str] = []
         if mode == "append" and prev:
@@ -90,6 +93,8 @@ class SnapshotCatalog:
             **(extra_meta or {}),
             "data_dirs": dirs,
             "delete_dirs": dels,
+            "schema": json.loads(df.schema.json()),
+            "merge_schema": merge,
             "committed_at_ms": int(time.time() * 1000),
         }
         os.makedirs(self._meta_dir(table), exist_ok=True)
@@ -98,6 +103,31 @@ class SnapshotCatalog:
             json.dump(meta, fh)
         os.replace(tmp, os.path.join(self._meta_dir(table), f"v{meta['sequence']:09d}.json"))
         return snap_id
+
+    # -- schema evolution -----------------------------------------------------
+    @staticmethod
+    def _check_evolution(prev: dict, df: DataFrame) -> bool:
+        """Validate an append's schema against the table schema and return
+        whether reads must merge footers.
+
+        Iceberg-style rules, conservatively: ADDING columns is evolution
+        (old files read the new column as null via mergeSchema); CHANGING a
+        column's type is rejected (silent cross-file coercion corrupts at
+        scale); DROPPING a column in the writer is allowed — the old files
+        still carry it and merged reads resurface it as null for new rows.
+        """
+        import json as _json
+
+        old = {f["name"]: _json.dumps(f["type"], sort_keys=True)
+               for f in prev["schema"]["fields"]}
+        new = {f["name"]: _json.dumps(f["type"], sort_keys=True)
+               for f in _json.loads(df.schema.json())["fields"]}
+        for name in old.keys() & new.keys():
+            if old[name] != new[name]:
+                raise ValueError(
+                    f"schema evolution rejected: column {name!r} changes type"
+                )
+        return old.keys() != new.keys()
 
     # -- write-audit-publish --------------------------------------------------
     def stage(self, df: DataFrame, table: str, mode: str = "append") -> str:
@@ -110,10 +140,13 @@ class SnapshotCatalog:
         with `publish()` (atomic rename — the audit-to-visible flip is one
         filesystem op) or drop it with `abandon()`.
         """
+        prev = self.current_snapshot(table)
+        merge = bool(prev and prev.get("merge_schema")) if mode == "append" else False
+        if mode == "append" and prev and prev.get("schema"):
+            merge = self._check_evolution(prev, df) or merge
         snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.root, table, "snapshots", snap_id)
         df.write.mode("overwrite").parquet(data_dir)
-        prev = self.current_snapshot(table)
         dirs = [data_dir]
         dels: list[str] = []
         if mode == "append" and prev:
@@ -124,6 +157,8 @@ class SnapshotCatalog:
             "sequence": (prev["sequence"] + 1) if prev else 0,
             "mode": mode,
             "staged": True,
+            "schema": json.loads(df.schema.json()),
+            "merge_schema": merge,
             "data_dirs": dirs,
             "delete_dirs": dels,
             "committed_at_ms": int(time.time() * 1000),
@@ -154,6 +189,9 @@ class SnapshotCatalog:
             # re-base on whatever was published while this snapshot was staged
             meta["data_dirs"] = cur["data_dirs"] + meta["data_dirs"][-1:]
             meta["delete_dirs"] = cur.get("delete_dirs", [])
+            meta["merge_schema"] = bool(
+                meta.get("merge_schema") or cur.get("merge_schema")
+            )
         meta.pop("staged")
         tmp = os.path.join(self._meta_dir(table), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -193,7 +231,9 @@ class SnapshotCatalog:
         (__fp, __ri) = (file path, row index), deletes already applied."""
         from pyspark.sql import functions as F
 
-        df = self.spark.read.parquet(*meta["data_dirs"]).select(
+        df = self.spark.read.option(
+            "mergeSchema", str(meta.get("merge_schema", False)).lower()
+        ).parquet(*meta["data_dirs"]).select(
             "*",
             F.col("_metadata.file_path").alias("__fp"),
             F.col("_metadata.row_index").alias("__ri"),
@@ -361,7 +401,9 @@ class SnapshotCatalog:
             raise FileNotFoundError(f"table {table!r} snapshot {snapshot_id!r} not found")
         if meta.get("delete_dirs"):
             return self._read_with_pos(meta).drop("__fp", "__ri")
-        return self.spark.read.parquet(*meta["data_dirs"])
+        return self.spark.read.option(
+            "mergeSchema", str(meta.get("merge_schema", False)).lower()
+        ).parquet(*meta["data_dirs"])
 
 
 def write_bucketed(

@@ -235,3 +235,31 @@ def test_wap_publish_promotes_atomically_and_rebases(spark, catalog):
     assert catalog.read("docs_in").count() == 28
     assert catalog.current_snapshot("docs_in")["snapshot_id"] == sid
     assert catalog.staged_snapshots("docs_in") == []
+
+
+# --- schema evolution ---------------------------------------------------------
+def test_schema_evolution_add_column(spark, catalog):
+    _seed_input(spark, catalog, n=10)
+    wider = spark.range(10, 15).selectExpr(
+        "concat('doc-', id) as doc_id", "id as payload", "id * 10 as score"
+    )
+    catalog.commit(wider, "docs_in", mode="append")
+    live = catalog.read("docs_in")
+    assert set(live.columns) == {"doc_id", "payload", "score"}
+    # old rows surface the new column as null; new rows carry it
+    assert live.where("score is null").count() == 10
+    assert live.where("score is not null").count() == 5
+    # merged reads persist through further same-schema appends
+    catalog.commit(wider, "docs_in", mode="append")
+    assert set(catalog.read("docs_in").columns) == {"doc_id", "payload", "score"}
+
+
+def test_schema_evolution_rejects_type_change(spark, catalog):
+    _seed_input(spark, catalog, n=5)
+    bad = spark.range(5).selectExpr(
+        "concat('doc-', id) as doc_id", "cast(id as string) as payload"
+    )
+    with pytest.raises(ValueError, match="changes type"):
+        catalog.commit(bad, "docs_in", mode="append")
+    # table unharmed: the rejected write never reached the snapshot log
+    assert catalog.read("docs_in").count() == 5
