@@ -293,6 +293,7 @@ def main():
         "rolling_stats",
         "nb_langid",
         "ridge_fit",
+        "cosine_pairs",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

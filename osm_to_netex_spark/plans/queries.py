@@ -3363,3 +3363,29 @@ def q_ridge_fit_oracle() -> str:
 
 
 QUERIES["ridge_fit"] = (q_ridge_fit, q_ridge_fit_oracle)
+
+
+# ---------------------------------------------------------------------------
+# sparse all-pairs cosine similarity join
+# ---------------------------------------------------------------------------
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All doc pairs with tf-cosine >= 4/5: norm prefix filter (rarest-first,
+    integer (t/2)²-suffix bound) -> candidate equi-join on prefix terms ->
+    exact integer verify (operators/simjoin.py).  The brute oracle proves
+    the filter complete."""
+    from ..operators import simjoin
+
+    register_geometry_views(spark, sf_dir)
+    return simjoin.cosine_pairs(
+        spark.table("documents"), threshold_p=4, threshold_q=5
+    ).selectExpr("doc_a", "doc_b", "dot", "round(cosine, 9) as cosine")
+
+
+def q_cosine_pairs_oracle() -> str:
+    from ..operators import simjoin
+
+    base = simjoin.cosine_pairs_oracle_sql(4, 5)
+    return f"select doc_a, doc_b, dot, round(cosine, 9) as cosine from ({base}) t"
+
+
+QUERIES["cosine_pairs"] = (q_cosine_pairs, q_cosine_pairs_oracle)
