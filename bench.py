@@ -294,6 +294,7 @@ def main():
         "nb_langid",
         "ridge_fit",
         "cosine_pairs",
+        "hotspot",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

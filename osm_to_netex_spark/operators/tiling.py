@@ -407,3 +407,104 @@ def smooth_density_oracle_sql(
                cast(sum(self_cnt) as bigint) as raw_cnt,
                round(cast(sum(cnt * w) as double) / {float(lcm)!r}e0, 9) as density
         from scatter group by tx, ty"""
+
+
+def hotspot_gistar(
+    points: DataFrame,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Getis-Ord Gi* hotspot statistic per occupied quad cell.
+
+    The inferential sibling of smooth_density: instead of a smoothed count,
+    each cell gets a z-score for "is this 3x3 neighbourhood's mass
+    significantly above the global mean?" — the standard named statistic for
+    hotspot maps.  Study area = the OCCUPIED cells (deterministic from the
+    data; empty cells contribute neither to the mean nor to neighbourhoods).
+
+    Exactness: every sum (cell counts, neighbourhood sums W_i, neighbour
+    counts n_i, global Σx, Σx²) is integer; the z-score is a short FIXED
+    IEEE op sequence over them, so results are bit-identical across engines
+    and partitionings.  Degenerate cases (single cell, zero variance) yield
+    null via nullif.
+
+    Shape: the corpus collapses to the cell table in one map-side-combined
+    count; the 9-way scatter + inner join back to occupied cells and the
+    global 1-row aggregate all run over CELLS (≪ points).
+    """
+    ix, iy = geo.quad_ixy(lat, lon, res, SPARK)
+    counts = (
+        points.selectExpr(f"{ix} as cx", f"{iy} as cy")
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("cnt"))
+    )
+    neigh = (
+        counts.selectExpr("cx", "cy", "cnt", "explode(sequence(-1, 1)) as dx")
+        .selectExpr("cx + dx as tx", "cy", "cnt", "explode(sequence(-1, 1)) as dy")
+        .selectExpr("tx", "cy + dy as ty", "cnt as xj")
+    )
+    tgt = counts.selectExpr("cx", "cy")
+    w = (
+        neigh.join(tgt, (neigh["tx"] == tgt["cx"]) & (neigh["ty"] == tgt["cy"]))
+        .groupBy("cx", "cy")
+        .agg(F.sum("xj").alias("wi"), F.count("*").alias("ni"))
+    )
+    glob = counts.agg(
+        F.count("*").alias("nn"),
+        F.sum("cnt").alias("sx"),
+        F.sum(F.expr("cnt * cnt")).alias("sxx"),
+    )
+    return (
+        w.crossJoin(F.broadcast(glob))
+        .selectExpr(
+            "cx as cell_x",
+            "cy as cell_y",
+            "cast(wi as bigint) as wi",
+            "cast(ni as bigint) as ni",
+            # fixed-order IEEE: xbar, s, denom, z
+            "round((cast(wi as double) - (cast(sx as double) / cast(nn as double)) * cast(ni as double)) / "
+            "nullif(sqrt(greatest(cast(sxx as double) / cast(nn as double) - "
+            "(cast(sx as double) / cast(nn as double)) * (cast(sx as double) / cast(nn as double)), 0.0e0)) * "
+            "sqrt((cast(nn as double) * cast(ni as double) - cast(ni as double) * cast(ni as double)) / "
+            "(cast(nn as double) - 1.0e0)), 0.0e0), 9) as gi_z",
+        )
+    )
+
+
+def hotspot_gistar_oracle_sql(
+    points_sql_text: str,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB replay: same integer sums, same z op sequence."""
+    from ..functions.portable import DUCK
+
+    ix, iy = geo.quad_ixy(lat, lon, res, DUCK)
+    return f"""
+        with pts as ({points_sql_text}),
+        counts as (select {ix} as cx, {iy} as cy, count(*) as cnt
+                   from pts group by 1, 2),
+        neigh as (
+            select cx + dx.x as tx, cy + dy.y as ty, cnt as xj
+            from counts,
+                 unnest(generate_series(-1, 1)) dx(x),
+                 unnest(generate_series(-1, 1)) dy(y)
+        ),
+        w as (
+            select c.cx, c.cy, sum(n.xj) as wi, count(*) as ni
+            from counts c join neigh n on n.tx = c.cx and n.ty = c.cy
+            group by c.cx, c.cy
+        ),
+        gstats as (
+            select count(*) as nn, sum(cnt) as sx, sum(cnt * cnt) as sxx
+            from counts
+        )
+        select cx as cell_x, cy as cell_y, cast(wi as bigint) as wi, cast(ni as bigint) as ni,
+               round((cast(wi as double) - (cast(sx as double) / cast(nn as double)) * cast(ni as double)) /
+               nullif(sqrt(greatest(cast(sxx as double) / cast(nn as double) -
+               (cast(sx as double) / cast(nn as double)) * (cast(sx as double) / cast(nn as double)), 0.0e0)) *
+               sqrt((cast(nn as double) * cast(ni as double) - cast(ni as double) * cast(ni as double)) /
+               (cast(nn as double) - 1.0e0)), 0.0e0), 9) as gi_z
+        from w cross join gstats"""

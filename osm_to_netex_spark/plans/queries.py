@@ -3389,3 +3389,24 @@ def q_cosine_pairs_oracle() -> str:
 
 
 QUERIES["cosine_pairs"] = (q_cosine_pairs, q_cosine_pairs_oracle)
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord Gi* hotspot detection
+# ---------------------------------------------------------------------------
+def q_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gi* hotspot z-score per occupied quad cell at res 11 — integer
+    neighbourhood sums, one fixed IEEE op sequence (tiling.hotspot_gistar)."""
+    from ..operators import tiling
+
+    register_geometry_views(spark, sf_dir)
+    return tiling.hotspot_gistar(spark.table("geo_points"), res=11)
+
+
+def q_hotspot_oracle() -> str:
+    from ..operators import tiling
+
+    return tiling.hotspot_gistar_oracle_sql(points_sql(DUCK), res=11)
+
+
+QUERIES["hotspot"] = (q_hotspot, q_hotspot_oracle)

@@ -35,3 +35,60 @@ def test_partition_invariant(spark):
     a = {tuple(r) for r in tiling.smooth_density(pts, res=11, k=2).collect()}
     b = {tuple(r) for r in tiling.smooth_density(pts.repartition(13), res=11, k=2).collect()}
     assert a == b and len(a) > 0
+
+
+# --- Getis-Ord Gi* ------------------------------------------------------------
+def test_gistar_flags_the_hotspot(spark):
+    """A dense cluster inside a sparse field: the cluster cells carry the
+    max z-scores; a hand replay of the statistic matches exactly."""
+    import math
+
+    rows = []
+    # sparse field: one point per cell on a spread grid
+    for i in range(30):
+        rows.append((i, (i % 6) / 10.0 + 0.005, (i // 6) / 10.0 + 0.005))
+    # hotspot: 40 extra points in one field cell
+    rows += [(100 + j, 0.205, 0.205) for j in range(40)]
+    pts = spark.createDataFrame(rows, ["point_id", "lat", "lon"])
+    out = {(r.cell_x, r.cell_y): r for r in tiling.hotspot_gistar(pts, res=10).collect()}
+    top = max(out.values(), key=lambda r: (r.gi_z is not None, r.gi_z))
+    assert top.wi >= 41  # the hot cell's neighbourhood holds the cluster
+
+    # python replay over the occupied-cell table
+    import collections
+    cells = collections.Counter()
+    for _pid, la, lo in rows:
+        n = 2 ** 10
+        cx = min(max(int(math.floor((lo + 180.0) / 360.0 * n)), 0), n - 1)
+        cy = min(max(int(math.floor((la + 90.0) / 180.0 * n)), 0), n - 1)
+        cells[(cx, cy)] += 1
+    nn = len(cells)
+    sx = sum(cells.values())
+    sxx = sum(v * v for v in cells.values())
+    xbar = sx / nn
+    s = math.sqrt(max(sxx / nn - xbar * xbar, 0.0))
+    for (cx, cy), r in out.items():
+        neigh = [
+            cells[(cx + dx, cy + dy)]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (cx + dx, cy + dy) in cells
+        ]
+        wi, ni = sum(neigh), len(neigh)
+        assert (r.wi, r.ni) == (wi, ni)
+        denom = s * math.sqrt((nn * ni - ni * ni) / (nn - 1.0))
+        if denom == 0:
+            assert r.gi_z is None
+        else:
+            assert r.gi_z == pytest.approx(round((wi - xbar * ni) / denom, 9), abs=1e-9)
+
+
+def test_gistar_degenerate_uniform_field_is_null(spark):
+    # all-equal counts → zero variance → null z everywhere, never nan
+    pts = spark.createDataFrame(
+        [(i, (i % 4) / 10.0 + 0.005, (i // 4) / 10.0 + 0.005) for i in range(16)],
+        ["point_id", "lat", "lon"],
+    )
+    out = tiling.hotspot_gistar(pts, res=12).collect()
+    assert len(out) == 16
+    assert all(r.gi_z is None for r in out)
