@@ -220,3 +220,101 @@ def redact_pii_oracle_sql(
                cast(len(regexp_extract_all({step1}, '{i}')) as bigint) as n_ips,
                cast(len(regexp_extract_all({step2}, '{p}')) as bigint) as n_phones
         from {table}"""
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document line deduplication (RefinedWeb §G.2 / CCNet-style
+    boilerplate removal) — (doc_id, clean_text, n_lines, n_removed): a line
+    whose trimmed form occurs in >= min_docs DISTINCT documents is stripped
+    from EVERY document (nav bars, cookie banners, license footers); the
+    survivors are rejoined with '\\n' in original order.
+
+    Scale shape: lines travel the count shuffle as 60-bit portable hashes,
+    never strings — the per-line payload on the hot aggregation is 16 bytes.
+    The boilerplate set (distinct lines seen in >= min_docs docs) is
+    corpus-vocabulary-sized, so the removal join is a hash-keyed LEFT ANTI
+    equi-join, not a broadcast assumption; the boilerplate lines themselves
+    are the hot keys of the anti-join and AQE skew split bounds them.
+    Reassembly is one groupBy(doc_id) with order carried in data
+    (posexplode position + array_sort), the same discipline as J2 way
+    reassembly.  Two shuffles total (line-hash agg, doc regroup) plus the
+    anti-join.  Blank lines are never counted as boilerplate and always
+    survive.  60-bit hash collisions could strip a benign line that collides
+    with a boilerplate one (~2^-60 per distinct-line pair); the DuckDB
+    oracle replays the identical hashes, so the gate is still exact.
+    """
+    from ..functions.portable import phash60
+
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"size(split({text_col}, '\\n')) ").cast("long").alias("n_lines"),
+        F.posexplode(F.split(text_col, "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.expr(phash60("trim(line)", SPARK)))
+    hot = (
+        lines.filter("length(trim(line)) > 0")
+        .groupBy("lh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("lh")
+    )
+    kept = lines.join(hot, "lh", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, line))), "
+            "x -> x.line), '\\n')"
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+        F.first("n_lines").alias("n_lines"),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), F.expr(
+        f"cast(size(split({text_col}, '\\n')) as bigint)").alias("n_lines"))
+    return base.join(rebuilt.drop("n_lines"), "doc_id", "left").selectExpr(
+        "doc_id",
+        "coalesce(clean_text, '') as clean_text",
+        "n_lines",
+        "cast(n_lines - coalesce(n_kept, 0) as bigint) as n_removed",
+    )
+
+
+def line_dedup_oracle_sql(
+    min_docs: int = 2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay: identical portable hashes, identical blank-line policy,
+    string_agg ordered by the carried position."""
+    from ..functions.portable import phash60
+
+    lh = phash60("trim(line)", DUCK)
+    return f"""
+        with l as (
+            select {id_col} as doc_id, t.i - 1 as pos, lines[t.i] as line,
+                   len(lines) as n_lines
+            from (select {id_col}, string_split({text_col}, chr(10)) as lines
+                  from {table}) s({id_col}, lines),
+                 unnest(generate_series(1, len(lines))) t(i)
+        ),
+        lh as (select *, {lh} as h from l),
+        hot as (select h from lh where length(trim(line)) > 0
+                group by h having count(distinct doc_id) >= {min_docs}),
+        kept as (select * from lh where h not in (select h from hot)),
+        rebuilt as (
+            select doc_id,
+                   string_agg(line, chr(10) order by pos) as clean_text,
+                   count(*) as n_kept
+            from kept group by doc_id
+        )
+        select b.doc_id,
+               coalesce(r.clean_text, '') as clean_text,
+               cast(b.n_lines as bigint) as n_lines,
+               cast(b.n_lines - coalesce(r.n_kept, 0) as bigint) as n_removed
+        from (select {id_col} as doc_id,
+                     len(string_split({text_col}, chr(10))) as n_lines
+              from {table}) b
+        left join rebuilt r on b.doc_id = r.doc_id"""
