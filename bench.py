@@ -295,6 +295,8 @@ def main():
         "ridge_fit",
         "cosine_pairs",
         "hotspot",
+        "line_dedup",
+        "map_match",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -174,32 +174,28 @@ def seg_dist_m(plat: str, plon: str, ay: str, ax: str, by: str, bx: str, d: str)
     return let_(bind, body, d, var=v)
 
 
-def snap_join(
+def seg_candidates(
     points: DataFrame,
     lines: DataFrame,
     radius_m: float,
     res: int = 10,
-    point_id: str = "point_id",
+    id_cols: list[str] | None = None,
     line_id: str = "zone_id",
     pos_list: str = "pos_list",
 ) -> DataFrame:
-    """Map-matching-lite: each point snapped to the nearest polyline segment
-    within ``radius_m`` — (point_id, line_id, seg_idx, dist_m); points with
-    no segment in range are dropped.
+    """All (point, segment) pairs within ``radius_m`` of the planar snap
+    metric — (``*id_cols``, __lid, seg_idx, __d).  The complete-prefilter
+    candidate engine shared by ``snap_join`` (argmin consumer) and
+    ``mapmatch.map_match`` (Viterbi consumer).
 
     Shape: segments are exploded ONCE from the packed pos_list, each emitting
     the cells of its bbox padded by the radius bounds (Δlat = r/M_PER_DEG;
     Δlon from the band's min cosine — conservative for the planar metric, so
     no true candidate is lost); points carry a single cell.  One equi-join on
-    the cell, exact seg_dist_m refine, then argmin per point via window
-    (dist, line, seg tiebreak — doubles are bit-identical cross-engine, so
-    the argmin is deterministic).  No cartesian term anywhere; fan-out is
-    segment-bbox cells, bounded for street-scale segments.
-
-    Pick ``res`` so the cell edge ≈ the snap radius (radius_join's rule):
-    coarser cells multiply candidate pairs (every point meets every segment
-    sharing its big cell), finer ones multiply per-segment cover fan-out —
-    measured at sf0.1: res 10 → 57 s, res 14 → 6.7 s, same rows."""
+    the cell, exact seg_dist_m refine.  No cartesian term anywhere; fan-out
+    is segment-bbox cells, bounded for street-scale segments."""
+    if id_cols is None:
+        id_cols = ["point_id"]
     n = 2**res
     cell_h, cell_w = 180.0 / n, 360.0 / n
     r_deg = radius_m / geo.M_PER_DEG
@@ -243,27 +239,55 @@ def snap_join(
         )
     )
     pts = points.select(
-        F.col(point_id).alias("__pid"),
+        *[F.col(c) for c in id_cols],
         F.col("lat").alias("__plat"),
         F.col("lon").alias("__plon"),
         F.expr(geo.quad_cell("lat", "lon", res, SPARK)).alias("__cell"),
     )
     dist = seg_dist_m("__plat", "__plon", "__ay", "__ax", "__by", "__bx", SPARK)
-    cand = (
+    return (
         pts.join(seg_cells, "__cell")
         .withColumn("__d", F.expr(dist))
         .where(F.col("__d") <= F.lit(float(radius_m)))
+        .select(*id_cols, "__lid", "seg_idx", "__d")
+    )
+
+
+def snap_join(
+    points: DataFrame,
+    lines: DataFrame,
+    radius_m: float,
+    res: int = 10,
+    point_id: str = "point_id",
+    line_id: str = "zone_id",
+    pos_list: str = "pos_list",
+) -> DataFrame:
+    """Map-matching-lite: each point snapped to the nearest polyline segment
+    within ``radius_m`` — (point_id, line_id, seg_idx, dist_m); points with
+    no segment in range are dropped.
+
+    Candidates come from ``seg_candidates`` (padded-bbox cell prefilter +
+    exact planar refine), then argmin per point with a (dist, line, seg)
+    tiebreak — doubles are bit-identical cross-engine, so the argmin is
+    deterministic.
+
+    Pick ``res`` so the cell edge ≈ the snap radius (radius_join's rule):
+    coarser cells multiply candidate pairs (every point meets every segment
+    sharing its big cell), finer ones multiply per-segment cover fan-out —
+    measured at sf0.1: res 10 → 57 s, res 14 → 6.7 s, same rows."""
+    cand = seg_candidates(
+        points, lines, radius_m, res, [point_id], line_id, pos_list
     )
     # argmin as a lexicographic struct-min: (d, line, seg) compares the
     # bit-identical double first, then the deterministic tiebreak — same row
     # as a window row_number()=1, but it PARTIAL-AGGREGATES (map-side
     # combine), so the shuffle carries one row per point per partition
     # instead of sorting every candidate pair
-    agg = cand.groupBy("__pid").agg(
+    agg = cand.groupBy(point_id).agg(
         F.min(F.struct("__d", "__lid", "seg_idx")).alias("__m")
     )
     return agg.select(
-        F.col("__pid").alias(point_id),
+        F.col(point_id),
         F.col("__m.__lid").alias(line_id),
         F.col("__m.seg_idx").alias("seg_idx"),
         F.round(F.col("__m.__d"), 6).alias("dist_m"),

@@ -3410,3 +3410,117 @@ def q_hotspot_oracle() -> str:
 
 
 QUERIES["hotspot"] = (q_hotspot, q_hotspot_oracle)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (RefinedWeb-style boilerplate removal)
+# ---------------------------------------------------------------------------
+def _linify(text_col: str, width: int, d: str) -> str:
+    """Deterministic line-structured corpus derived from the flat testdata
+    text: whitespace tokens grouped `width` per line, lines joined by \\n.
+    Same expression in both dialects, so the derived corpus is identical."""
+    from ..functions import text as tx
+
+    toks = tx.ws_tokens(text_col, d)
+    if d == SPARK:
+        n_lines = f"greatest(1, cast(ceil(size({toks}) / {width}.0e0) as int))"
+        return (
+            f"array_join(transform(sequence(1, {n_lines}), g -> "
+            f"array_join(slice({toks}, (g - 1) * {width} + 1, {width}), ' ')), '\\n')"
+        )
+    n_lines = f"greatest(1, cast(ceil(len({toks}) / {width}.0) as int))"
+    return (
+        f"array_to_string(list_transform(generate_series(1, {n_lines}), g -> "
+        f"array_to_string(({toks})[((g - 1) * {width} + 1):(g * {width})], ' ')), chr(10))"
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal over the derived line corpus: any 4-token
+    line seen in >= 3 distinct docs is stripped from every doc
+    (textstats.line_dedup; hashes on the count shuffle, anti-join removal,
+    order-carried reassembly)."""
+    from ..operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", f"{_linify('text', 4, SPARK)} as text"
+    )
+    return textstats.line_dedup(docs, min_docs=3)
+
+
+def q_line_dedup_oracle() -> str:
+    from ..operators import textstats
+
+    lined = f"(select doc_id, {_linify('text', 4, DUCK)} as text from documents)"
+    return textstats.line_dedup_oracle_sql(
+        min_docs=3, table=lined, id_col="doc_id", text_col="text"
+    )
+
+
+QUERIES["line_dedup"] = (q_line_dedup, q_line_dedup_oracle)
+
+
+# ---------------------------------------------------------------------------
+# HMM (Viterbi) map-matching
+# ---------------------------------------------------------------------------
+_MM_STEPS = 6
+_MM_RADIUS = 600.0
+_MM_PENALTY = 150_000  # 150 m switch penalty in mm
+
+
+def traj_sql(d: str) -> str:
+    """Deterministic GPS tracks: one 6-step trajectory per polygon, each
+    fix = polygon vertex j jittered by a hash-derived offset (≈ ±250 m) —
+    tracks genuinely follow a polyline, so stay/switch transitions are both
+    exercised.  Identical expression text in both dialects."""
+    eps = flit(0.0045)
+    jla = _pr(["'mm:lat:'", "zone_id", "':'", "j"], d)
+    jlo = _pr(["'mm:lon:'", "zone_id", "':'", "j"], d)
+    if d == SPARK:
+        # Spark [] subscripts are 0-based; element_at is the 1-based form
+        la = f"element_at(pos_list, cast(2*j + 1 as int)) + ({jla} - 0.5e0) * {eps}"
+        lo = f"element_at(pos_list, cast(2*j + 2 as int)) + ({jlo} - 0.5e0) * {eps}"
+        return (
+            f"select zone_id as traj_id, j as step, {la} as lat, {lo} as lon "
+            f"from (select zone_id, pos_list, "
+            f"explode(sequence(0, {_MM_STEPS - 1})) as j from geo_polys)"
+        )
+    la = f"pos_list[2*t.j + 1] + ({jla} - 0.5e0) * {eps}"
+    lo = f"pos_list[2*t.j + 2] + ({jlo} - 0.5e0) * {eps}"
+    return (
+        f"select zone_id as traj_id, t.j as step, {la} as lat, {lo} as lon "
+        f"from geo_polys, unnest(generate_series(0, {_MM_STEPS - 1})) t(j)"
+    )
+
+
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi map-matching: 6-fix tracks bound to the cost-optimal segment
+    path (integer mm emissions + flat switch penalty, operators/mapmatch.py);
+    greedy nearest-segment snap would zigzag, the DP stays put."""
+    from ..operators import mapmatch
+
+    register_geometry_views(spark, sf_dir)
+    spark.sql(f"create or replace temp view geo_traj as {traj_sql(SPARK)}")
+    return mapmatch.map_match(
+        spark.table("geo_traj"),
+        spark.table("geo_polys"),
+        radius_m=_MM_RADIUS,
+        switch_penalty_mm=_MM_PENALTY,
+        res=13,
+    )
+
+
+def q_map_match_oracle() -> str:
+    from ..operators import mapmatch
+
+    body = mapmatch.map_match_oracle_sql(
+        points_cte="geo_traj",
+        lines_cte="geo_polys",
+        radius_m=_MM_RADIUS,
+        k_unroll=_MM_STEPS - 1,
+        switch_penalty_mm=_MM_PENALTY,
+    )
+    return f"{duck_geometry_ctes()}, geo_traj as ({traj_sql(DUCK)}), {body}"
+
+
+QUERIES["map_match"] = (q_map_match, q_map_match_oracle)
