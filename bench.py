@@ -297,6 +297,7 @@ def main():
         "hotspot",
         "line_dedup",
         "map_match",
+        "moran",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

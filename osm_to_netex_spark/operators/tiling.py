@@ -508,3 +508,122 @@ def hotspot_gistar_oracle_sql(
                sqrt((cast(nn as double) * cast(ni as double) - cast(ni as double) * cast(ni as double)) /
                (cast(nn as double) - 1.0e0)), 0.0e0), 9) as gi_z
         from w cross join gstats"""
+
+
+def moran_local(
+    points: DataFrame,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Local Moran's I (Anselin 1995 LISA) per occupied quad cell, with the
+    HH/LL/HL/LH cluster-quadrant label — the named local spatial
+    autocorrelation statistic (Gi* answers "is this neighbourhood hot?",
+    LISA answers "is this cell correlated with its neighbours, and in which
+    quadrant?"; HL/LH are the spatial OUTLIERS Gi* cannot see).
+
+    Weights: binary over the 3x3 ring EXCLUDING self, study area = occupied
+    cells, variance m2 = population form (/n).  Exactness: multiplying the
+    deviations through by n makes both factors integer —
+    ``zi_n = n*x_i - Σx`` and ``lag_n = n*W_i - k_i*Σx`` (W_i = sum of
+    occupied ring neighbours, k_i their count), and
+    ``I_i = zi_n*lag_n / (n*Σx² - (Σx)²)`` is ONE double division of
+    integer-valued terms (each cast exact below 2^53 — bounds documented in
+    SCALE.md for the corpus sizes this runs at).  Quadrants come from the
+    integer SIGNS of zi_n/lag_n, so the labels are exact even where the
+    ratio rounds.  Isolated cells (no occupied neighbour) get lag_n = 0 →
+    'NS'; a zero-variance field yields null I via nullif.
+
+    Shape: identical to hotspot_gistar — corpus collapses to the cell table
+    once, the ring scatter + join + global 1-row aggregate run over CELLS.
+    """
+    ix, iy = geo.quad_ixy(lat, lon, res, SPARK)
+    counts = (
+        points.selectExpr(f"{ix} as cx", f"{iy} as cy")
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("cnt"))
+    )
+    neigh = (
+        counts.selectExpr("cx", "cy", "cnt", "explode(sequence(-1, 1)) as dx")
+        .selectExpr("cx", "cy", "cnt", "dx", "explode(sequence(-1, 1)) as dy")
+        .where("dx <> 0 or dy <> 0")
+        .selectExpr("cx + dx as tx", "cy + dy as ty", "cnt as xj")
+    )
+    nsum = neigh.groupBy("tx", "ty").agg(
+        F.sum("xj").alias("wsum"), F.count("*").alias("ki")
+    )
+    w = counts.join(
+        nsum,
+        (counts["cx"] == nsum["tx"]) & (counts["cy"] == nsum["ty"]),
+        "left",
+    ).select("cx", "cy", "cnt", "wsum", "ki")
+    glob = counts.agg(
+        F.count("*").alias("nn"),
+        F.sum("cnt").alias("sx"),
+        F.sum(F.expr("cnt * cnt")).alias("sxx"),
+    )
+    staged = w.crossJoin(F.broadcast(glob)).selectExpr(
+        "cx as cell_x",
+        "cy as cell_y",
+        "cast(nn * cnt - sx as bigint) as zi_n",
+        "cast(nn * coalesce(wsum, 0) - coalesce(ki, 0) * sx as bigint) as lag_n",
+        "cast(nn * sxx - sx * sx as bigint) as denom",
+    )
+    return staged.selectExpr(
+        "cell_x",
+        "cell_y",
+        "zi_n",
+        "lag_n",
+        "round(cast(zi_n as double) * cast(lag_n as double) / "
+        "cast(nullif(denom, 0) as double), 9) as moran_i",
+        "case when zi_n > 0 and lag_n > 0 then 'HH' "
+        "when zi_n < 0 and lag_n < 0 then 'LL' "
+        "when zi_n > 0 and lag_n < 0 then 'HL' "
+        "when zi_n < 0 and lag_n > 0 then 'LH' "
+        "else 'NS' end as quadrant",
+    )
+
+
+def moran_local_oracle_sql(
+    points_sql_text: str,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB replay: same integer numerators, same single division, same
+    sign-based quadrant labels."""
+    from ..functions.portable import DUCK
+
+    ix, iy = geo.quad_ixy(lat, lon, res, DUCK)
+    return f"""
+        with pts as ({points_sql_text}),
+        counts as (select {ix} as cx, {iy} as cy, count(*) as cnt
+                   from pts group by 1, 2),
+        neigh as (
+            select cx + dx.x as tx, cy + dy.y as ty, cnt as xj
+            from counts,
+                 unnest(generate_series(-1, 1)) dx(x),
+                 unnest(generate_series(-1, 1)) dy(y)
+            where dx.x <> 0 or dy.y <> 0
+        ),
+        nsum as (select tx, ty, sum(xj) as wsum, count(*) as ki
+                 from neigh group by tx, ty),
+        w as (select c.cx, c.cy, c.cnt, n.wsum, n.ki
+              from counts c left join nsum n on n.tx = c.cx and n.ty = c.cy),
+        gstats as (select count(*) as nn, sum(cnt) as sx, sum(cnt * cnt) as sxx
+                   from counts),
+        staged as (
+            select cx as cell_x, cy as cell_y,
+                   cast(nn * cnt - sx as bigint) as zi_n,
+                   cast(nn * coalesce(wsum, 0) - coalesce(ki, 0) * sx as bigint) as lag_n,
+                   cast(nn * sxx - sx * sx as bigint) as denom
+            from w cross join gstats)
+        select cell_x, cell_y, zi_n, lag_n,
+               round(cast(zi_n as double) * cast(lag_n as double) /
+                     cast(nullif(denom, 0) as double), 9) as moran_i,
+               case when zi_n > 0 and lag_n > 0 then 'HH'
+                    when zi_n < 0 and lag_n < 0 then 'LL'
+                    when zi_n > 0 and lag_n < 0 then 'HL'
+                    when zi_n < 0 and lag_n > 0 then 'LH'
+                    else 'NS' end as quadrant
+        from staged"""

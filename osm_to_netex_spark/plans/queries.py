@@ -3524,3 +3524,24 @@ def q_map_match_oracle() -> str:
 
 
 QUERIES["map_match"] = (q_map_match, q_map_match_oracle)
+
+
+# ---------------------------------------------------------------------------
+# Local Moran's I (LISA) cluster/outlier map
+# ---------------------------------------------------------------------------
+def q_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anselin LISA per occupied res-11 cell: integer numerators, one double
+    division, sign-exact HH/LL/HL/LH quadrants (tiling.moran_local)."""
+    from ..operators import tiling
+
+    register_geometry_views(spark, sf_dir)
+    return tiling.moran_local(spark.table("geo_points"), res=11)
+
+
+def q_moran_oracle() -> str:
+    from ..operators import tiling
+
+    return tiling.moran_local_oracle_sql(points_sql(DUCK), res=11)
+
+
+QUERIES["moran"] = (q_moran, q_moran_oracle)

@@ -92,3 +92,82 @@ def test_gistar_degenerate_uniform_field_is_null(spark):
     out = tiling.hotspot_gistar(pts, res=12).collect()
     assert len(out) == 16
     assert all(r.gi_z is None for r in out)
+
+
+# --- Local Moran's I ----------------------------------------------------------
+def test_moran_quadrants_and_replay(spark):
+    """A dense cluster inside a sparse field: cluster cells label HH, the
+    lone spike in a sparse ring labels HL; exact python replay matches."""
+    sl_la, sl_lo = 180.0 / 1024, 360.0 / 1024  # res-10 cell size
+
+    def at(cx, cy):  # cell-center coordinates for cell indices
+        return ((524 + cy + 0.5) * sl_la - 90.0, (524 + cx + 0.5) * sl_lo - 180.0)
+
+    rows = []
+    # sparse 8x5 field: one point per cell
+    for i in range(40):
+        la, lo = at(i % 8, i // 8)
+        rows.append((i, la, lo))
+    # a 2x2 block of dense cells (20 extra points each)
+    for bx in (2, 3):
+        for by in (2, 3):
+            la, lo = at(bx, by)
+            rows += [(1000 + len(rows) + j, la, lo) for j in range(20)]
+    # an isolated spike inside the sparse field, away from the block
+    la, lo = at(6, 2)
+    rows += [(5000 + j, la, lo) for j in range(25)]
+    pts = spark.createDataFrame(rows, ["point_id", "lat", "lon"])
+    out = {(r.cell_x, r.cell_y): r for r in tiling.moran_local(pts, res=10).collect()}
+
+    import collections
+    cells = collections.Counter()
+    for _pid, la, lo in rows:
+        cx = int((lo + 180.0) / 360.0 * 1024)
+        cy = int((la + 90.0) / 180.0 * 1024)
+        cells[(cx, cy)] += 1
+    n, sx = len(cells), sum(cells.values())
+    sxx = sum(v * v for v in cells.values())
+    denom = n * sxx - sx * sx
+    for (cx, cy), cnt in cells.items():
+        ws = [cells[(cx + dx, cy + dy)]
+              for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+              if (dx, dy) != (0, 0) and (cx + dx, cy + dy) in cells]
+        zi_n = n * cnt - sx
+        lag_n = n * sum(ws) - len(ws) * sx
+        r = out[(cx, cy)]
+        assert (r.zi_n, r.lag_n) == (zi_n, lag_n)
+        assert r.moran_i == round(float(zi_n) * float(lag_n) / float(denom), 9)
+    # dense block: above-mean cells with above-mean neighbours → HH
+    hh = [k for k, r in out.items() if r.quadrant == "HH"]
+    assert len(hh) >= 4
+    # the spike is above the mean but its ring is below it → HL outlier
+    hl = [r for r in out.values() if r.quadrant == "HL"]
+    assert any(r.zi_n == max(v.zi_n for v in out.values()) for r in hl)
+
+
+def test_moran_uniform_field_is_null(spark):
+    # every occupied cell has the same count → zero variance → I null, 'NS'
+    sl_la, sl_lo = 180.0 / 1024, 360.0 / 1024
+    pts = spark.createDataFrame(
+        [(i, (524 + i // 4 + 0.5) * sl_la - 90.0, (524 + i % 4 + 0.5) * sl_lo - 180.0)
+         for i in range(16)],
+        ["point_id", "lat", "lon"],
+    )
+    out = tiling.moran_local(pts, res=10).collect()
+    assert len(out) == 16
+    assert all(r.moran_i is None and r.quadrant == "NS" for r in out)
+
+
+def test_moran_isolated_cell_is_ns(spark):
+    # two far-apart cells with different mass: no occupied neighbours →
+    # lag_n = 0 → 'NS' for both, I = 0
+    sl_la, sl_lo = 180.0 / 1024, 360.0 / 1024
+    far_a = ((524 + 0.5) * sl_la - 90.0, (524 + 0.5) * sl_lo - 180.0)
+    far_b = ((544 + 0.5) * sl_la - 90.0, (544 + 0.5) * sl_lo - 180.0)
+    pts = spark.createDataFrame(
+        [(0, *far_a)] + [(1 + j, *far_b) for j in range(5)],
+        ["point_id", "lat", "lon"],
+    )
+    out = tiling.moran_local(pts, res=10).collect()
+    assert len(out) == 2
+    assert all(r.lag_n == 0 and r.quadrant == "NS" and r.moran_i == 0.0 for r in out)
