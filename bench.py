@@ -298,6 +298,7 @@ def main():
         "line_dedup",
         "map_match",
         "moran",
+        "mk_trend",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -627,3 +627,129 @@ def moran_local_oracle_sql(
                     when zi_n < 0 and lag_n > 0 then 'LH'
                     else 'NS' end as quadrant
         from staged"""
+
+
+def mk_trend(
+    points: DataFrame,
+    n_buckets: int,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    bucket: str = "bucket",
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test per occupied quad cell over a
+    space-time cube of ``n_buckets`` time buckets — the statistic behind
+    "emerging hotspot" maps (is this cell's activity trending up or down?).
+
+    Per cell: the bucket series is DENSIFIED (missing buckets count 0 — the
+    cube convention, otherwise absence of data reads as trend), then
+    S = Σ_{i<j} sign(x_j - x_i) and the tie-adjusted variance
+    18·Var(S) = T(T-1)(2T+5) - Σ_g t_g(t_g-1)(2t_g+5) are pure integer
+    aggregates; z applies the standard ±1 continuity correction in one fixed
+    IEEE op sequence.  trend = increasing/decreasing at |z| > 1.96, else
+    none (also when variance degenerates to 0 — all buckets tied).
+
+    Shape: the corpus collapses once to (cell, bucket) counts; densify,
+    the T²/2 pair comparison, and the tie term all run over the CELL table
+    (fan-out T per cell, T²/2 pairs — T is a small constant like 8).
+    """
+    T = int(n_buckets)
+    ix, iy = geo.quad_ixy(lat, lon, res, SPARK)
+    counts = (
+        points.selectExpr(f"{ix} as cx", f"{iy} as cy", f"{bucket} as b")
+        .groupBy("cx", "cy", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dense = (
+        counts.select("cx", "cy")
+        .distinct()
+        .selectExpr("cx", "cy", f"explode(sequence(0, {T - 1})) as b")
+        .join(counts, ["cx", "cy", "b"], "left")
+        .selectExpr("cx", "cy", "b", "coalesce(cnt, 0) as x")
+    )
+    a, bb = dense.alias("a"), dense.alias("b")
+    s = (
+        a.join(bb, ["cx", "cy"])
+        .where("a.b < b.b")
+        .groupBy("cx", "cy")
+        .agg(F.sum(F.expr("cast(sign(b.x - a.x) as bigint)")).alias("s_stat"))
+    )
+    ties = (
+        dense.groupBy("cx", "cy", "x")
+        .agg(F.count("*").alias("tg"))
+        .groupBy("cx", "cy")
+        .agg(F.sum(F.expr("tg * (tg - 1) * (2 * tg + 5)")).alias("tie_term"))
+    )
+    base = T * (T - 1) * (2 * T + 5)
+    staged = s.join(ties, ["cx", "cy"]).selectExpr(
+        "cx as cell_x",
+        "cy as cell_y",
+        "s_stat",
+        f"cast({base} - tie_term as bigint) as var18",
+    )
+    z = (
+        "case when var18 = 0 then null "
+        "when s_stat > 0 then (cast(s_stat as double) - 1.0e0) / sqrt(cast(var18 as double) / 18.0e0) "
+        "when s_stat < 0 then (cast(s_stat as double) + 1.0e0) / sqrt(cast(var18 as double) / 18.0e0) "
+        "else 0.0e0 end"
+    )
+    return staged.selectExpr(
+        "cell_x", "cell_y", "s_stat", "var18",
+        f"round({z}, 9) as mk_z",
+        f"case when ({z}) > 1.96e0 then 'increasing' "
+        f"when ({z}) < -1.96e0 then 'decreasing' "
+        "else 'none' end as trend",
+    )
+
+
+def mk_trend_oracle_sql(
+    points_sql_text: str,
+    n_buckets: int,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    bucket: str = "bucket",
+) -> str:
+    """DuckDB replay: same densified cube, same integer S/variance, same z."""
+    from ..functions.portable import DUCK
+
+    T = int(n_buckets)
+    ix, iy = geo.quad_ixy(lat, lon, res, DUCK)
+    base = T * (T - 1) * (2 * T + 5)
+    z = (
+        "case when var18 = 0 then null "
+        "when s_stat > 0 then (cast(s_stat as double) - 1.0e0) / sqrt(cast(var18 as double) / 18.0e0) "
+        "when s_stat < 0 then (cast(s_stat as double) + 1.0e0) / sqrt(cast(var18 as double) / 18.0e0) "
+        "else 0.0e0 end"
+    )
+    return f"""
+        with pts as ({points_sql_text}),
+        counts as (select {ix} as cx, {iy} as cy, {bucket} as b, count(*) as cnt
+                   from pts group by 1, 2, 3),
+        dense as (
+            select c.cx, c.cy, t.b, coalesce(k.cnt, 0) as x
+            from (select distinct cx, cy from counts) c
+            cross join unnest(generate_series(0, {T - 1})) t(b)
+            left join counts k on k.cx = c.cx and k.cy = c.cy and k.b = t.b
+        ),
+        s as (
+            select a.cx, a.cy,
+                   sum(cast(sign(b.x - a.x) as bigint)) as s_stat
+            from dense a join dense b on a.cx = b.cx and a.cy = b.cy and a.b < b.b
+            group by a.cx, a.cy
+        ),
+        ties as (
+            select cx, cy, sum(tg * (tg - 1) * (2 * tg + 5)) as tie_term
+            from (select cx, cy, x, count(*) as tg from dense group by cx, cy, x)
+            group by cx, cy
+        ),
+        staged as (
+            select s.cx as cell_x, s.cy as cell_y, s.s_stat,
+                   cast({base} - t.tie_term as bigint) as var18
+            from s join ties t on t.cx = s.cx and t.cy = s.cy)
+        select cell_x, cell_y, s_stat, var18,
+               round({z}, 9) as mk_z,
+               case when ({z}) > 1.96e0 then 'increasing'
+                    when ({z}) < -1.96e0 then 'decreasing'
+                    else 'none' end as trend
+        from staged"""

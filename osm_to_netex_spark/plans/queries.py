@@ -3545,3 +3545,42 @@ def q_moran_oracle() -> str:
 
 
 QUERIES["moran"] = (q_moran, q_moran_oracle)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall per-cell trend (emerging-hotspot primitive)
+# ---------------------------------------------------------------------------
+_MK_T = 8
+
+
+def _mk_points_sql(d: str) -> str:
+    """geo_points with a hash-derived time bucket 0..T-1 (deterministic
+    space-time cube; identical expression both dialects)."""
+    pr = _pr(["'mk:b:'", "point_id"], d)
+    return (
+        f"select point_id, lat, lon, cast(floor({pr} * {_MK_T}) as int) as bucket "
+        f"from geo_points"
+    )
+
+
+def q_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend z per occupied res-11 cell over an 8-bucket
+    space-time cube: integer S + tie-adjusted variance, densified zeros
+    (tiling.mk_trend)."""
+    from ..operators import tiling
+
+    register_geometry_views(spark, sf_dir)
+    pts = spark.sql(_mk_points_sql(SPARK))
+    return tiling.mk_trend(pts, n_buckets=_MK_T, res=11)
+
+
+def q_mk_trend_oracle() -> str:
+    from ..operators import tiling
+
+    inner = tiling.mk_trend_oracle_sql(
+        f"select * from ({_mk_points_sql(DUCK)}) _p", n_buckets=_MK_T, res=11
+    )
+    return f"{duck_geometry_ctes()}, __res as ({inner}) select * from __res"
+
+
+QUERIES["mk_trend"] = (q_mk_trend, q_mk_trend_oracle)

@@ -171,3 +171,53 @@ def test_moran_isolated_cell_is_ns(spark):
     out = tiling.moran_local(pts, res=10).collect()
     assert len(out) == 2
     assert all(r.lag_n == 0 and r.quadrant == "NS" and r.moran_i == 0.0 for r in out)
+
+
+# --- Mann-Kendall trend --------------------------------------------------------
+def test_mk_strict_monotone_series(spark):
+    # strictly increasing counts 1..8 across buckets → S = 28 (max), z > 1.96
+    sl_la, sl_lo = 180.0 / 1024, 360.0 / 1024
+    la, lo = (524 + 0.5) * sl_la - 90.0, (524 + 0.5) * sl_lo - 180.0
+    rows = []
+    for b in range(8):
+        rows += [(len(rows) + j, la, lo, b) for j in range(b + 1)]
+    pts = spark.createDataFrame(rows, ["point_id", "lat", "lon", "bucket"])
+    out = tiling.mk_trend(pts, n_buckets=8, res=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.s_stat == 28 and r.trend == "increasing"
+    # no ties: var18 = 8*7*21 = 1176; z = 27/sqrt(1176/18)
+    assert r.var18 == 1176
+    import math
+    assert r.mk_z == round(27.0 / math.sqrt(1176.0 / 18.0), 9)
+
+
+def test_mk_decreasing_and_missing_buckets_count_zero(spark):
+    # occupied only in early buckets; densified zeros make the tail a tie
+    # block but the series still tests decreasing
+    sl_la, sl_lo = 180.0 / 1024, 360.0 / 1024
+    la, lo = (530 + 0.5) * sl_la - 90.0, (530 + 0.5) * sl_lo - 180.0
+    rows = []
+    for b, n in ((0, 9), (1, 6), (2, 3), (3, 1)):  # buckets 4..7 absent -> 0
+        rows += [(len(rows) + j, la, lo, b) for j in range(n)]
+    pts = spark.createDataFrame(rows, ["point_id", "lat", "lon", "bucket"])
+    r = tiling.mk_trend(pts, n_buckets=8, res=10).collect()[0]
+    # python replay
+    xs = [9, 6, 3, 1, 0, 0, 0, 0]
+    s = sum((xs[j] > xs[i]) - (xs[j] < xs[i]) for i in range(8) for j in range(i + 1, 8))
+    assert r.s_stat == s and s < 0
+    from collections import Counter
+    tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(xs).values())
+    assert r.var18 == 8 * 7 * 21 - tie
+    assert r.trend == "decreasing"
+
+
+def test_mk_constant_series_is_none(spark):
+    # same count every bucket → all ties → var18 = 0 → z null, trend none
+    sl_la, sl_lo = 180.0 / 1024, 360.0 / 1024
+    la, lo = (540 + 0.5) * sl_la - 90.0, (540 + 0.5) * sl_lo - 180.0
+    rows = [(b * 2 + j, la, lo, b) for b in range(8) for j in range(2)]
+    pts = spark.createDataFrame(rows, ["point_id", "lat", "lon", "bucket"])
+    r = tiling.mk_trend(pts, n_buckets=8, res=10).collect()[0]
+    assert r.s_stat == 0 and r.var18 == 0
+    assert r.mk_z is None and r.trend == "none"
