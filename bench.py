@@ -299,6 +299,7 @@ def main():
         "map_match",
         "moran",
         "mk_trend",
+        "dsir",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -135,3 +135,152 @@ def weighted_sample(
         .where(F.col("rank") <= k)
         .drop("__k")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+_DSIR_Q = 1_000_000_000  # log-ratio quantization: 1e-9 units (classify.py Q)
+
+
+def _dsir_feats(text_col: str, d: str) -> str:
+    """Hashed n-gram feature bag: word unigrams + bigrams (the DSIR paper's
+    feature space), as one array of gram strings."""
+    from ..functions import text as tx
+
+    u = tx.word_shingles(text_col, 1, d)
+    b = tx.word_shingles(text_col, 2, d)
+    return f"concat({u}, {b})" if d == SPARK else f"list_concat({u}, {b})"
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: str,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling") — (doc_id, n_feats, score_q, avg_lr):
+    per doc, the log importance ratio log p_target(x)/p_raw(x) under hashed
+    n-gram bag-of-features models of a TARGET slice (rows satisfying
+    ``target_pred``, e.g. a trusted domain) vs the RAW corpus.  Select by
+    top weight (or Gumbel-resample on it) to shift a 10^12-doc corpus toward
+    the target distribution.
+
+    Exactness: bucket log-probs use add-α smoothing and are quantized to
+    bigint 1e-9 units at the model (``floor(ln(p)·1e9)``, the classify.py
+    discipline), so each doc's score is an exact integer fold over feature
+    occurrences — associative, partition-invariant, oracle-gateable.
+
+    Scale shape: features explode once per doc into (doc, bucket, tf); the
+    model is 2×``n_buckets`` smoothed counts — a broadcast dimension built
+    by two map-side-combined aggregates (the target side filters BEFORE the
+    explode).  The corpus shuffles only on doc_id.  Docs with no tokens get
+    n_feats = 0, score 0, null avg.
+    """
+    from ..functions.portable import phash60
+
+    B, Q = int(n_buckets), _DSIR_Q
+    feats = _dsir_feats(text_col, SPARK)
+    occ = docs.selectExpr(
+        f"{id_col} as doc_id",
+        f"case when {target_pred} then 1 else 0 end as is_target",
+        f"explode({feats}) as gram",
+    ).selectExpr("doc_id", "is_target", f"pmod({phash60('gram', SPARK)}, {B}) as b")
+    tf = occ.groupBy("doc_id", "b").agg(
+        F.count("*").alias("tf"), F.first("is_target").alias("is_target")
+    )
+    bcnt = tf.groupBy("b").agg(
+        F.sum(F.expr("case when is_target = 1 then tf else 0 end")).alias("ct"),
+        F.sum("tf").alias("cr"),
+    )
+    # densify to all B buckets and quantize the two smoothed log-probs
+    lnq = f"cast(floor(ln((cnt + {alpha!r}e0) / (tot + {alpha!r}e0 * {B})) * {Q}) as bigint)"
+    model = (
+        docs.sparkSession.range(B)
+        .selectExpr("cast(id as int) as b")
+        .join(F.broadcast(bcnt), "b", "left")
+        .crossJoin(
+            F.broadcast(
+                bcnt.agg(
+                    F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+                )
+            )
+        )
+        .selectExpr(
+            "b",
+            lnq.replace("cnt", "coalesce(ct, 0)").replace("tot", "coalesce(nt, 0)")
+            + " - ("
+            + lnq.replace("cnt", "coalesce(cr, 0)").replace("tot", "coalesce(nr, 0)")
+            + ") as lr_q",
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.sum(F.expr("tf * lr_q")).alias("score_q"),
+        )
+    )
+    base = docs.selectExpr(f"{id_col} as doc_id")
+    return base.join(scored, "doc_id", "left").selectExpr(
+        "doc_id",
+        "cast(coalesce(n_feats, 0) as bigint) as n_feats",
+        "cast(coalesce(score_q, 0) as bigint) as score_q",
+        f"round(cast(score_q as double) / (cast(n_feats as double) * {Q}.0e0), 9) as avg_lr",
+    )
+
+
+def dsir_weights_oracle_sql(
+    target_pred: str,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay: same hashes, same smoothing, same quantized fold."""
+    from ..functions.portable import DUCK, phash60
+
+    B, Q = int(n_buckets), _DSIR_Q
+    feats = _dsir_feats(text_col, DUCK)
+    lnq = (
+        f"cast(floor(ln((cnt + {alpha!r}e0) / (tot + {alpha!r}e0 * {B})) * {Q}) as bigint)"
+    )
+    lt = lnq.replace("cnt", "coalesce(ct, 0)").replace("tot", "coalesce(nt, 0)")
+    lr = lnq.replace("cnt", "coalesce(cr, 0)").replace("tot", "coalesce(nr, 0)")
+    return f"""
+        with occ0 as (
+            select {id_col} as doc_id,
+                   case when {target_pred} then 1 else 0 end as is_target,
+                   unnest({feats}) as gram
+            from {table}
+        ),
+        occ as (select doc_id, is_target, {phash60('gram', DUCK)} % {B} as b
+                from occ0),
+        tf as (select doc_id, b, count(*) as tf, any_value(is_target) as is_target
+               from occ group by doc_id, b),
+        bcnt as (select b,
+                        sum(case when is_target = 1 then tf else 0 end) as ct,
+                        sum(tf) as cr
+                 from tf group by b),
+        gl as (select sum(ct) as nt, sum(cr) as nr from bcnt),
+        model as (
+            select t.b, ({lt}) - ({lr}) as lr_q
+            from unnest(generate_series(0, {B - 1})) t(b)
+            left join bcnt on bcnt.b = t.b
+            cross join gl
+        ),
+        scored as (
+            select f.doc_id, sum(f.tf) as n_feats, sum(f.tf * m.lr_q) as score_q
+            from tf f join model m on m.b = f.b
+            group by f.doc_id
+        )
+        select d.{id_col} as doc_id,
+               cast(coalesce(s.n_feats, 0) as bigint) as n_feats,
+               cast(coalesce(s.score_q, 0) as bigint) as score_q,
+               round(cast(s.score_q as double) / (cast(s.n_feats as double) * {Q}.0e0), 9) as avg_lr
+        from {table} d left join scored s on s.doc_id = d.{id_col}"""

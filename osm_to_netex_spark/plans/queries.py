@@ -3584,3 +3584,25 @@ def q_mk_trend_oracle() -> str:
 
 
 QUERIES["mk_trend"] = (q_mk_trend, q_mk_trend_oracle)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (target-domain data selection)
+# ---------------------------------------------------------------------------
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance ratios toward the lang='en' slice: hashed
+    unigram+bigram models, quantized log-probs, exact integer per-doc fold
+    (sampling.dsir_weights)."""
+    from ..operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.dsir_weights(docs, target_pred="lang = 'en'", n_buckets=256)
+
+
+def q_dsir_oracle() -> str:
+    from ..operators import sampling
+
+    return sampling.dsir_weights_oracle_sql(target_pred="lang = 'en'", n_buckets=256)
+
+
+QUERIES["dsir"] = (q_dsir, q_dsir_oracle)
