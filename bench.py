@@ -300,6 +300,7 @@ def main():
         "moran",
         "mk_trend",
         "dsir",
+        "lm_score",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -114,3 +114,73 @@ def nb_langid_sql(d: str, train_mod: int = 10, train_lt: int = 8) -> str:
                (m).s as score_q
         from pred join ap on pred.doc_id = ap.doc_id
     """
+
+
+def ngram_lm_sql(d: str, train_mod: int = 10, train_lt: int = 8) -> str:
+    """Char-trigram language-model perplexity scoring (the CCNet / KenLM
+    quality-filter shape): train an add-1-smoothed trigram LM on the
+    doc_id % {train_mod} < {train_lt} split, score every HELD-OUT doc with
+    its total and per-gram log-likelihood — low avg_logp = out-of-domain /
+    garbled text, the standard LM quality gate for corpus curation.
+
+    Model: P(next | ctx) with ctx = first 2 chars of the trigram, add-1 over
+    the train CHARACTER vocabulary; two-level backoff for unseen events —
+    seen ctx + unseen next → α/(tot_ctx + V); unseen ctx → uniform 1/V.
+    Every log-prob is quantized to bigint 1e-9 units at the model (the
+    classify.py discipline), so a doc's score is an exact integer fold and
+    the whole scorer is value-hash-gateable.
+
+    Scale: the model is (ctx, next) counts — bounded by charset³, a
+    broadcast dimension; train-side aggregates are map-side-combined; the
+    held-out corpus shuffles only on doc_id.  Docs shorter than one trigram
+    survive with n_grams = 0 and null scores."""
+    if d == SPARK:
+        ex = lambda cols, g: f"select {cols}, explode({g}) as g"  # noqa: E731
+    else:
+        ex = lambda cols, g: f"select {cols}, unnest({g}) as g"  # noqa: E731
+    lnq = lambda x: f"cast(floor(ln({x}) * {Q}.0e0) as bigint)"  # noqa: E731
+    return f"""
+        with docs as (
+            select doc_id, lower(text) as t from documents
+        ),
+        tr as (select * from docs where doc_id % {train_mod} < {train_lt}),
+        ap as (select * from docs where doc_id % {train_mod} >= {train_lt}),
+        tg as (
+            select substr(g, 1, 2) as ctx, substr(g, 3, 1) as nxt
+            from ({ex("doc_id", _grams("t", d))} from tr) e
+        ),
+        cnt as (select ctx, nxt, count(*) as c from tg group by ctx, nxt),
+        ctot as (select ctx, count(*) as tot from tg group by ctx),
+        vsize as (select count(distinct nxt) as v from tg),
+        lp as (
+            select cnt.ctx, cnt.nxt, {lnq("(c + 1.0e0) / (tot + v)")} as lp_q
+            from cnt join ctot on cnt.ctx = ctot.ctx cross join vsize
+        ),
+        lp0 as (
+            select ctx, {lnq("1.0e0 / (tot + v)")} as lp0_q
+            from ctot cross join vsize
+        ),
+        gq as (select {lnq("1.0e0 / v")} as g_q from vsize),
+        ag as (
+            select doc_id, substr(g, 1, 2) as ctx, substr(g, 3, 1) as nxt,
+                   count(*) as tf
+            from ({ex("doc_id", _grams("t", d))} from ap) e
+            group by doc_id, substr(g, 1, 2), substr(g, 3, 1)
+        ),
+        scored as (
+            select ag.doc_id,
+                   sum(ag.tf) as n_grams,
+                   sum(ag.tf * coalesce(lp.lp_q, lp0.lp0_q, gq.g_q)) as logp_q
+            from ag
+            cross join gq
+            left join lp on lp.ctx = ag.ctx and lp.nxt = ag.nxt
+            left join lp0 on lp0.ctx = ag.ctx
+            group by ag.doc_id
+        )
+        select ap.doc_id,
+               cast(coalesce(s.n_grams, 0) as bigint) as n_grams,
+               cast(coalesce(s.logp_q, 0) as bigint) as logp_q,
+               round(cast(s.logp_q as double) /
+                     (cast(s.n_grams as double) * {Q}.0e0), 9) as avg_logp
+        from ap left join scored s on s.doc_id = ap.doc_id
+    """

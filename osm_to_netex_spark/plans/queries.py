@@ -3606,3 +3606,24 @@ def q_dsir_oracle() -> str:
 
 
 QUERIES["dsir"] = (q_dsir, q_dsir_oracle)
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM trained on the 80% split scores the held-out 20%:
+    quantized log-probs, exact integer folds (classify.ngram_lm_sql)."""
+    from ..operators import classify
+
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(classify.ngram_lm_sql(SPARK))
+
+
+def q_lm_score_oracle() -> str:
+    from ..operators import classify
+
+    return classify.ngram_lm_sql(DUCK)
+
+
+QUERIES["lm_score"] = (q_lm_score, q_lm_score_oracle)
