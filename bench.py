@@ -301,6 +301,7 @@ def main():
         "mk_trend",
         "dsir",
         "lm_score",
+        "ripley_k",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -39,7 +39,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import geo
-from ..functions.portable import SPARK, haversine_m
+from ..functions.portable import SPARK, flit, haversine_m
 
 
 def _lon_halfwidth_deg(lat_col: str, radius_m: float) -> str:
@@ -54,9 +54,9 @@ def _lon_halfwidth_deg(lat_col: str, radius_m: float) -> str:
     r_rad = radius_m / geo.EARTH_RADIUS_M
     sin_half = math.sin(r_rad / 2.0)
     r_deg = math.degrees(r_rad)
-    phi_hi = f"least(radians(abs({lat_col}) + {r_deg!r}e0), 1.5707e0)"
+    phi_hi = f"least(radians(abs({lat_col}) + {flit(r_deg)}), 1.5707e0)"
     c = f"sqrt(cos(radians({lat_col})) * cos({phi_hi}))"
-    return f"degrees(2.0e0 * asin(least(1.0e0, {sin_half!r}e0 / nullif({c}, 0.0e0))))"
+    return f"degrees(2.0e0 * asin(least(1.0e0, {flit(sin_half)} / nullif({c}, 0.0e0))))"
 
 
 def radius_join(
@@ -95,7 +95,7 @@ def radius_join(
         F.col(left_id).alias("lid"),
         F.col("lat").alias("llat"),
         F.col("lon").alias("llon"),
-    ).withColumn("__kx", F.expr(f"cast(({lon_hw}) / {cell_w!r}e0 as int) + 1"))
+    ).withColumn("__kx", F.expr(f"cast(({lon_hw}) / {flit(cell_w)} as int) + 1"))
 
     # fallback strip: polar caps (bound wider than max_ring_x columns) and
     # the antimeridian band (grid adjacency cannot wrap; any cross-±180 pair
@@ -169,7 +169,7 @@ def seg_dist_m(plat: str, plon: str, ay: str, ax: str, by: str, bx: str, d: str)
     body = (
         f"sqrt(({v}.ax + {v}.t * {v}.dx) * ({v}.ax + {v}.t * {v}.dx) + "
         f"({v}.ay + {v}.t * {v}.dy) * ({v}.ay + {v}.t * {v}.dy))"
-        f" * {geo.M_PER_DEG!r}e0"
+        f" * {flit(geo.M_PER_DEG)}"
     )
     return let_(bind, body, d, var=v)
 
@@ -215,10 +215,10 @@ def seg_candidates(
     )
     # padded bbox in cell coords; lon pad uses the min cosine over the
     # segment's reachable lat band (clamped off the pole)
-    lat_lo = f"(least(__ay, __by) - {r_deg!r}e0)"
-    lat_hi = f"(greatest(__ay, __by) + {r_deg!r}e0)"
-    cosmin = f"cos(radians(least(89.0e0, greatest(abs(__ay), abs(__by)) + {r_deg!r}e0)))"
-    lon_pad = f"({r_deg!r}e0 / {cosmin})"
+    lat_lo = f"(least(__ay, __by) - {flit(r_deg)})"
+    lat_hi = f"(greatest(__ay, __by) + {flit(r_deg)})"
+    cosmin = f"cos(radians(least(89.0e0, greatest(abs(__ay), abs(__by)) + {flit(r_deg)})))"
+    lon_pad = f"({flit(r_deg)} / {cosmin})"
     lon_lo = f"(least(__ax, __bx) - {lon_pad})"
     lon_hi = f"(greatest(__ax, __bx) + {lon_pad})"
     ix_lo, iy_lo = geo.quad_ixy(lat_lo, lon_lo, res, SPARK)
@@ -457,10 +457,10 @@ def corridor_join(
         "element_at(__pl, cast(2*__i + 1 as int)) as __by",
         "element_at(__pl, cast(2*__i + 2 as int)) as __bx",
     )
-    lat_lo = f"(least(__ay, __by) - {r_deg!r}e0)"
-    lat_hi = f"(greatest(__ay, __by) + {r_deg!r}e0)"
-    cosmin = f"cos(radians(least(89.0e0, greatest(abs(__ay), abs(__by)) + {r_deg!r}e0)))"
-    lon_pad = f"({r_deg!r}e0 / {cosmin})"
+    lat_lo = f"(least(__ay, __by) - {flit(r_deg)})"
+    lat_hi = f"(greatest(__ay, __by) + {flit(r_deg)})"
+    cosmin = f"cos(radians(least(89.0e0, greatest(abs(__ay), abs(__by)) + {flit(r_deg)})))"
+    lon_pad = f"({flit(r_deg)} / {cosmin})"
     lon_lo = f"(least(__ax, __bx) - {lon_pad})"
     lon_hi = f"(greatest(__ax, __bx) + {lon_pad})"
     ix_lo, iy_lo = geo.quad_ixy(lat_lo, lon_lo, res, SPARK)

@@ -753,3 +753,113 @@ def mk_trend_oracle_sql(
                     when ({z}) < -1.96e0 then 'decreasing'
                     else 'none' end as trend
         from staged"""
+
+
+def ripley_k(
+    points: DataFrame,
+    radii: list[float],
+    res: int = 12,
+    id_col: str = "point_id",
+) -> DataFrame:
+    """Ripley's K point-pattern statistic at multiple radii —
+    (r_m, n_points, n_pairs, k_hat, l_hat): K(r) = A/(n(n-1)) · #{ordered
+    pairs with d ≤ r}, L(r) = sqrt(K/π).  L(r) > r ⇒ clustering at that
+    scale, < r ⇒ dispersion — the named multiscale test behind "at what
+    radius do these POIs cluster?".
+
+    Study area A = bbox of the points under the equirectangular metric at
+    the bbox mid-latitude (deterministic from data; documented convention —
+    edge correction is omitted, as in the naive estimator).  Exactness: the
+    pair counts are integers off the EXACT radius_join (cell-pruned but
+    provably equal to the brute cross join) at the largest radius — one
+    candidate pass serves every r; A/K/L are short fixed IEEE sequences.
+
+    Scale: one radius_join at max(radii) + one 1-row aggregate; the per-r
+    counts are conditional sums in that same aggregate, so adding radii is
+    free.
+    """
+    from .distjoin import radius_join
+
+    rmax = float(max(radii))
+    pairs = radius_join(points, points, rmax, res=res,
+                        left_id=id_col, right_id=id_col).where(
+        f"{id_col}_a <> {id_col}_b"
+    )
+    csums = [
+        F.sum(F.expr(f"case when dist_m <= {r!r}e0 then 1 else 0 end")).alias(f"c{i}")
+        for i, r in enumerate(radii)
+    ]
+    cnt = pairs.agg(*csums)
+    box = points.agg(
+        F.count("*").alias("n"),
+        F.min("lat").alias("la0"), F.max("lat").alias("la1"),
+        F.min("lon").alias("lo0"), F.max("lon").alias("lo1"),
+    )
+    m = geo.M_PER_DEG
+    area = (
+        f"((la1 - la0) * {m!r}e0) * "
+        f"((lo1 - lo0) * {m!r}e0 * cos(radians((la0 + la1) / 2.0e0)))"
+    )
+    arr = ", ".join(
+        f"named_struct('r_m', {r!r}e0, 'n_pairs', cast(coalesce(c{i}, 0) as bigint))"
+        for i, r in enumerate(radii)
+    )
+    staged = cnt.crossJoin(box).selectExpr(
+        "cast(n as bigint) as n_points",
+        f"{area} as area_m2",
+        f"explode(array({arr})) as rc",
+    )
+    k = "area_m2 * cast(rc.n_pairs as double) / (cast(n_points as double) * (cast(n_points as double) - 1.0e0))"
+    return staged.selectExpr(
+        "rc.r_m as r_m",
+        "n_points",
+        "rc.n_pairs as n_pairs",
+        f"round({k}, 6) as k_hat",
+        f"round(sqrt(({k}) / 3.141592653589793e0), 6) as l_hat",
+    )
+
+
+def ripley_k_oracle_sql(
+    points_sql_text: str,
+    radii: list[float],
+    id_col: str = "point_id",
+) -> str:
+    """DuckDB replay: brute ordered-pair cross join (proves radius_join's
+    prefilter complete at every r), identical area/K/L op sequences."""
+    from ..functions.portable import DUCK, haversine_m
+
+    dist = haversine_m("a.lat", "a.lon", "b.lat", "b.lon", DUCK)
+    m = geo.M_PER_DEG
+    area = (
+        f"((la1 - la0) * {m!r}e0) * "
+        f"((lo1 - lo0) * {m!r}e0 * cos(radians((la0 + la1) / 2.0e0)))"
+    )
+    sums = ", ".join(
+        f"sum(case when d <= {r!r}e0 then 1 else 0 end) as c{i}"
+        for i, r in enumerate(radii)
+    )
+    arr = ", ".join(
+        f"struct_pack(r_m := {r!r}e0, n_pairs := cast(coalesce(c{i}, 0) as bigint))"
+        for i, r in enumerate(radii)
+    )
+    k = (
+        "area_m2 * cast((rc).n_pairs as double) / "
+        "(cast(n_points as double) * (cast(n_points as double) - 1.0e0))"
+    )
+    return f"""
+        with pts as ({points_sql_text}),
+        pr as (
+            select round({dist}, 6) as d
+            from pts a join pts b on a.{id_col} <> b.{id_col}
+        ),
+        cnt as (select {sums} from pr),
+        box as (select count(*) as n, min(lat) as la0, max(lat) as la1,
+                       min(lon) as lo0, max(lon) as lo1 from pts),
+        staged as (
+            select cast(n as bigint) as n_points, {area} as area_m2,
+                   unnest([{arr}]) as rc
+            from cnt cross join box)
+        select (rc).r_m as r_m, n_points, (rc).n_pairs as n_pairs,
+               round({k}, 6) as k_hat,
+               round(sqrt(({k}) / 3.141592653589793e0), 6) as l_hat
+        from staged"""

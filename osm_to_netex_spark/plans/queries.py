@@ -3627,3 +3627,31 @@ def q_lm_score_oracle() -> str:
 
 
 QUERIES["lm_score"] = (q_lm_score, q_lm_score_oracle)
+
+
+# ---------------------------------------------------------------------------
+# Ripley's K point-pattern statistic
+# ---------------------------------------------------------------------------
+_RIPLEY_RADII = [300.0, 600.0, 1200.0, 2400.0]
+
+
+def q_ripley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley K/L at four radii over geo_points: one exact radius_join at
+    r_max + one 1-row aggregate; integer pair counts (tiling.ripley_k)."""
+    from ..operators import tiling
+
+    register_geometry_views(spark, sf_dir)
+    return tiling.ripley_k(spark.table("geo_points"), _RIPLEY_RADII, res=13)
+
+
+def q_ripley_oracle() -> str:
+    from ..operators import tiling
+
+    return (
+        f"{duck_geometry_ctes()}, __r as ("
+        + tiling.ripley_k_oracle_sql("select * from geo_points", _RIPLEY_RADII)
+        + ") select * from __r"
+    )
+
+
+QUERIES["ripley_k"] = (q_ripley, q_ripley_oracle)

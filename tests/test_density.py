@@ -221,3 +221,37 @@ def test_mk_constant_series_is_none(spark):
     r = tiling.mk_trend(pts, n_buckets=8, res=10).collect()[0]
     assert r.s_stat == 0 and r.var18 == 0
     assert r.mk_z is None and r.trend == "none"
+
+
+# --- Ripley's K ----------------------------------------------------------------
+def test_ripley_clustered_vs_dispersed(spark):
+    """A tight cluster shows L(r) >> r at small radii; a regular grid of the
+    same size shows L(r) < r there.  Pair counts replayed exactly."""
+    import math
+
+    # 20 points inside a ~60 m blob
+    cl = [(i, 0.0002 * (i % 5), 0.0002 * (i // 5)) for i in range(20)]
+    # 20 points on a ~1.1 km-spaced grid
+    gr = [(i, 0.01 * (i % 5), 0.01 * (i // 5)) for i in range(20)]
+    radii = [200.0, 500.0]
+
+    def run(rows):
+        pts = spark.createDataFrame(rows, ["point_id", "lat", "lon"])
+        return {r.r_m: r for r in tiling.ripley_k(pts, radii, res=13).collect()}
+
+    c, g = run(cl), run(gr)
+    # every ordered pair of the blob is within 500 m -> n_pairs = 20*19
+    assert c[500.0].n_pairs == 380 and c[200.0].n_pairs > 0
+    # grid spacing ~1.1 km -> no pairs inside 500 m
+    assert g[500.0].n_pairs == 0 and g[200.0].n_pairs == 0
+    assert c[500.0].l_hat > g[500.0].l_hat == 0.0
+
+    # exact replay of K for the blob at 500 m: A * pairs / (n(n-1))
+    la = [r[1] for r in cl]; lo = [r[2] for r in cl]
+    m = 6371008.8 * math.pi / 180.0
+    area = ((max(la) - min(la)) * m) * (
+        (max(lo) - min(lo)) * m * math.cos(math.radians((min(la) + max(la)) / 2.0))
+    )
+    k = area * 380.0 / (20.0 * 19.0)
+    assert c[500.0].k_hat == round(k, 6)
+    assert c[500.0].l_hat == round(math.sqrt(k / math.pi), 6)
