@@ -302,6 +302,9 @@ def main():
         "dsir",
         "lm_score",
         "ripley_k",
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q18",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

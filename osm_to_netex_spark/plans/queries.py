@@ -3655,3 +3655,110 @@ def q_ripley_oracle() -> str:
 
 
 QUERIES["ripley_k"] = (q_ripley, q_ripley_oracle)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics: Q1 pricing summary, Q3 shipping priority, Q18 big orders
+# ---------------------------------------------------------------------------
+def _tpch_q1_sql(d: str) -> str:
+    """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary over
+    lineitems shipped before the cutoff.  Every per-row money/qty term is
+    quantized to int 1e-4 units BEFORE its sum (order-free bigint folds);
+    the averages are single double divisions at the end."""
+    q4 = lambda x: f"cast(floor(({x}) * 1.0e4 + 0.5e0) as bigint)"  # noqa: E731
+    disc = "l_extendedprice * (1.0e0 - l_discount)"
+    charge = f"({disc}) * (1.0e0 + l_tax)"
+    return f"""
+        select l_returnflag, l_linestatus,
+               count(*) as count_order,
+               sum({q4('l_quantity')}) as sum_qty_q4,
+               sum({q4('l_extendedprice')}) as sum_base_q4,
+               sum({q4(disc)}) as sum_disc_q4,
+               sum({q4(charge)}) as sum_charge_q4,
+               round(cast(sum({q4('l_quantity')}) as double)
+                     / (cast(count(*) as double) * 1.0e4), 9) as avg_qty,
+               round(cast(sum({q4('l_extendedprice')}) as double)
+                     / (cast(count(*) as double) * 1.0e4), 9) as avg_price
+        from lineitem
+        where l_shipdate <= timestamp '2000-06-01 00:00:00'
+        group by l_returnflag, l_linestatus"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fact-scan aggregate with map-side combine; the shipdate filter is
+    pushed to the parquet scan."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_tpch_q1_sql(SPARK))
+
+
+def q_tpch_q1_oracle() -> str:
+    return _tpch_q1_sql(DUCK)
+
+
+QUERIES["tpch_q1"] = (q_tpch_q1, q_tpch_q1_oracle)
+
+
+def _tpch_q3_sql(d: str) -> str:
+    """TPC-H Q3 shape: top-10 open orders by pending revenue — orders placed
+    before the cutoff with lineitems shipping after it.  Revenue quantized
+    per row; the global top-10 is a TakeOrderedAndProject on the integer
+    (revenue, orderkey) pair — fully deterministic."""
+    rev = ("cast(floor(l_extendedprice * (1.0e0 - l_discount) * 1.0e4 + 0.5e0)"
+           " as bigint)")
+    od = ("date_format(o_orderdate, 'yyyy-MM-dd')" if d == SPARK
+          else "strftime(o_orderdate, '%Y-%m-%d')")
+    return f"""
+        select o_orderkey, {od} as orderdate,
+               o_orderpriority, sum({rev}) as revenue_q4
+        from orders join lineitem on l_orderkey = o_orderkey
+        where o_orderdate < timestamp '1998-06-01 00:00:00'
+          and l_shipdate  > timestamp '1998-06-01 00:00:00'
+        group by o_orderkey, {od}, o_orderpriority
+        order by revenue_q4 desc, o_orderkey
+        limit 10"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_tpch_q3_sql(SPARK))
+
+
+def q_tpch_q3_oracle() -> str:
+    return _tpch_q3_sql(DUCK)
+
+
+QUERIES["tpch_q3"] = (q_tpch_q3, q_tpch_q3_oracle)
+
+
+def _tpch_q18_sql(d: str) -> str:
+    """TPC-H Q18 shape: large-volume orders — orders whose total quantity
+    exceeds the threshold, with their customer.  The HAVING prunes on the
+    pre-joined fact aggregate (semi-join shape: aggregate lineitem FIRST,
+    then join the survivors to orders/customer — the fact table crosses the
+    join boundary once, at order granularity)."""
+    qq = "cast(floor(l_quantity * 1.0e4 + 0.5e0) as bigint)"
+    od = ("date_format(o_orderdate, 'yyyy-MM-dd')" if d == SPARK
+          else "strftime(o_orderdate, '%Y-%m-%d')")
+    return f"""
+        with big as (
+            select l_orderkey, sum({qq}) as total_qty_q4
+            from lineitem group by l_orderkey
+            having sum({qq}) > 1500000
+        )
+        select c_custkey, c_name, o_orderkey,
+               {od} as orderdate, total_qty_q4
+        from big
+        join orders on o_orderkey = l_orderkey
+        join customer on c_custkey = o_custkey"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_tpch_q18_sql(SPARK))
+
+
+def q_tpch_q18_oracle() -> str:
+    return _tpch_q18_sql(DUCK)
+
+
+QUERIES["tpch_q18"] = (q_tpch_q18, q_tpch_q18_oracle)
