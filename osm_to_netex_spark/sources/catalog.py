@@ -225,6 +225,140 @@ class SnapshotCatalog:
                     out.append(json.load(fh))
         return out
 
+    # -- branches & tags ------------------------------------------------------
+    def _refs_dir(self, table: str) -> str:
+        return os.path.join(self.root, table, "_refs")
+
+    def _write_ref(self, table: str, name: str, ref: dict) -> None:
+        d = self._refs_dir(table)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(ref, fh)
+        os.replace(tmp, os.path.join(d, f"{name}.json"))
+
+    def _read_ref_meta(self, table: str, name: str) -> dict:
+        path = os.path.join(self._refs_dir(table), f"{name}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no ref {name!r} on table {table!r}")
+        with open(path) as fh:
+            return json.load(fh)
+
+    def refs(self, table: str) -> dict:
+        d = self._refs_dir(table)
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".json") and not f.startswith("."):
+                with open(os.path.join(d, f)) as fh:
+                    r = json.load(fh)
+                out[r["name"]] = r
+        return out
+
+    def create_tag(self, table: str, name: str, snapshot_id: str | None = None) -> dict:
+        """Iceberg-style TAG: an immutable named pointer to a snapshot.
+        Tagged snapshots are retention-protected — `expire_snapshots` keeps
+        their data dirs even outside the keep_last window (audit/repro pins
+        like 'training-run-2026-08')."""
+        if name in self.refs(table):
+            raise ValueError(f"ref {name!r} already exists on {table!r}")
+        meta = self._pin(table, snapshot_id)
+        ref = {"name": name, "type": "tag", "snapshot_id": meta["snapshot_id"],
+               "meta": meta, "created_at_ms": int(time.time() * 1000)}
+        self._write_ref(table, name, ref)
+        return ref
+
+    def create_branch(
+        self, table: str, name: str, snapshot_id: str | None = None
+    ) -> dict:
+        """Iceberg-style BRANCH: a mutable ref forked from a snapshot.
+        `commit_to_branch` advances the branch WITHOUT touching main — the
+        isolation primitive for backfills/experiments over 100 TB tables;
+        `fast_forward` promotes the branch head to main atomically when main
+        has not moved since the fork."""
+        if name in self.refs(table):
+            raise ValueError(f"ref {name!r} already exists on {table!r}")
+        meta = self._pin(table, snapshot_id)
+        ref = {"name": name, "type": "branch", "snapshot_id": meta["snapshot_id"],
+               "forked_from": meta["snapshot_id"], "meta": meta,
+               "created_at_ms": int(time.time() * 1000)}
+        self._write_ref(table, name, ref)
+        return ref
+
+    def commit_to_branch(
+        self, df: DataFrame, table: str, name: str, mode: str = "append"
+    ) -> str:
+        """Write a snapshot whose parent is the BRANCH head; main is not
+        moved and never sees the branch lineage.  Same append/overwrite and
+        schema-evolution semantics as `commit`."""
+        ref = self._read_ref_meta(table, name)
+        if ref["type"] != "branch":
+            raise ValueError(f"ref {name!r} is a tag; tags are immutable")
+        prev = ref["meta"]
+        merge = bool(prev.get("merge_schema")) if mode == "append" else False
+        if mode == "append" and prev.get("schema"):
+            merge = self._check_evolution(prev, df) or merge
+        snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        data_dir = os.path.join(self.root, table, "snapshots", snap_id)
+        df.write.mode("overwrite").parquet(data_dir)
+        dirs = [data_dir]
+        dels: list[str] = []
+        if mode == "append":
+            dirs = prev["data_dirs"] + dirs
+            dels = prev.get("delete_dirs", [])
+        meta = {
+            "snapshot_id": snap_id,
+            "sequence": prev.get("sequence", 0) + 1,
+            "mode": mode,
+            "branch": name,
+            "data_dirs": dirs,
+            "delete_dirs": dels,
+            "schema": json.loads(df.schema.json()),
+            "merge_schema": merge,
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        ref["snapshot_id"] = snap_id
+        ref["meta"] = meta
+        self._write_ref(table, name, ref)
+        return snap_id
+
+    def read_ref(self, table: str, name: str) -> DataFrame:
+        """Read a table at a named ref (tag or branch head)."""
+        return self._df_from_meta(self._read_ref_meta(table, name)["meta"])
+
+    def fast_forward(self, table: str, name: str) -> str:
+        """Promote a branch head to main — atomic, and ONLY when main still
+        sits at the branch's fork point (otherwise the branch has to be
+        rebuilt on current main; silent merge would drop main's commits)."""
+        ref = self._read_ref_meta(table, name)
+        if ref["type"] != "branch":
+            raise ValueError(f"ref {name!r} is a tag")
+        cur = self.current_snapshot(table)
+        cur_id = cur["snapshot_id"] if cur else None
+        if cur_id != ref["forked_from"]:
+            raise ValueError(
+                f"branch {name!r} forked from {ref['forked_from']!r} but main "
+                f"is at {cur_id!r}: diverged, cannot fast-forward"
+            )
+        meta = dict(ref["meta"])
+        meta["sequence"] = (cur["sequence"] + 1) if cur else 0
+        tmp = os.path.join(self._meta_dir(table), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(
+            tmp, os.path.join(self._meta_dir(table), f"v{meta['sequence']:09d}.json")
+        )
+        ref["forked_from"] = meta["snapshot_id"]
+        self._write_ref(table, name, ref)
+        return meta["snapshot_id"]
+
+    def drop_ref(self, table: str, name: str) -> None:
+        path = os.path.join(self._refs_dir(table), f"{name}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no ref {name!r} on table {table!r}")
+        os.remove(path)
+
     # -- positional deletes (deletion vectors) -------------------------------
     def _read_with_pos(self, meta: dict) -> DataFrame:
         """Current rows of a snapshot plus their physical identity
@@ -310,6 +444,11 @@ class SnapshotCatalog:
             with open(os.path.join(self._meta_dir(table), v)) as fh:
                 m = json.load(fh)
                 keep_dirs.update(m["data_dirs"] + m.get("delete_dirs", []))
+        # named refs (tags, branch heads) are retention-protected: their data
+        # stays addressable regardless of the keep_last window
+        for r in self.refs(table).values():
+            m = r["meta"]
+            keep_dirs.update(m["data_dirs"] + m.get("delete_dirs", []))
         drop_dirs: set[str] = set()
         for v in expired:
             path = os.path.join(self._meta_dir(table), v)
@@ -526,6 +665,9 @@ class SnapshotCatalog:
             )
         if meta is None:
             raise FileNotFoundError(f"table {table!r} snapshot {snapshot_id!r} not found")
+        return self._df_from_meta(meta)
+
+    def _df_from_meta(self, meta: dict) -> DataFrame:
         if meta.get("delete_dirs"):
             return self._read_with_pos(meta).drop("__fp", "__ri")
         return self.spark.read.option(
