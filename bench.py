@@ -305,6 +305,7 @@ def main():
         "tpch_q1",
         "tpch_q3",
         "tpch_q18",
+        "hausdorff_join",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -1,0 +1,159 @@
+"""Trajectory similarity join: all pairs with Hausdorff distance <= R.
+
+The fleet/mobility workload PIP/kNN don't cover: "which vehicle tracks follow
+(almost) the same route?" — near-duplicate ROUTE detection, the spatial
+sibling of the text near-dup family in dedup.py.  North-rule engine surface;
+the reference never compares geometries (SURVEY §2.1 negative findings).
+
+Metric: symmetric discrete Hausdorff distance over the trajectory fixes,
+H(A,B) = max( max_a min_b d(a,b), max_b min_a d(a,b) ) with the exact
+haversine point metric — every term is the same correctly-rounded IEEE chain
+in Spark and DuckDB, so H is bit-identical and the join is value-hash-gated.
+
+Scale design (the overlap.py prefilter, adapted to a distance bound):
+
+* trajectories collapse to ONE row each — (id, las, los) coordinate arrays
+  ordered by step (order carried in data, J2 discipline) plus a bbox;
+* candidate pairs share a quad cell between A's R-PADDED bbox cover and B's
+  unpadded bbox cover.  Complete: H(A,B) <= R means B's first fix lies
+  within R of some fix of A, hence inside A's padded bbox, hence B's bbox
+  intersects it — intersecting rectangles covered at the same res share a
+  cell.  Pair volume is O(nearby-track pairs), never O(n²);
+* pairs are distinct-ed on (id_a, id_b) BEFORE the exact evaluation and the
+  coordinate arrays join back afterwards — the O(|A|·|B|)-per-pair Hausdorff
+  HOF runs once per candidate and the arrays stay off the candidate shuffle;
+* the exact H <= R filter restores precision; lon padding uses the bbox
+  band's min cosine (conservative, the radius_join bound).
+
+Fan-out is bbox-cover cells at ``res`` — pick the cell edge ≈ R (the
+radius_join rule).  Trajectories are assumed bounded (segment unbounded GPS
+streams with chunking/sessionize first — the mapmatch.py note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import geo
+from ..functions.portable import SPARK, flit, haversine_m
+
+
+def hausdorff_expr(las_a: str, los_a: str, las_b: str, los_b: str, d: str) -> str:
+    """Symmetric discrete Hausdorff distance between coordinate arrays, as
+    one dialect-portable expression (nested HOFs over the fix arrays)."""
+    dist = haversine_m("a_la", "a_lo", "b_la", "b_lo", d)
+
+    def directed(las1, los1, las2, los2, v1, v2):
+        inner = dist.replace("a_la", f"{las1}[{v1}]").replace(
+            "a_lo", f"{los1}[{v1}]"
+        ).replace("b_la", f"{las2}[{v2}]").replace("b_lo", f"{los2}[{v2}]")
+        if d == SPARK:
+            # Spark [] is 0-based
+            mins = (
+                f"transform(sequence(0, size({las1}) - 1), {v1} -> "
+                f"array_min(transform(sequence(0, size({las2}) - 1), {v2} -> {inner})))"
+            )
+            return f"array_max({mins})"
+        mins = (
+            f"list_transform(generate_series(1, len({las1})), {v1} -> "
+            f"list_min(list_transform(generate_series(1, len({las2})), {v2} -> {inner})))"
+        )
+        return f"list_max({mins})"
+
+    ab = directed(las_a, los_a, las_b, los_b, "__ha", "__hb")
+    ba = directed(las_b, los_b, las_a, los_a, "__hc", "__hd")
+    return f"greatest({ab}, {ba})"
+
+
+def hausdorff_join(
+    trajs: DataFrame,
+    radius_m: float,
+    res: int = 12,
+    traj_id: str = "traj_id",
+    step_col: str = "step",
+) -> DataFrame:
+    """(traj_a, traj_b, h_m) for every unordered pair with symmetric
+    Hausdorff distance <= ``radius_m`` (traj_a < traj_b)."""
+    n = 2**res
+    cell_h, cell_w = 180.0 / n, 360.0 / n
+    r_deg = radius_m / geo.M_PER_DEG
+
+    rows = trajs.groupBy(traj_id).agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct({step_col} as s, lat as v))), x -> x.v)"
+        ).alias("las"),
+        F.expr(
+            f"transform(array_sort(collect_list(struct({step_col} as s, lon as v))), x -> x.v)"
+        ).alias("los"),
+        F.min("lat").alias("la0"), F.max("lat").alias("la1"),
+        F.min("lon").alias("lo0"), F.max("lon").alias("lo1"),
+    ).persist()  # consumed by both cover sides + the refine join back
+
+    # B side: unpadded bbox cover cells
+    def cover(df, pad: float):
+        if pad > 0.0:
+            cosmin = (
+                f"cos(radians(least(89.0e0, greatest(abs(la0), abs(la1)) + {flit(r_deg)})))"
+            )
+            lon_pad = f"({flit(r_deg)} / {cosmin})"
+            la_lo, la_hi = f"(la0 - {flit(r_deg)})", f"(la1 + {flit(r_deg)})"
+            lo_lo, lo_hi = f"(lo0 - {lon_pad})", f"(lo1 + {lon_pad})"
+        else:
+            la_lo, la_hi, lo_lo, lo_hi = "la0", "la1", "lo0", "lo1"
+        ix_lo, iy_lo = geo.quad_ixy(la_lo, lo_lo, res, SPARK)
+        ix_hi, iy_hi = geo.quad_ixy(la_hi, lo_hi, res, SPARK)
+        return (
+            df.selectExpr(
+                traj_id,
+                f"{ix_lo} as __ixl", f"{ix_hi} as __ixh",
+                f"explode(sequence({iy_lo}, {iy_hi})) as __cy",
+            )
+            .selectExpr(traj_id, "__cy", "explode(sequence(__ixl, __ixh)) as __cx")
+            .selectExpr(traj_id, geo.quad_pack("__cx", "__cy", res) + " as __cell")
+        )
+
+    a_cells = cover(rows, pad=r_deg).withColumnRenamed(traj_id, "ta")
+    b_cells = cover(rows, pad=0.0).withColumnRenamed(traj_id, "tb")
+    cand = (
+        a_cells.join(b_cells, "__cell")
+        .where("ta < tb")
+        .select("ta", "tb")
+        .distinct()
+    )
+    a = rows.selectExpr(f"{traj_id} as ta", "las as las_a", "los as los_a")
+    b = rows.selectExpr(f"{traj_id} as tb", "las as las_b", "los as los_b")
+    h = hausdorff_expr("las_a", "los_a", "las_b", "los_b", SPARK)
+    out = (
+        cand.join(a, "ta")
+        .join(b, "tb")
+        .withColumn("h_m", F.expr(h))
+        .where(F.col("h_m") <= F.lit(float(radius_m)))
+        .selectExpr("ta as traj_a", "tb as traj_b", "round(h_m, 6) as h_m")
+    )
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [rows])
+
+
+def hausdorff_join_oracle_sql(
+    trajs_sql_text: str,
+    radius_m: float,
+    traj_id: str = "traj_id",
+    step_col: str = "step",
+) -> str:
+    """DuckDB replay: brute all-pairs over the collected arrays (proves the
+    padded-cover prefilter complete), identical Hausdorff expression."""
+    from ..functions.portable import DUCK
+
+    h = hausdorff_expr("a.las", "a.los", "b.las", "b.los", DUCK)
+    return f"""
+        with tr as ({trajs_sql_text}),
+        rows_ as (
+            select {traj_id} as tid,
+                   list(lat order by {step_col}) as las,
+                   list(lon order by {step_col}) as los
+            from tr group by {traj_id}
+        )
+        select a.tid as traj_a, b.tid as traj_b, round({h}, 6) as h_m
+        from rows_ a join rows_ b on a.tid < b.tid
+        where ({h}) <= {flit(radius_m)}"""

@@ -3762,3 +3762,32 @@ def q_tpch_q18_oracle() -> str:
 
 
 QUERIES["tpch_q18"] = (q_tpch_q18, q_tpch_q18_oracle)
+
+
+# ---------------------------------------------------------------------------
+# Trajectory similarity join (Hausdorff)
+# ---------------------------------------------------------------------------
+_HAUS_R = 8000.0
+
+
+def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All track pairs within 8 km symmetric Hausdorff distance over the
+    geo_traj fixture: padded-bbox cover prefilter + exact HOF refine
+    (operators/trajsim.py)."""
+    from ..operators import trajsim
+
+    register_geometry_views(spark, sf_dir)
+    spark.sql(f"create or replace temp view geo_traj as {traj_sql(SPARK)}")
+    return trajsim.hausdorff_join(spark.table("geo_traj"), radius_m=_HAUS_R, res=12)
+
+
+def q_hausdorff_oracle() -> str:
+    from ..operators import trajsim
+
+    body = trajsim.hausdorff_join_oracle_sql(
+        f"select * from ({traj_sql(DUCK)}) _t", radius_m=_HAUS_R
+    )
+    return f"{duck_geometry_ctes()}, __h as ({body}) select * from __h"
+
+
+QUERIES["hausdorff_join"] = (q_hausdorff, q_hausdorff_oracle)
