@@ -306,6 +306,8 @@ def main():
         "tpch_q3",
         "tpch_q18",
         "hausdorff_join",
+        "lexdiv",
+        "zone_stats_sph",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

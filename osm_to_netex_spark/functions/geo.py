@@ -598,3 +598,29 @@ def point_in_polygon_col(lat: str, lon: str, pos_list: str) -> Column:
 
 def haversine_m_col(lat1: str, lon1: str, lat2: str, lon2: str) -> Column:
     return F.expr(haversine_m(lat1, lon1, lat2, lon2, SPARK))
+
+
+def poly_area_sph_m2(pl: str, d: str) -> str:
+    """Unsigned GEODESIC polygon area in m² (spherical-excess shoelace, the
+    turf.js/Karney small-polygon form): A = R²/2 · |Σ (λ_{i+1} − λ_i) ·
+    (2 + sin φ_i + sin φ_{i+1})|, angles in radians, ring closed.  Same
+    left-to-right fold both dialects (``_edge_sum``), so the value is
+    bit-identical cross-engine.  Unlike the planar deg² shoelace this is a
+    real areal quantity — correct at any latitude (the cos φ scale factor is
+    in the sine terms), which is what a raster/zonal consumer wants."""
+    yi, xi, yj, xj = _edge_vertices(pl, d)
+    term = (
+        f"((radians({xj}) - radians({xi})) * "
+        f"(2.0e0 + sin(radians({yi})) + sin(radians({yj}))))"
+    )
+    return f"(abs({_edge_sum(pl, term, d)}) * {EARTH_RADIUS_M!r}e0 * {EARTH_RADIUS_M!r}e0 / 2.0e0)"
+
+
+def poly_perimeter_m(pl: str, d: str) -> str:
+    """GEODESIC ring perimeter in meters: Σ haversine edge lengths, same
+    sequential fold order both dialects."""
+    from .portable import haversine_m
+
+    yi, xi, yj, xj = _edge_vertices(pl, d)
+    leg = haversine_m(f"({yi})", f"({xi})", f"({yj})", f"({xj})", d)
+    return _edge_sum(pl, f"({leg})", d)

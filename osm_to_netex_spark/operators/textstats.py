@@ -318,3 +318,87 @@ def line_dedup_oracle_sql(
                      len(string_split({text_col}, chr(10))) as n_lines
               from {table}) b
         left join rebuilt r on b.doc_id = r.doc_id"""
+
+
+_ENT_Q = 1_000_000_000  # ln quantization: 1e-9 units (classify.py discipline)
+
+
+def lexical_diversity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Lexical-diversity quality signals per doc — (doc_id, n_tokens,
+    n_types, ttr, hapax_frac, entropy_q, entropy): token Shannon entropy,
+    type-token ratio, and hapax-legomenon fraction.  Low entropy/TTR flags
+    the degenerate boilerplate the Gopher repetition filters catch from the
+    other direction; the pair together is the standard quality dashboard.
+
+    Exactness: per-token-type terms cnt·floor(ln(cnt/n)·1e9) are integer
+    products folded per doc (order-free); entropy = −Σ/(n·1e9) is one double
+    division at the end.  Shape: one (doc, token) count shuffle with
+    map-side combine + one per-doc fold — corpus never shuffles twice.
+    """
+    from ..functions import text as tx
+
+    toks = docs.selectExpr(
+        f"{id_col} as doc_id", f"explode({tx.tokens(text_col, SPARK)}) as tok"
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    # the entropy fold needs n (per-doc total) INSIDE the per-type term, so
+    # stage the total first and re-aggregate the joined counts
+    totals = per_tok.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    terms = per_tok.join(totals, "doc_id").selectExpr(
+        "doc_id", "n",
+        f"cnt * cast(floor(ln(cast(cnt as double) / cast(n as double)) * {_ENT_Q}) as bigint) as term_q",
+        "cnt",
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.first("n").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.expr("case when cnt = 1 then 1 else 0 end")).alias("n_hapax"),
+        F.sum("term_q").alias("sum_q"),
+    )
+    base = docs.selectExpr(f"{id_col} as doc_id")
+    return base.join(agg, "doc_id", "left").selectExpr(
+        "doc_id",
+        "cast(coalesce(n_tokens, 0) as bigint) as n_tokens",
+        "cast(coalesce(n_types, 0) as bigint) as n_types",
+        "round(cast(n_types as double) / cast(n_tokens as double), 9) as ttr",
+        "round(cast(n_hapax as double) / cast(n_types as double), 9) as hapax_frac",
+        "cast(coalesce(-sum_q, 0) as bigint) as entropy_q",
+        f"round(cast(-sum_q as double) / (cast(n_tokens as double) * {_ENT_Q}.0e0), 9) as entropy",
+    )
+
+
+def lexical_diversity_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB replay: same counts, same quantized terms, same divisions."""
+    from ..functions import text as tx
+
+    return f"""
+        with toks as (
+            select {id_col} as doc_id, unnest({tx.tokens(text_col, DUCK)}) as tok
+            from {table}
+        ),
+        per_tok as (select doc_id, tok, count(*) as cnt
+                    from toks group by doc_id, tok),
+        totals as (select doc_id, sum(cnt) as n from per_tok group by doc_id),
+        terms as (
+            select p.doc_id, t.n, p.cnt,
+                   p.cnt * cast(floor(ln(cast(p.cnt as double) / cast(t.n as double)) * {_ENT_Q}) as bigint) as term_q
+            from per_tok p join totals t on t.doc_id = p.doc_id
+        ),
+        agg as (
+            select doc_id, any_value(n) as n_tokens, count(*) as n_types,
+                   sum(case when cnt = 1 then 1 else 0 end) as n_hapax,
+                   sum(term_q) as sum_q
+            from terms group by doc_id
+        )
+        select b.{id_col} as doc_id,
+               cast(coalesce(a.n_tokens, 0) as bigint) as n_tokens,
+               cast(coalesce(a.n_types, 0) as bigint) as n_types,
+               round(cast(a.n_types as double) / cast(a.n_tokens as double), 9) as ttr,
+               round(cast(a.n_hapax as double) / cast(a.n_types as double), 9) as hapax_frac,
+               cast(coalesce(-a.sum_q, 0) as bigint) as entropy_q,
+               round(cast(-a.sum_q as double) / (cast(a.n_tokens as double) * {_ENT_Q}.0e0), 9) as entropy
+        from {table} b left join agg a on a.doc_id = b.{id_col}"""

@@ -3791,3 +3791,46 @@ def q_hausdorff_oracle() -> str:
 
 
 QUERIES["hausdorff_join"] = (q_hausdorff, q_hausdorff_oracle)
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity + geodesic zone stats
+# ---------------------------------------------------------------------------
+def q_lexdiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token entropy / TTR / hapax fraction per doc — quantized-ln integer
+    folds (textstats.lexical_diversity)."""
+    from ..operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.lexical_diversity(docs)
+
+
+def q_lexdiv_oracle() -> str:
+    from ..operators import textstats
+
+    return textstats.lexical_diversity_oracle_sql()
+
+
+QUERIES["lexdiv"] = (q_lexdiv, q_lexdiv_oracle)
+
+
+def q_zone_stats_sph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic (spherical-excess) zone area + haversine perimeter — the
+    real-units sibling of zone_stats' planar deg² metrics."""
+    register_geometry_views(spark, sf_dir)
+    return spark.table("geo_polys").selectExpr(
+        "zone_id",
+        f"round({geo.poly_area_sph_m2('pos_list', SPARK)}, 3) as area_m2",
+        f"round({geo.poly_perimeter_m('pos_list', SPARK)}, 3) as perimeter_m",
+    )
+
+
+def q_zone_stats_sph_oracle() -> str:
+    return f"""{duck_geometry_ctes()}
+        select zone_id,
+               round({geo.poly_area_sph_m2('pos_list', DUCK)}, 3) as area_m2,
+               round({geo.poly_perimeter_m('pos_list', DUCK)}, 3) as perimeter_m
+        from geo_polys"""
+
+
+QUERIES["zone_stats_sph"] = (q_zone_stats_sph, q_zone_stats_sph_oracle)
