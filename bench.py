@@ -308,6 +308,8 @@ def main():
         "hausdorff_join",
         "lexdiv",
         "zone_stats_sph",
+        "ring_validity",
+        "ring_repair",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

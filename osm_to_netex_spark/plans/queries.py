@@ -3834,3 +3834,85 @@ def q_zone_stats_sph_oracle() -> str:
 
 
 QUERIES["zone_stats_sph"] = (q_zone_stats_sph, q_zone_stats_sph_oracle)
+
+
+# ---------------------------------------------------------------------------
+# Ring validity audit + repair
+# ---------------------------------------------------------------------------
+def corrupt_polys_sql(d: str) -> str:
+    """Deterministically corrupted geo_polys: zone_id % 3 == 0 → ring
+    reversed (cw); % 3 == 1 → closure dropped (open); % 3 == 2 → second
+    vertex duplicated (zero-length edge).  Identical expression text in both
+    dialects, so both engines audit/repair the same broken rings."""
+    if d == SPARK:
+        n = "(size(pos_list) div 2)"
+        rev = (
+            f"flatten(transform(sequence({n}, 1, -1), i -> "
+            "array(element_at(pos_list, cast(2*i - 1 as int)), "
+            "element_at(pos_list, cast(2*i as int)))))"
+        )
+        open_ = "slice(pos_list, 1, size(pos_list) - 2)"
+        dup = ("concat(slice(pos_list, 1, 4), slice(pos_list, 3, 2), "
+               "slice(pos_list, 5, size(pos_list) - 4))")
+    else:
+        n = "(len(pos_list) // 2)"
+        rev = (
+            f"flatten(list_transform(generate_series({n}, 1, -1), i -> "
+            "[pos_list[2*i - 1], pos_list[2*i]]))"
+        )
+        open_ = "pos_list[1:len(pos_list) - 2]"
+        dup = ("list_concat(list_concat(pos_list[1:4], pos_list[3:4]), "
+               "pos_list[5:len(pos_list)])")
+    return (
+        f"select zone_id, case when zone_id % 3 = 0 then {rev} "
+        f"when zone_id % 3 = 1 then {open_} "
+        f"else {dup} end as pos_list from geo_polys"
+    )
+
+
+def q_ring_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity audit over the corrupted fixture: closure, dup vertices,
+    orientation, proper self-crossings (operators/validity.py)."""
+    from ..operators import validity
+
+    register_geometry_views(spark, sf_dir)
+    cor = spark.sql(corrupt_polys_sql(SPARK))
+    return validity.ring_validity(cor)
+
+
+def q_ring_validity_oracle() -> str:
+    from ..operators import validity
+
+    return (
+        f"{duck_geometry_ctes()}, __v as ("
+        + validity.ring_validity_oracle_sql(corrupt_polys_sql(DUCK))
+        + ") select * from __v"
+    )
+
+
+QUERIES["ring_validity"] = (q_ring_validity, q_ring_validity_oracle)
+
+
+def q_ring_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair the corrupted rings (dedup → close → CCW-normalize); ring
+    emitted as a comma-joined string for the value-hash gate."""
+    from ..operators import validity
+
+    register_geometry_views(spark, sf_dir)
+    cor = spark.sql(corrupt_polys_sql(SPARK))
+    return validity.repair_rings(cor).selectExpr(
+        "zone_id", "array_join(pos_list, ',') as ring_str"
+    )
+
+
+def q_ring_repair_oracle() -> str:
+    from ..operators import validity
+
+    return (
+        f"{duck_geometry_ctes()}, __r as ("
+        + validity.repair_rings_oracle_sql(corrupt_polys_sql(DUCK))
+        + ") select * from __r"
+    )
+
+
+QUERIES["ring_repair"] = (q_ring_repair, q_ring_repair_oracle)
