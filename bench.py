@@ -310,6 +310,8 @@ def main():
         "zone_stats_sph",
         "ring_validity",
         "ring_repair",
+        "od_matrix",
+        "corpus_shuffle",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

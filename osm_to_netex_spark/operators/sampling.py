@@ -284,3 +284,80 @@ def dsir_weights_oracle_sql(
                cast(coalesce(s.score_q, 0) as bigint) as score_q,
                round(cast(s.score_q as double) / (cast(s.n_feats as double) * {Q}.0e0), 9) as avg_lr
         from {table} d left join scored s on s.doc_id = d.{id_col}"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic distributed corpus shuffle (training-order assignment)
+# ---------------------------------------------------------------------------
+def corpus_shuffle(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "shuffle:v1",
+) -> DataFrame:
+    """(doc_id, bucket, global_pos): a deterministic global permutation of
+    the corpus — the training-order shuffle every LLM data pipeline needs,
+    reproducible across reruns, cluster sizes, and partitionings (no RNG
+    state, no zipWithIndex nondeterminism).
+
+    Shape: a GLOBAL row_number would force one partition — instead the
+    permutation is (hash-bucket, within-bucket rank): each doc gets a
+    portable-hash bucket, ranks within its bucket by (key, doc_id) — B
+    independent window partitions — and the global position adds the
+    exclusive prefix sum of bucket sizes (a B-row broadcast).  The order is
+    exactly "sort all docs by (bucket, key, doc_id)" without ever sorting
+    globally.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.portable import phash60
+
+    B = int(n_buckets)
+    key = phash60(f"concat('{salt}:', {id_col})", SPARK)
+    staged = docs.selectExpr(
+        f"{id_col} as doc_id", f"{key} as __k"
+    ).selectExpr("doc_id", "__k", f"pmod(__k, {B}) as bucket")
+    ranked = staged.withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("__k", "doc_id")
+        ),
+    )
+    sizes = staged.groupBy("bucket").count()
+    offsets = sizes.withColumn(
+        "__off",
+        F.sum("count").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).selectExpr("bucket", "coalesce(__off, 0) as __off")
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .selectExpr(
+            "doc_id",
+            "cast(bucket as bigint) as bucket",
+            "cast(__off + __r - 1 as bigint) as global_pos",
+        )
+    )
+
+
+def corpus_shuffle_oracle_sql(
+    n_buckets: int = 64,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    salt: str = "shuffle:v1",
+) -> str:
+    """DuckDB replay: the permutation IS "order by (bucket, key, id)" — the
+    oracle states that directly, proving the bucket-offset construction."""
+    from ..functions.portable import DUCK, phash60
+
+    B = int(n_buckets)
+    key = phash60(f"concat('{salt}:', {id_col})", DUCK)
+    return f"""
+        with staged as (
+            select {id_col} as doc_id, {key} as k, {key} % {B} as bucket
+            from {table}
+        )
+        select doc_id, cast(bucket as bigint) as bucket,
+               cast(row_number() over (order by bucket, k, doc_id) - 1 as bigint)
+               as global_pos
+        from staged"""

@@ -116,3 +116,48 @@ def trip_stats(
 ) -> DataFrame:
     events.createOrReplaceTempView("__traj_events")
     return spark.sql(trip_stats_sql(SPARK, "__traj_events", gap_s))
+
+
+def od_matrix_sql(d: str, res: int = 10, k_anon: int = 2, traj_table: str = "geo_traj") -> str:
+    """Origin-destination flow matrix with k-anonymity suppression — one
+    dual-dialect SQL string: each trajectory contributes one (origin_cell →
+    dest_cell) trip (origin = fix at MIN step, destination at MAX step, both
+    via lexicographic struct min/max — partial-aggregatable, deterministic);
+    flows observed in fewer than ``k_anon`` trajectories are SUPPRESSED (the
+    standard mobility-privacy release rule: rare OD pairs re-identify).
+
+    Output: (o_cell, d_cell, n_trips) for surviving flows plus the audit of
+    what suppression cost: every suppressed flow collapses into one row with
+    o_cell = d_cell = -1 carrying the suppressed trip count (so totals still
+    reconcile without revealing rare pairs).
+
+    Scale: one groupBy(traj) with struct min/max + one groupBy(o,d) count,
+    both map-side combined; nothing corpus-sized crosses a second shuffle.
+    """
+    from ..functions import geo
+    from ..functions.portable import SPARK as _S
+
+    if d == _S:
+        omin = "min(named_struct('s', step, 'la', lat, 'lo', lon))"
+        omax = "max(named_struct('s', step, 'la', lat, 'lo', lon))"
+    else:
+        omin = "min(struct_pack(s := step, la := lat, lo := lon))"
+        omax = "max(struct_pack(s := step, la := lat, lo := lon))"
+    oc = geo.quad_cell("(o).la", "(o).lo", res, d)
+    dc = geo.quad_cell("(t).la", "(t).lo", res, d)
+    return f"""
+        with ends as (
+            select traj_id, {omin} as o, {omax} as t
+            from {traj_table} group by traj_id
+        ),
+        flows as (
+            select {oc} as o_cell, {dc} as d_cell, count(*) as n_trips
+            from ends group by 1, 2
+        )
+        select o_cell, d_cell, cast(n_trips as bigint) as n_trips
+        from flows where n_trips >= {k_anon}
+        union all
+        select cast(-1 as bigint) as o_cell, cast(-1 as bigint) as d_cell,
+               cast(coalesce(sum(n_trips), 0) as bigint) as n_trips
+        from flows where n_trips < {k_anon}
+    """

@@ -3916,3 +3916,48 @@ def q_ring_repair_oracle() -> str:
 
 
 QUERIES["ring_repair"] = (q_ring_repair, q_ring_repair_oracle)
+
+
+# ---------------------------------------------------------------------------
+# OD flow matrix + deterministic corpus shuffle
+# ---------------------------------------------------------------------------
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin→destination trip flows at res 10 with k=2 anonymity
+    suppression over the geo_traj tracks (trajectory.od_matrix_sql)."""
+    from ..operators import trajectory
+
+    register_geometry_views(spark, sf_dir)
+    spark.sql(f"create or replace temp view geo_traj as {traj_sql(SPARK)}")
+    return spark.sql(trajectory.od_matrix_sql(SPARK, res=10, k_anon=2))
+
+
+def q_od_matrix_oracle() -> str:
+    from ..operators import trajectory
+
+    body = trajectory.od_matrix_sql(DUCK, res=10, k_anon=2, traj_table="geo_traj")
+    return (
+        f"{duck_geometry_ctes()}, geo_traj as ({traj_sql(DUCK)}), "
+        f"__od as ({body}) select * from __od"
+    )
+
+
+QUERIES["od_matrix"] = (q_od_matrix, q_od_matrix_oracle)
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order permutation: hash buckets +
+    within-bucket ranks + broadcast prefix-sum offsets — never a global
+    sort (sampling.corpus_shuffle)."""
+    from ..operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.corpus_shuffle(docs, n_buckets=64)
+
+
+def q_corpus_shuffle_oracle() -> str:
+    from ..operators import sampling
+
+    return sampling.corpus_shuffle_oracle_sql(n_buckets=64)
+
+
+QUERIES["corpus_shuffle"] = (q_corpus_shuffle, q_corpus_shuffle_oracle)
