@@ -118,6 +118,143 @@ def trip_stats(
     return spark.sql(trip_stats_sql(SPARK, "__traj_events", gap_s))
 
 
+def stay_points_sql(
+    d: str,
+    events_table: str = "events",
+    radius_m: float = 50.0,
+    min_duration_s: float = 86400.0,
+    min_points: int = 3,
+    bbox: tuple[float, float, float, float] = (59.4, 9.6, 60.2, 10.6),
+    dwell_len: int = 6,
+    synthesize: bool = True,
+) -> str:
+    """Stay-point (stop/move segmentation) detection — the mobility primitive
+    between raw fixes and trips (Li et al. 2008, "Mining user similarity
+    based on location history"): a stay point is a maximal run of consecutive
+    fixes where each fix is within ``radius_m`` of its predecessor, kept only
+    if the run lasts ≥ ``min_duration_s`` and has ≥ ``min_points`` fixes.
+
+    Deterministic throughout, one dual-dialect SQL string:
+
+    * the "same place" edge is a DISTANCE rule (leg ≤ radius_m), not a speed
+      rule — no division by possibly-zero time deltas;
+    * run ids via the gaps-and-islands pattern already used by trips
+      (break flag + running sum, ONE window partition per user);
+    * centroids fold as bigint 1e-9-degree units (order-free integer sums),
+      one double division at the end — partition-invariant like every other
+      float fold in the engine;
+    * fixes are synthesized deterministically from events: each user's
+      timeline is cut into ``dwell_len``-fix phases, each phase anchored at a
+      hash-keyed point in ``bbox`` with ±1e-4 deg jitter (~±11 m) — so
+      intra-phase legs are ≤ ~25 m (well under radius_m) and inter-phase
+      jumps are km-scale (well over), keeping the threshold off the
+      haversine last-ulp boundary (see haversine_m's libm-vs-java caveat).
+
+    Output: (user_id, stop_seq, n_points, duration_s, clat, clon,
+    start_eps, end_eps), stop_seq 1-based per user in time order.
+
+    Scale shape: one shuffle on user_id for the windows, one map-side
+    combined groupBy (user, run); the renumber window runs over the
+    aggregated stop table (≪ corpus). The reference has no temporal or
+    mobility surface; this is engine-side (SURVEY §2.3).
+    """
+    lat_lo, lon_lo, lat_hi, lon_hi = bbox
+    ep = _ep(d)
+    idiv = "div" if d == SPARK else "//"
+    anchor_key_lat = concat_str(["'sp:alat:'", "user_id", "':'", "bucket"], d)
+    anchor_key_lon = concat_str(["'sp:alon:'", "user_id", "':'", "bucket"], d)
+    jit_lat = prand(concat_str(["'sp:jlat:'", "event_id"], d), d)
+    jit_lon = prand(concat_str(["'sp:jlon:'", "event_id"], d), d)
+    leg = haversine_m("lag(lat) over w", "lag(lon) over w", "lat", "lon", d)
+    q = "cast(round({} * 1.0e9) as bigint)"
+    if synthesize:
+        pts_ctes = f"""
+        seqd as (
+            select user_id, event_id, ts,
+                   (row_number() over (partition by user_id
+                                       order by ts asc, event_id asc) - 1)
+                       {idiv} {dwell_len} as bucket
+            from {events_table}
+        ),
+        pts as (
+            select user_id, event_id, ts,
+                   {flit(lat_lo)} + {prand(anchor_key_lat, d)} * {flit(lat_hi - lat_lo)}
+                       + ({jit_lat} - 0.5e0) * 2.0e-4 as lat,
+                   {flit(lon_lo)} + {prand(anchor_key_lon, d)} * {flit(lon_hi - lon_lo)}
+                       + ({jit_lon} - 0.5e0) * 2.0e-4 as lon
+            from seqd
+        )"""
+    else:
+        # the table already carries real fixes (user_id, event_id, ts, lat, lon)
+        pts_ctes = f"""
+        pts as (
+            select user_id, event_id, ts, lat, lon from {events_table}
+        )"""
+    return f"""
+        with {pts_ctes},
+        flagged as (
+            select user_id, event_id, ts, lat, lon, {ep('ts')} as eps,
+                   case when ({leg}) is null or ({leg}) > {flit(radius_m)}
+                        then 1 else 0 end as brk
+            from pts
+            window w as (partition by user_id order by ts asc, event_id asc)
+        ),
+        runs as (
+            select *, cast(sum(brk) over w2 as bigint) as run_id
+            from flagged
+            window w2 as (partition by user_id order by ts asc, event_id asc
+                          rows between unbounded preceding and current row)
+        ),
+        agg as (
+            select user_id, run_id,
+                   cast(count(*) as bigint) as n_points,
+                   round(max(eps) - min(eps), 6) as duration_s,
+                   sum({q.format('lat')}) as lat_n,
+                   sum({q.format('lon')}) as lon_n,
+                   round(min(eps), 6) as start_eps,
+                   round(max(eps), 6) as end_eps
+            from runs group by user_id, run_id
+        ),
+        stops as (
+            select user_id, run_id, n_points, duration_s, start_eps, end_eps,
+                   round(lat_n / (n_points * 1.0e9), 9) as clat,
+                   round(lon_n / (n_points * 1.0e9), 9) as clon
+            from agg
+            where n_points >= {min_points}
+              and duration_s >= {flit(min_duration_s)}
+        )
+        select user_id,
+               cast(row_number() over (partition by user_id
+                                       order by start_eps asc, run_id asc)
+                    as bigint) as stop_seq,
+               n_points, duration_s, clat, clon, start_eps, end_eps
+        from stops
+    """
+
+
+def stay_points(
+    spark: SparkSession,
+    events: DataFrame,
+    radius_m: float = 50.0,
+    min_duration_s: float = 86400.0,
+    min_points: int = 3,
+    synthesize: bool = True,
+) -> DataFrame:
+    """``synthesize=False`` expects real fixes (user_id, event_id, ts, lat,
+    lon); ``True`` derives deterministic fixes from an events timeline."""
+    events.createOrReplaceTempView("__stay_events")
+    return spark.sql(
+        stay_points_sql(
+            SPARK,
+            "__stay_events",
+            radius_m=radius_m,
+            min_duration_s=min_duration_s,
+            min_points=min_points,
+            synthesize=synthesize,
+        )
+    )
+
+
 def od_matrix_sql(d: str, res: int = 10, k_anon: int = 2, traj_table: str = "geo_traj") -> str:
     """Origin-destination flow matrix with k-anonymity suppression — one
     dual-dialect SQL string: each trajectory contributes one (origin_cell →

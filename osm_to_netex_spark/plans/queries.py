@@ -1930,6 +1930,24 @@ def q_trips_oracle() -> str:
 QUERIES["trips"] = (q_trips, q_trips_oracle)
 
 
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (stop/move segmentation, Li et al. 2008 shape):
+    distance-rule runs + duration/count gates, integer-fold centroids."""
+    from ..operators import trajectory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trajectory.stay_points(spark, ev)
+
+
+def q_stay_points_oracle() -> str:
+    from ..operators import trajectory
+
+    return trajectory.stay_points_sql(DUCK, "events")
+
+
+QUERIES["stay_points"] = (q_stay_points, q_stay_points_oracle)
+
+
 def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join reduction: filter built over big-spender
     custkeys (orders > 40k), probed by every customer; output carries the
