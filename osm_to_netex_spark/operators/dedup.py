@@ -440,3 +440,130 @@ def connected_components(
         edges.select(F.col("a").alias("doc_id"), F.col("b").alias("component"))
         .union(roots.withColumn("component", F.col("doc_id")))
     )
+
+
+def dup_spans_sql(
+    d: str,
+    table: str = "documents",
+    min_len: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Exact substring deduplication, span-detection stage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a token
+    position is *duplicated* when it is covered by any ``min_len``-token
+    window whose exact text occurs >= ``min_count`` times corpus-wide
+    (across docs OR repeated inside one doc — the paper's criterion).
+    Covered positions merge into maximal duplicate runs per document.
+
+    One dual-dialect SQL string; the reference paper's suffix-array pass is
+    replaced by the shuffle-friendly equivalent: every window travels the
+    corpus-wide aggregation as a 60-bit portable hash (24-byte rows), never
+    as text, and the run merge is the same gaps-and-islands pattern as
+    trips/stay_points — windows at positions p, p' overlap or touch iff
+    p' - p <= min_len, so a run's coverage is [min(pos), max(pos)+min_len-1]
+    with no holes.  Hash collisions (~2^-60 per distinct-window pair) could
+    mark a non-duplicate span; the oracle replays identical hashes so the
+    gate stays exact.
+
+    Output: (doc_id, span_seq, start_tok, end_tok, n_tokens, n_windows),
+    token positions 1-based, span_seq 1-based per doc in position order.
+    Docs shorter than min_len tokens yield no windows and no spans.
+
+    Scale shape: window generation is scan-parallel (explode, no shuffle);
+    one map-side-combined groupBy on the 60-bit hash (the corpus's distinct
+    window vocabulary); one hash-keyed semi join back; the islands window
+    partitions by doc over the *duplicated* positions only (<= corpus
+    tokens, typically a small fraction).  No all-pairs stage anywhere.
+    Reference has no text surface; engine-side (SURVEY §2.3).
+    """
+    from ..functions import text as _tx
+
+    L = int(min_len)
+    toks = _tx.tokens(text_col, d)
+    if d == SPARK:
+        win_txt = "array_join(slice(tk, pos, {L}), ' ')".format(L=L)
+        explode_from = (
+            f"from sized lateral view explode(case when n >= {L} then "
+            f"sequence(1, n - {L} + 1) else array() end) t as pos"
+        )
+        size_fn = "size"
+    else:
+        win_txt = f"array_to_string(list_slice(tk, pos, pos + {L} - 1), ' ')"
+        explode_from = (
+            f"from sized, unnest(case when n >= {L} then "
+            f"generate_series(1, n - {L} + 1) else [] end) t(pos)"
+        )
+        size_fn = "len"
+    wh = phash60(win_txt, d)
+    return f"""
+        with toks as (
+            select {id_col} as doc_id, {toks} as tk from {table}
+        ),
+        sized as (
+            select doc_id, tk, cast({size_fn}(tk) as bigint) as n from toks
+        ),
+        wins as (
+            select doc_id, cast(pos as bigint) as pos, {wh} as wh
+            {explode_from}
+        ),
+        dup as (
+            select wh from wins group by wh having count(*) >= {int(min_count)}
+        ),
+        dwin as (
+            select w.doc_id, w.pos from wins w join dup using (wh)
+        ),
+        flagged as (
+            select doc_id, pos,
+                   case when lag(pos) over w is null
+                             or pos - lag(pos) over w > {L}
+                        then 1 else 0 end as brk
+            from dwin
+            window w as (partition by doc_id order by pos asc)
+        ),
+        runs as (
+            select doc_id, pos,
+                   cast(sum(brk) over (partition by doc_id order by pos asc
+                                       rows between unbounded preceding
+                                       and current row) as bigint) as run_id
+            from flagged
+        ),
+        spans as (
+            select doc_id, run_id,
+                   min(pos) as start_tok,
+                   max(pos) + {L} - 1 as end_tok,
+                   cast(count(*) as bigint) as n_windows
+            from runs group by doc_id, run_id
+        )
+        select doc_id,
+               cast(row_number() over (partition by doc_id
+                                       order by start_tok asc) as bigint)
+                   as span_seq,
+               start_tok, end_tok,
+               end_tok - start_tok + 1 as n_tokens,
+               n_windows
+        from spans
+    """
+
+
+def dup_spans(
+    docs: DataFrame,
+    min_len: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DataFrame wrapper for :func:`dup_spans_sql` (Spark dialect)."""
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("__dup_span_docs")
+    return spark.sql(
+        dup_spans_sql(
+            SPARK,
+            "__dup_span_docs",
+            min_len=min_len,
+            min_count=min_count,
+            id_col=id_col,
+            text_col=text_col,
+        )
+    )

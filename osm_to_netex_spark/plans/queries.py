@@ -3478,6 +3478,26 @@ def q_line_dedup_oracle() -> str:
 QUERIES["line_dedup"] = (q_line_dedup, q_line_dedup_oracle)
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, span detection (Lee et al. 2022 shape): token
+    runs covered by any 8-token window occurring >= 2 times corpus-wide;
+    windows travel the count shuffle as 60-bit hashes, runs merged per doc
+    via gaps-and-islands (dedup.dup_spans)."""
+    from ..operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.dup_spans(docs, min_len=8, min_count=2)
+
+
+def q_dup_spans_oracle() -> str:
+    from ..operators import dedup
+
+    return dedup.dup_spans_sql(DUCK, "documents", min_len=8, min_count=2)
+
+
+QUERIES["dup_spans"] = (q_dup_spans, q_dup_spans_oracle)
+
+
 # ---------------------------------------------------------------------------
 # HMM (Viterbi) map-matching
 # ---------------------------------------------------------------------------
