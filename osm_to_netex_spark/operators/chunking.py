@@ -109,3 +109,104 @@ def chunk_documents_oracle_sql(
                    // {token_budget} as bigint) as chunk_id,
                span_idx, kind, text, media_ref, n_tokens
         from c"""
+
+
+def pack_sequences_sql(
+    d: str,
+    table: str = "documents",
+    capacity: int = 512,
+    bucket: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Cross-document sequence packing (GPT-style dataloader layout): the
+    corpus is laid out as one deterministic token stream (docs ordered by
+    id) and cut at fixed ``capacity``-token boundaries; a document may
+    straddle chunks, so the output is FRAGMENTS — (chunk_id, doc_id,
+    doc_off_tok, frag_len, chunk_pos) — from which every chunk is exactly
+    full (except the last) with zero padding.  This is the cross-document
+    complement of :func:`chunk_documents` (which never splits a doc).
+
+    The global prefix sum is HIERARCHICAL, not a single unpartitioned
+    window: docs group into ``bucket``-sized id ranges; bucket token totals
+    (corpus/bucket rows, e.g. 10^6 at the 10^12-doc design point) take the
+    only ordered-global window — over the aggregated bucket table, the same
+    "renumber over the small table" discipline as stay_points/trips — and
+    per-doc offsets are the broadcast-joined bucket base plus an
+    intra-bucket running sum partitioned by bucket.  Fragment fan-out is a
+    scan-parallel explode (ceil(n/capacity)+1 rows per doc max).  All
+    arithmetic is integer → bit-exact across engines and partitionings.
+
+    Zero-token docs carry no fragments (nothing to train on).  1-based
+    token positions, consistent with dup_spans.
+    """
+    toks = tx.tokens(text_col, d)
+    C = int(capacity)
+    B = int(bucket)
+    if d == SPARK:
+        idiv = "div"
+        n_expr = f"cast(size({toks}) as bigint)"
+        explode_from = (
+            "from offs lateral view "
+            f"explode(sequence(off {idiv} {C}, (off + n - 1) {idiv} {C})) "
+            "t as chunk"
+        )
+    else:
+        idiv = "//"
+        n_expr = f"cast(len({toks}) as bigint)"
+        explode_from = (
+            "from offs, unnest(generate_series("
+            f"cast(off {idiv} {C} as bigint), "
+            f"cast((off + n - 1) {idiv} {C} as bigint))) t(chunk)"
+        )
+    return f"""
+        with t as (
+            select {id_col} as doc_id, {n_expr} as n from {table}
+        ),
+        b as (
+            select doc_id, n, doc_id {idiv} {B} as bkt from t where n > 0
+        ),
+        bt as (
+            select bkt, sum(n) as bn from b group by bkt
+        ),
+        bo as (
+            select bkt,
+                   coalesce(sum(bn) over (order by bkt asc
+                                          rows between unbounded preceding
+                                          and 1 preceding), 0) as base
+            from bt
+        ),
+        offs as (
+            select b.doc_id, b.n,
+                   bo.base + coalesce(sum(b.n) over (
+                       partition by b.bkt order by b.doc_id asc
+                       rows between unbounded preceding and 1 preceding), 0)
+                       as off
+            from b join bo using (bkt)
+        )
+        select cast(chunk as bigint) as chunk_id,
+               doc_id,
+               greatest(off, chunk * {C}) - off + 1 as doc_off_tok,
+               least(off + n, (chunk + 1) * {C})
+                   - greatest(off, chunk * {C}) as frag_len,
+               greatest(off, chunk * {C}) - chunk * {C} + 1 as chunk_pos
+        {explode_from}
+    """
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 512,
+    bucket: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DataFrame wrapper for :func:`pack_sequences_sql` (Spark dialect)."""
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("__pack_docs")
+    return spark.sql(
+        pack_sequences_sql(
+            SPARK, "__pack_docs", capacity=capacity, bucket=bucket,
+            id_col=id_col, text_col=text_col,
+        )
+    )

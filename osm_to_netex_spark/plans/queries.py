@@ -3498,6 +3498,26 @@ def q_dup_spans_oracle() -> str:
 QUERIES["dup_spans"] = (q_dup_spans, q_dup_spans_oracle)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document sequence packing: the corpus as one deterministic
+    token stream cut at 512-token boundaries; hierarchical prefix sum
+    (bucket totals take the only global window), scan-parallel fragment
+    explode (chunking.pack_sequences)."""
+    from ..operators import chunking
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunking.pack_sequences(docs, capacity=512, bucket=64)
+
+
+def q_pack_sequences_oracle() -> str:
+    from ..operators import chunking
+
+    return chunking.pack_sequences_sql(DUCK, "documents", capacity=512, bucket=64)
+
+
+QUERIES["pack_sequences"] = (q_pack_sequences, q_pack_sequences_oracle)
+
+
 # ---------------------------------------------------------------------------
 # HMM (Viterbi) map-matching
 # ---------------------------------------------------------------------------
