@@ -298,3 +298,152 @@ def od_matrix_sql(d: str, res: int = 10, k_anon: int = 2, traj_table: str = "geo
                cast(coalesce(sum(n_trips), 0) as bigint) as n_trips
         from flows where n_trips < {k_anon}
     """
+
+
+def encounters_sql(
+    d: str,
+    events_table: str = "events",
+    radius_m: float = 100.0,
+    tau_s: float = 1800.0,
+    res: int = 15,
+    n_venues: int = 24,
+    phase_s: float = 21600.0,
+    bbox: tuple[float, float, float, float] = (59.4, 9.6, 60.2, 10.6),
+    synthesize: bool = True,
+) -> str:
+    """Space-time co-location (encounter) join — pairs of DISTINCT users
+    with fixes within ``radius_m`` meters AND ``tau_s`` seconds of each
+    other (contact-graph / co-occurrence mining; the spatiotemporal sibling
+    of the spatial-only distance join).
+
+    One dual-dialect SQL string.  The all-pairs blowup is pruned on BOTH
+    axes before any exact math: each fix gets a quad cell at ``res`` (cell
+    edge ≥ radius_m, so the 3×3 ring is a guaranteed cover) and a
+    ``tau_s``-wide time bucket (|Δt| ≤ tau ⇒ buckets differ by ≤ 1); the
+    probe side expands to ring × {tb-1,tb,tb+1} (27 keys) and candidates
+    come from a (cell, bucket) EQUI join — never a cross join — verified
+    exactly by haversine + |Δeps|.  Each unordered fix pair surfaces
+    exactly once (strict user_a < user_b; the build side keeps its single
+    true (cell, bucket)).
+
+    Fixture (``synthesize=True``): users dwell at hash-chosen venues —
+    vid = phash60(user, 6h-phase) mod ``n_venues``, position = venue
+    anchor ± ~28 m jitter — so same-venue-same-phase users genuinely
+    encounter and cross-venue fixes are km apart, keeping both thresholds
+    far from float boundaries.  ``synthesize=False`` expects real fixes
+    (user_id, event_id, ts, lat, lon).
+
+    Output: (user_a, user_b, n_encounters, first_eps, last_eps).
+
+    Scale shape: scan-parallel 27× fan-out on the probe side only, one
+    shuffle each side keyed (cell, bucket) — dense-venue skew is an AQE
+    skew-join split, never a driver concern; the verify runs per candidate
+    pair inside codegen.  Reference has no temporal surface; engine-side
+    (SURVEY §2.3).
+    """
+    from ..functions import geo
+    from ..functions.portable import phash60
+
+    lat_lo, lon_lo, lat_hi, lon_hi = bbox
+    ep = _ep(d)
+    vid_key = concat_str(["'enc:v:'", "user_id", "':'", "phase"], d)
+    vlat = prand(concat_str(["'enc:vlat:'", "vid"], d), d)
+    vlon = prand(concat_str(["'enc:vlon:'", "vid"], d), d)
+    jla = prand(concat_str(["'enc:jla:'", "event_id"], d), d)
+    jlo = prand(concat_str(["'enc:jlo:'", "event_id"], d), d)
+    if synthesize:
+        fixes_ctes = f"""
+        ev as (
+            select user_id, event_id, {ep('ts')} as eps,
+                   cast(floor({ep('ts')} / {flit(phase_s)}) as bigint) as phase
+            from {events_table}
+        ),
+        vn as (
+            select user_id, event_id, eps,
+                   {phash60(vid_key, d)} % {int(n_venues)} as vid
+            from ev
+        ),
+        fixes as (
+            select user_id, event_id, eps,
+                   {flit(lat_lo)} + {vlat} * {flit(lat_hi - lat_lo)}
+                       + ({jla} - 0.5e0) * 5.0e-4 as lat,
+                   {flit(lon_lo)} + {vlon} * {flit(lon_hi - lon_lo)}
+                       + ({jlo} - 0.5e0) * 5.0e-4 as lon
+            from vn
+        )"""
+    else:
+        fixes_ctes = f"""
+        fixes as (
+            select user_id, event_id, {ep('ts')} as eps, lat, lon
+            from {events_table}
+        )"""
+    cell = geo.quad_cell("lat", "lon", res, d)
+    kring = geo.quad_kring("cell", res, 1, d)
+    hav = haversine_m("a.lat", "a.lon", "b.lat", "b.lon", d)
+    if d == SPARK:
+        jkeys = (
+            f"flatten(transform({kring}, cc -> "
+            "transform(sequence(tb - 1, tb + 1), "
+            "tt -> named_struct('jc', cc, 'jt', tt))))"
+        )
+        cand_from = "from expanded lateral view explode(jkeys) t as j"
+    else:
+        jkeys = (
+            f"flatten(list_transform({kring}, cc -> "
+            "list_transform(generate_series(cast(tb - 1 as bigint), "
+            "cast(tb + 1 as bigint)), tt -> {'jc': cc, 'jt': tt})))"
+        )
+        cand_from = "from expanded, unnest(jkeys) t(j)"
+    return f"""
+        with {fixes_ctes},
+        cells as (
+            select user_id, event_id, eps, lat, lon,
+                   {cell} as cell,
+                   cast(floor(eps / {flit(tau_s)}) as bigint) as tb
+            from fixes
+        ),
+        expanded as (
+            select user_id, event_id, eps, lat, lon, {jkeys} as jkeys
+            from cells
+        ),
+        cand as (
+            select user_id, event_id, eps, lat, lon, j.jc as jc, j.jt as jt
+            {cand_from}
+        ),
+        hits as (
+            select a.user_id as user_a, b.user_id as user_b,
+                   least(a.eps, b.eps) as t0, greatest(a.eps, b.eps) as t1
+            from cand a join cells b
+              on a.jc = b.cell and a.jt = b.tb and a.user_id < b.user_id
+            where ({hav}) <= {flit(radius_m)}
+              and abs(a.eps - b.eps) <= {flit(tau_s)}
+        )
+        select user_a, user_b,
+               cast(count(*) as bigint) as n_encounters,
+               round(min(t0), 6) as first_eps,
+               round(max(t1), 6) as last_eps
+        from hits
+        group by user_a, user_b
+    """
+
+
+def encounters(
+    spark: SparkSession,
+    events: DataFrame,
+    radius_m: float = 100.0,
+    tau_s: float = 1800.0,
+    res: int = 15,
+    synthesize: bool = True,
+) -> DataFrame:
+    """DataFrame wrapper for :func:`encounters_sql` (Spark dialect)."""
+    events.createOrReplaceTempView("__enc_events")
+    return spark.sql(
+        encounters_sql(
+            SPARK,
+            "__enc_events",
+            radius_m=radius_m,
+            tau_s=tau_s,
+            res=res,
+            synthesize=synthesize,
+        )
+    )

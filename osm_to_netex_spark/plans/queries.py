@@ -3518,6 +3518,25 @@ def q_pack_sequences_oracle() -> str:
 QUERIES["pack_sequences"] = (q_pack_sequences, q_pack_sequences_oracle)
 
 
+def q_encounters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time co-location join: user pairs within 100 m AND 30 min,
+    pruned by (quad cell ring × time-bucket) equi join before exact
+    haversine/Δt verify (trajectory.encounters)."""
+    from ..operators import trajectory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trajectory.encounters(spark, ev)
+
+
+def q_encounters_oracle() -> str:
+    from ..operators import trajectory
+
+    return trajectory.encounters_sql(DUCK, "events")
+
+
+QUERIES["encounters"] = (q_encounters, q_encounters_oracle)
+
+
 # ---------------------------------------------------------------------------
 # HMM (Viterbi) map-matching
 # ---------------------------------------------------------------------------
