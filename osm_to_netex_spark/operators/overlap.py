@@ -91,3 +91,97 @@ def polygon_overlap_join(
         .where(F.expr(overlap))
         .select("id_a", "id_b")
     )
+
+
+def dissolve(
+    polys: DataFrame,
+    res: int = 12,
+    id_col: str = "zone_id",
+    pos_list: str = "pos_list",
+) -> DataFrame:
+    """Polygon dissolve (ST_Union grouping without the geometry merge):
+    overlapping polygons collapse into components — the transitive closure
+    of the pairwise overlap join — and each component is rolled up to
+    (component, n_polys, lat_lo, lat_hi, lon_lo, lon_hi, area_q), where
+    component = min member id, bbox = envelope of the members, and area_q =
+    Σ round(shoelace_area_deg2 · 1e12) as bigint (quantize-then-sum keeps
+    the float fold order-free, the engine's integer-fold discipline).
+
+    Pipeline: cell-cover overlap join (above) → alternating-star connected
+    components (dedup.connected_components — O(log n) rounds, two shuffles
+    per round) → isolated polygons rejoin as their own singleton component
+    via a left join → one map-side-combined groupBy.  No stage ever holds a
+    component's geometry in one task; the rollup is associative.
+
+    The DuckDB oracle replays the same overlap predicate brute-force and
+    closes reachability with a recursive CTE — an INDEPENDENT fixpoint
+    algorithm, so the gate checks the distributed CC itself, not a replay.
+    """
+    from .dedup import connected_components
+
+    edges = polygon_overlap_join(polys, res=res, id_col=id_col, pos_list=pos_list)
+    comps = connected_components(edges, src="id_a", dst="id_b")
+    area_q = f"cast(round(({geo.poly_area(pos_list, SPARK)}) * 1.0e12) as bigint)"
+    lats = geo.poslist_lats(pos_list, SPARK)
+    lons = geo.poslist_lons(pos_list, SPARK)
+    base = polys.selectExpr(
+        f"{id_col} as zone_id",
+        f"array_min({lats}) as p_lat_lo",
+        f"array_max({lats}) as p_lat_hi",
+        f"array_min({lons}) as p_lon_lo",
+        f"array_max({lons}) as p_lon_hi",
+        f"{area_q} as p_area_q",
+    )
+    memb = base.join(
+        comps.withColumnRenamed("doc_id", "zone_id"), "zone_id", "left"
+    ).selectExpr(
+        "coalesce(component, zone_id) as component",
+        "p_lat_lo", "p_lat_hi", "p_lon_lo", "p_lon_hi", "p_area_q",
+    )
+    return memb.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_polys"),
+        F.min("p_lat_lo").alias("lat_lo"),
+        F.max("p_lat_hi").alias("lat_hi"),
+        F.min("p_lon_lo").alias("lon_lo"),
+        F.max("p_lon_hi").alias("lon_hi"),
+        F.sum("p_area_q").cast("long").alias("area_q"),
+    )
+
+
+def dissolve_oracle_sql(polys_cte: str = "geo_polys") -> str:
+    """Brute overlap edges + recursive-CTE reachability + same rollup."""
+    from ..functions.portable import DUCK
+
+    pred = geo.polygons_overlap("a.pos_list", "b.pos_list", DUCK)
+    area_q = f"cast(round(({geo.poly_area('pos_list', DUCK)}) * 1.0e12) as bigint)"
+    lats = geo.poslist_lats("pos_list", DUCK)
+    lons = geo.poslist_lons("pos_list", DUCK)
+    return f"""
+        e0 as (
+            select a.zone_id as a, b.zone_id as b
+            from {polys_cte} a cross join {polys_cte} b
+            where a.zone_id < b.zone_id and {pred}
+        ),
+        edges as (select a, b from e0 union select b as a, a as b from e0),
+        reach(v, l) as (
+            select a, a from edges
+            union
+            select e.a, r.l from edges e join reach r on r.v = e.b
+        ),
+        comp as (select v as zone_id, min(l) as component from reach group by v),
+        memb as (
+            select coalesce(c.component, p.zone_id) as component,
+                   list_min({lats}) as p_lat_lo,
+                   list_max({lats}) as p_lat_hi,
+                   list_min({lons}) as p_lon_lo,
+                   list_max({lons}) as p_lon_hi,
+                   {area_q} as p_area_q
+            from {polys_cte} p left join comp c using (zone_id)
+        )
+        select component,
+               cast(count(*) as bigint) as n_polys,
+               min(p_lat_lo) as lat_lo, max(p_lat_hi) as lat_hi,
+               min(p_lon_lo) as lon_lo, max(p_lon_hi) as lon_hi,
+               cast(sum(p_area_q) as bigint) as area_q
+        from memb group by component
+    """

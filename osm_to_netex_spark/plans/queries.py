@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import geo, text as tx
-from ..functions.portable import DUCK, SPARK, concat_str, flit, haversine_m, phash60, prand
+from ..functions.portable import (
+    DUCK, SPARK, concat_str, flit, haversine_m, phash60, prand, seq,
+    transform as transform_,
+)
 from ..operators import dedup, sampling, textstats
 
 BBOX = (59.4, 60.2, 9.6, 10.6)
@@ -3535,6 +3538,57 @@ def q_encounters_oracle() -> str:
 
 
 QUERIES["encounters"] = (q_encounters, q_encounters_oracle)
+
+
+def shrunk_polys_sql(d: str, s: float = 0.3) -> str:
+    """geo_polys scaled by ``s`` about each ring's centroid — thins the
+    overlap graph so dissolve yields a non-trivial component structure
+    (full-size geo_polys are dense enough to form one giant component).
+    Identical expression text in both dialects."""
+    clat = geo.poly_centroid_lat("pos_list", d)
+    clon = geo.poly_centroid_lon("pos_list", d)
+    idx = seq("1", "size(pos_list)" if d == SPARK else "len(pos_list)", d)
+    el = "element_at(pos_list, cast(i as int))" if d == SPARK else "pos_list[i]"
+    body = (
+        f"case when i % 2 = 1 then clat + {flit(s)} * (({el}) - clat) "
+        f"else clon + {flit(s)} * (({el}) - clon) end"
+    )
+    shrink = transform_(idx, "i", body, d)
+    return (
+        f"select zone_id, {shrink} as pos_list from "
+        f"(select zone_id, pos_list, {clat} as clat, {clon} as clon from geo_polys) c"
+    )
+
+
+def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon dissolve: overlap join -> alternating-star connected
+    components -> per-component envelope/area rollup (overlap.dissolve);
+    the oracle closes reachability with an INDEPENDENT recursive CTE.
+    Runs over centroid-shrunk polys so components are non-trivial."""
+    from ..operators import overlap
+
+    register_geometry_views(spark, sf_dir)
+    # materialize the shrunk rings (poly-table-sized, tiny): inlined, the
+    # centroid-fold transform would compose into the cover/overlap codegen
+    # on every reference — the same blowup the oracle avoids with its
+    # MATERIALIZED CTE
+    shrunk = spark.sql(shrunk_polys_sql(SPARK)).localCheckpoint(eager=True)
+    return overlap.dissolve(shrunk, res=12)
+
+
+def q_dissolve_oracle() -> str:
+    from ..operators import overlap
+
+    ctes = duck_geometry_ctes().replace("with ", "with recursive ", 1)
+    # MATERIALIZED: without it DuckDB inlines the shrink transform into the
+    # O(n²) overlap predicate and re-evaluates the centroid fold per pair
+    return (
+        f"{ctes}, geo_polys_shrunk as materialized ({shrunk_polys_sql(DUCK)}), "
+        f"{overlap.dissolve_oracle_sql('geo_polys_shrunk')}"
+    )
+
+
+QUERIES["dissolve"] = (q_dissolve, q_dissolve_oracle)
 
 
 # ---------------------------------------------------------------------------
