@@ -210,3 +210,104 @@ def pack_sequences(
             id_col=id_col, text_col=text_col,
         )
     )
+
+
+def span_corruption_sql(
+    d: str,
+    table: str = "documents",
+    block: int = 24,
+    span_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """T5-style span-corruption pair generation (Raffel et al. 2020 shape):
+    each document becomes one (input_text, target_text) training example —
+    the input with masked spans replaced by ``<extra_id_k>`` sentinels, the
+    target listing each sentinel followed by the tokens it hides.
+
+    The paper's "sample spans until 15% masked" walk is serial per
+    document; the deterministic parallel equivalent here partitions each
+    doc's tokens into fixed ``block``-token blocks and masks ONE
+    hash-placed ``span_len``-token span per FULL block (corruption rate =
+    span_len/block, 12.5% at the defaults; the partial tail block is never
+    masked, so sentinel k = block index needs no scan).  Every choice is a
+    pure function of (doc_id, block) via the portable hash — no order
+    dependence, bit-exact across engines and partitionings.
+
+    Shape: ZERO shuffles — the whole rewrite is one projection of nested
+    higher-order functions over the token array (position → (block, offset)
+    struct → piece → filter '' → join), inside whole-stage codegen /
+    vectorized DuckDB.  Output: (doc_id, n_tokens, n_masked_spans,
+    input_text, target_text); docs shorter than one block pass through
+    unmasked.
+    """
+    from ..functions.portable import (
+        concat_str, filter_, let_, prand, seq, transform as tr,
+    )
+
+    toks = tx.tokens(text_col, d)
+    B, S = int(block), int(span_len)
+    if d == SPARK:
+        sz, idiv, vc = "size(tk)", "div", "string"
+        el = "element_at(tk, cast(__v.p as int))"
+        mk = "named_struct('p', p, 'b', __b.b, 'q', p - __b.b * {B}, 'o', {o})"
+    else:
+        sz, idiv, vc = "len(tk)", "//", "varchar"
+        el = "tk[__v.p]"
+        mk = "{{'p': p, 'b': __b.b, 'q': p - __b.b * {B}, 'o': {o}}}"
+    off_key = concat_str(["'sc:off:'", "doc_id", "':'", "__b.b"], d)
+    off = f"(1 + cast(floor({prand(off_key, d)} * {B - S + 1}) as bigint))"
+    # per position p: block b (0-based), q = 1-based pos within block,
+    # o = the block's hash-placed span start
+    mk_v = let_({"b": f"((p - 1) {idiv} {B})"}, mk.format(B=B, o=off), d)
+    structs = tr(seq("1", "n", d), "p", mk_v, d)
+    full = f"((__v.b + 1) * {B} <= n)"
+    in_span = f"(__v.q >= __v.o and __v.q < __v.o + {S})"
+    sentinel = f"concat('<extra_id_', cast(__v.b as {vc}), '>')"
+    piece_in = (
+        f"case when not {full} or not {in_span} then ({el}) "
+        f"when __v.q = __v.o then {sentinel} else '' end"
+    )
+    piece_tgt = (
+        f"case when not {full} or not {in_span} then '' "
+        f"when __v.q = __v.o then concat({sentinel}, ' ', ({el})) "
+        f"else ({el}) end"
+    )
+
+    def rewrite(piece: str) -> str:
+        # coalesce: DuckDB's array_to_string of an empty list is NULL,
+        # Spark's array_join is '' — pin both to ''
+        arr = filter_(tr(structs, "__v", piece, d), "x", "x <> ''", d)
+        if d == SPARK:
+            return f"coalesce(array_join({arr}, ' '), '')"
+        return f"coalesce(array_to_string({arr}, ' '), '')"
+
+    return f"""
+        with toks as (
+            select {id_col} as doc_id, tk, cast({sz} as bigint) as n
+            from (select {id_col}, {toks} as tk from {table}) s
+        )
+        select doc_id, n as n_tokens,
+               cast(n {idiv} {B} as bigint) as n_masked_spans,
+               {rewrite(piece_in)} as input_text,
+               {rewrite(piece_tgt)} as target_text
+        from toks
+    """
+
+
+def span_corruption(
+    docs: DataFrame,
+    block: int = 24,
+    span_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DataFrame wrapper for :func:`span_corruption_sql` (Spark dialect)."""
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("__sc_docs")
+    return spark.sql(
+        span_corruption_sql(
+            SPARK, "__sc_docs", block=block, span_len=span_len,
+            id_col=id_col, text_col=text_col,
+        )
+    )

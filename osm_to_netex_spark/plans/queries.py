@@ -3591,6 +3591,25 @@ def q_dissolve_oracle() -> str:
 QUERIES["dissolve"] = (q_dissolve, q_dissolve_oracle)
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: one hash-placed 3-token mask per full
+    24-token block, sentinel rewrite as a zero-shuffle HOF projection
+    (chunking.span_corruption)."""
+    from ..operators import chunking
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunking.span_corruption(docs, block=24, span_len=3)
+
+
+def q_span_corruption_oracle() -> str:
+    from ..operators import chunking
+
+    return chunking.span_corruption_sql(DUCK, "documents", block=24, span_len=3)
+
+
+QUERIES["span_corruption"] = (q_span_corruption, q_span_corruption_oracle)
+
+
 # ---------------------------------------------------------------------------
 # HMM (Viterbi) map-matching
 # ---------------------------------------------------------------------------
