@@ -447,3 +447,98 @@ def encounters(
             synthesize=synthesize,
         )
     )
+
+
+def speed_filter_sql(
+    d: str,
+    events_table: str = "events",
+    vmax_ms: float = 40.0,
+    bbox: tuple[float, float, float, float] = (59.4, 9.6, 60.2, 10.6),
+    teleport_mod: int = 7,
+    synthesize: bool = True,
+) -> str:
+    """GPS spike (teleport) filter — the standard trajectory-cleaning pass
+    before any mobility analytics: a fix is an outlier iff EVERY available
+    adjacent leg implies speed > ``vmax_ms`` (interior fixes need both legs
+    fast; endpoints are judged on their single leg; a genuine fast leg
+    between two good fixes flags neither, because each keeps one slow leg).
+    Isolated single-fix users are never flagged (no evidence).
+
+    One dual-dialect SQL string: one window per user (lag+lead share the
+    frame), speeds = haversine leg / Δt with Δt=0 guarded to null, and
+    null-speed legs count as exceeding (missing evidence can't save a fix
+    that the other leg convicts) — all decisions are boolean comparisons,
+    so the gate is exact as long as speeds stay off the threshold (the
+    fixture's jitter legs are ~0.1 m/s and its teleports ~300+ m/s).
+
+    Fixture (``synthesize=True``): each user random-walks ±28 m around a
+    per-user anchor at their real event times, except every fix whose
+    60-bit hash ≡ 0 (mod ``teleport_mod``) teleports ~1° north — a classic
+    spike that must be flagged while its neighbors survive.
+    ``synthesize=False`` expects (user_id, event_id, ts, lat, lon).
+
+    Output: (user_id, event_id, eps, is_outlier).  Scale shape: one shuffle
+    on user_id, one window, zero joins.  Engine-side (SURVEY §2.3).
+    """
+    from ..functions.portable import phash60
+
+    lat_lo, lon_lo, lat_hi, lon_hi = bbox
+    ep = _ep(d)
+    if synthesize:
+        alat = prand(concat_str(["'spd:alat:'", "user_id"], d), d)
+        alon = prand(concat_str(["'spd:alon:'", "user_id"], d), d)
+        jla = prand(concat_str(["'spd:jla:'", "event_id"], d), d)
+        jlo = prand(concat_str(["'spd:jlo:'", "event_id"], d), d)
+        tp_key = concat_str(["'spd:tp:'", "event_id"], d)
+        tele = f"({phash60(tp_key, d)} % {int(teleport_mod)} = 0)"
+        fixes_cte = f"""
+        fixes as (
+            select user_id, event_id, {ep('ts')} as eps,
+                   {flit(lat_lo)} + {alat} * {flit(lat_hi - lat_lo)}
+                       + ({jla} - 0.5e0) * 5.0e-4
+                       + case when {tele} then 1.0e0 else 0.0e0 end as lat,
+                   {flit(lon_lo)} + {alon} * {flit(lon_hi - lon_lo)}
+                       + ({jlo} - 0.5e0) * 5.0e-4 as lon
+            from {events_table}
+        )"""
+    else:
+        fixes_cte = f"""
+        fixes as (
+            select user_id, event_id, {ep('ts')} as eps, lat, lon
+            from {events_table}
+        )"""
+    leg_prev = haversine_m("lag(lat) over w", "lag(lon) over w", "lat", "lon", d)
+    leg_next = haversine_m("lat", "lon", "lead(lat) over w", "lead(lon) over w", d)
+    sp_prev = f"(({leg_prev}) / nullif(eps - (lag(eps) over w), 0.0e0))"
+    sp_next = f"(({leg_next}) / nullif((lead(eps) over w) - eps, 0.0e0))"
+    return f"""
+        with {fixes_cte},
+        sp as (
+            select user_id, event_id, eps,
+                   {sp_prev} as sp_prev, {sp_next} as sp_next,
+                   lag(eps) over w as prev_eps, lead(eps) over w as next_eps
+            from fixes
+            window w as (partition by user_id order by eps asc, event_id asc)
+        )
+        select user_id, event_id, round(eps, 6) as eps,
+               case when prev_eps is null and next_eps is null then false
+                    else coalesce(sp_prev > {flit(vmax_ms)}, true)
+                         and coalesce(sp_next > {flit(vmax_ms)}, true)
+               end as is_outlier
+        from sp
+    """
+
+
+def speed_filter(
+    spark: SparkSession,
+    events: DataFrame,
+    vmax_ms: float = 40.0,
+    synthesize: bool = True,
+) -> DataFrame:
+    """DataFrame wrapper for :func:`speed_filter_sql` (Spark dialect)."""
+    events.createOrReplaceTempView("__spd_events")
+    return spark.sql(
+        speed_filter_sql(
+            SPARK, "__spd_events", vmax_ms=vmax_ms, synthesize=synthesize
+        )
+    )

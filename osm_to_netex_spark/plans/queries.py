@@ -3610,6 +3610,25 @@ def q_span_corruption_oracle() -> str:
 QUERIES["span_corruption"] = (q_span_corruption, q_span_corruption_oracle)
 
 
+def q_speed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS spike filter: a fix is an outlier iff every available adjacent
+    leg implies speed > 40 m/s; teleport-injecting fixture
+    (trajectory.speed_filter)."""
+    from ..operators import trajectory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trajectory.speed_filter(spark, ev)
+
+
+def q_speed_filter_oracle() -> str:
+    from ..operators import trajectory
+
+    return trajectory.speed_filter_sql(DUCK, "events")
+
+
+QUERIES["speed_filter"] = (q_speed_filter, q_speed_filter_oracle)
+
+
 # ---------------------------------------------------------------------------
 # HMM (Viterbi) map-matching
 # ---------------------------------------------------------------------------
