@@ -542,3 +542,107 @@ def speed_filter(
             SPARK, "__spd_events", vmax_ms=vmax_ms, synthesize=synthesize
         )
     )
+
+
+def geofence_events(
+    fixes: DataFrame,
+    polys: DataFrame,
+    res: int = 8,
+    broadcast_polygons: bool = True,
+) -> DataFrame:
+    """Geofence transition detection — the mobility primitive behind
+    enter/exit alerting: bind every fix to its containing zone (min zone_id
+    when zones overlap, deterministic), then emit one row per per-user
+    state CHANGE in time order: ``enter`` (outside→zone, including a first
+    fix already inside), ``exit`` (zone→outside), ``switch`` (zone→other
+    zone).  Fixes that stay in the same state emit nothing.
+
+    Input: fixes (user_id, event_id, eps, lat, lon), polys (zone_id,
+    pos_list).  Output: (user_id, event_id, eps, prev_zone, zone, kind);
+    "outside" is pinned to zone = -1 (nullable bigints become NaN-bearing
+    float columns in pandas canonicalizers, and NaN != NaN).
+
+    Scale shape: the zone binding is a ONE-PASS left cell-cover join (the
+    pip.py cover discipline, but LEFT so misses ride along as null — no
+    join-back onto the fixes plan), broadcast for dimension-sized zone sets
+    or cell equi-join otherwise; the exact ray-cast runs inside the
+    min-zone aggregate's filter; then ONE window shuffle on user_id.  The
+    change detection is lag() + null-safe compare — no self-join, no state
+    held anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import geo
+    from .tiling import cover_cells
+
+    # one-pass LEFT binding: the fixes plan is consumed exactly once (no
+    # join-back self-join), unmatched fixes keep zone = null for free, and
+    # the exact ray-cast runs inside the aggregate's filter
+    cov = cover_cells(polys, "zone_id", res, "quad", keep=("pos_list",))
+    dim = F.broadcast(cov) if broadcast_polygons else cov
+    fx = fixes.withColumn("cell", geo.quad_cell_col("lat", "lon", res))
+    pip = geo.point_in_polygon("lat", "lon", "pos_list", SPARK)
+    seq = (
+        fx.join(dim, "cell", "left")
+        .groupBy("user_id", "event_id", "eps")
+        .agg(F.min(F.when(F.expr(pip), F.col("zone_id"))).alias("zone"))
+    )
+    seq.createOrReplaceTempView("__gf_seq")
+    return fixes.sparkSession.sql(
+        """
+        with win as (
+            select user_id, event_id, eps, zone,
+                   lag(zone) over w as prev_zone,
+                   row_number() over w as rn
+            from __gf_seq
+            window w as (partition by user_id order by eps asc, event_id asc)
+        )
+        select user_id, event_id, round(eps, 6) as eps,
+               coalesce(prev_zone, -1) as prev_zone,
+               coalesce(zone, -1) as zone,
+               case when zone is not null and prev_zone is null then 'enter'
+                    when zone is null then 'exit'
+                    else 'switch' end as kind
+        from win
+        where (rn = 1 and zone is not null)
+           or (rn > 1 and not (zone <=> prev_zone))
+        """
+    )
+
+
+def geofence_events_oracle_sql(
+    fixes_cte: str = "gf_fixes", polys_cte: str = "geo_polys"
+) -> str:
+    """DuckDB replay with an INDEPENDENT spatial plan: brute cross-join
+    ray-cast (no cell cover, so the cover join itself is under test), then
+    the identical window logic."""
+    from ..functions import geo
+
+    pip = geo.point_in_polygon("f.lat", "f.lon", "p.pos_list", DUCK)
+    return f"""
+        hits as (
+            select f.event_id as pid, min(p.zone_id) as zone
+            from {fixes_cte} f join {polys_cte} p on {pip}
+            group by f.event_id
+        ),
+        seq as (
+            select f.user_id, f.event_id, f.eps, h.zone
+            from {fixes_cte} f left join hits h on f.event_id = h.pid
+        ),
+        win as (
+            select user_id, event_id, eps, zone,
+                   lag(zone) over w as prev_zone,
+                   row_number() over w as rn
+            from seq
+            window w as (partition by user_id order by eps asc, event_id asc)
+        )
+        select user_id, event_id, round(eps, 6) as eps,
+               coalesce(prev_zone, -1) as prev_zone,
+               coalesce(zone, -1) as zone,
+               case when zone is not null and prev_zone is null then 'enter'
+                    when zone is null then 'exit'
+                    else 'switch' end as kind
+        from win
+        where (rn = 1 and zone is not null)
+           or (rn > 1 and zone is distinct from prev_zone)
+    """

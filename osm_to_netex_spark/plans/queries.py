@@ -3629,6 +3629,47 @@ def q_speed_filter_oracle() -> str:
 QUERIES["speed_filter"] = (q_speed_filter, q_speed_filter_oracle)
 
 
+def gf_fixes_sql(d: str) -> str:
+    """Deterministic geofence fixes: one uniform hash-placed point per event
+    (zone coverage density is SF-constant by the polys fixture design, so
+    fixes flip in/out of zones constantly).  Identical text both dialects."""
+    from ..operators.trajectory import _ep
+
+    plat = prand(concat_str(["'gf:lat:'", "event_id"], d), d)
+    plon = prand(concat_str(["'gf:lon:'", "event_id"], d), d)
+    ep = _ep(d)
+    return (
+        f"select user_id, event_id, {ep('ts')} as eps, "
+        f"{flit(LAT_LO)} + {plat} * {flit(DLAT)} as lat, "
+        f"{flit(LON_LO)} + {plon} * {flit(DLON)} as lon "
+        f"from events"
+    )
+
+
+def q_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence enter/exit/switch events: PIP zone binding (cell-cover
+    join) + per-user lag-window change detection (trajectory.
+    geofence_events); the oracle binds zones with a brute cross-join
+    ray-cast — an independent spatial plan."""
+    from ..operators import trajectory
+
+    register_geometry_views(spark, sf_dir)
+    fixes = spark.sql(gf_fixes_sql(SPARK))
+    return trajectory.geofence_events(fixes, spark.table("geo_polys"), res=8)
+
+
+def q_geofence_oracle() -> str:
+    from ..operators import trajectory
+
+    return (
+        f"{duck_geometry_ctes()}, gf_fixes as ({gf_fixes_sql(DUCK)}), "
+        f"{trajectory.geofence_events_oracle_sql('gf_fixes', 'geo_polys')}"
+    )
+
+
+QUERIES["geofence"] = (q_geofence, q_geofence_oracle)
+
+
 # ---------------------------------------------------------------------------
 # HMM (Viterbi) map-matching
 # ---------------------------------------------------------------------------
