@@ -157,3 +157,177 @@ def hausdorff_join_oracle_sql(
         select a.tid as traj_a, b.tid as traj_b, round({h}, 6) as h_m
         from rows_ a join rows_ b on a.tid < b.tid
         where ({h}) <= {flit(radius_m)}"""
+
+
+# ---------------------------------------------------------------------------
+# DTW similarity join
+# ---------------------------------------------------------------------------
+def _el(arr: str, i: int, d: str) -> str:
+    """1-based array element in either dialect."""
+    return f"{arr}[{i - 1}]" if d == SPARK else f"{arr}[{i}]"
+
+
+def dtw_stage_exprs(n_steps: int, d: str) -> list[list[str]]:
+    """Unrolled DTW dynamic program over fixed-length tracks, as chained
+    projection stages (each stage's expressions reference only earlier
+    stages — the map_match materialized-CTE discipline, applied to BOTH
+    engines so every op is identical text).
+
+    Stage 0 computes the n×n cost matrix ``c_i_j`` = round(mm) haversine —
+    ONE quantization per cell, after which the whole DP is bigint + least():
+    integer-exact, no IEEE ordering concerns.  Stages 1..2n-1 fill the dp
+    anti-diagonals (cells on a diagonal depend only on earlier diagonals):
+    dp_i_j = c_i_j + least(dp_{i-1}_j, dp_i_{j-1}, dp_{i-1}_{j-1}).
+    """
+    dist = haversine_m("__a_la", "__a_lo", "__b_la", "__b_lo", d)
+    n = int(n_steps)
+    stage0 = []
+    for i in range(1, n + 1):
+        for j in range(1, n + 1):
+            h = (
+                dist.replace("__a_la", _el("las_a", i, d))
+                .replace("__a_lo", _el("los_a", i, d))
+                .replace("__b_la", _el("las_b", j, d))
+                .replace("__b_lo", _el("los_b", j, d))
+            )
+            stage0.append(f"cast(round(({h}) * 1000.0e0) as bigint) as c_{i}_{j}")
+    stages = [stage0]
+    for diag in range(2, 2 * n + 1):  # i + j = diag
+        cols = []
+        for i in range(max(1, diag - n), min(n, diag - 1) + 1):
+            j = diag - i
+            if i == 1 and j == 1:
+                cols.append("c_1_1 as dp_1_1")
+            elif i == 1:
+                cols.append(f"c_1_{j} + dp_1_{j - 1} as dp_1_{j}")
+            elif j == 1:
+                cols.append(f"c_{i}_1 + dp_{i - 1}_1 as dp_{i}_1")
+            else:
+                cols.append(
+                    f"c_{i}_{j} + least(dp_{i - 1}_{j}, dp_{i}_{j - 1}, "
+                    f"dp_{i - 1}_{j - 1}) as dp_{i}_{j}"
+                )
+        stages.append(cols)
+    return stages
+
+
+def dtw_join(
+    trajs: DataFrame,
+    max_cost_m: float,
+    n_steps: int,
+    res: int = 12,
+    traj_id: str = "traj_id",
+    step_col: str = "step",
+) -> DataFrame:
+    """(traj_a, traj_b, dtw_mm) for every unordered pair of fixed-length
+    tracks whose Dynamic-Time-Warping distance (sum of mm-quantized
+    haversine costs along the optimal monotone alignment) is
+    <= ``max_cost_m`` meters.
+
+    The route-similarity metric Hausdorff can't express: DTW respects fix
+    ORDER (a track and its reverse are Hausdorff-identical but DTW-far) and
+    accumulates along the alignment instead of taking a max.  Fixed-length
+    tracks are the standard scale practice (resample first); ``n_steps``
+    sizes the unrolled DP.
+
+    Scale shape: identical candidate machinery to hausdorff_join — the DP
+    contains cost(A1,B1) unconditionally, so DTW <= C implies
+    d(A1,B1) <= C and the C-padded bbox cover join is a COMPLETE prefilter;
+    pairs are distinct-ed before the O(n²)-per-pair DP and the coordinate
+    arrays stay off the candidate shuffle.  The DP itself is bigint
+    arithmetic unrolled along anti-diagonals into chained projections —
+    whole-stage codegen, no Python, no iteration state.
+    """
+    n = 2**res
+    r_deg = max_cost_m / geo.M_PER_DEG
+
+    rows = trajs.groupBy(traj_id).agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct({step_col} as s, lat as v))), x -> x.v)"
+        ).alias("las"),
+        F.expr(
+            f"transform(array_sort(collect_list(struct({step_col} as s, lon as v))), x -> x.v)"
+        ).alias("los"),
+        F.min("lat").alias("la0"), F.max("lat").alias("la1"),
+        F.min("lon").alias("lo0"), F.max("lon").alias("lo1"),
+    ).persist()  # consumed by both cover sides + the refine join back
+
+    def cover(df, pad: float):
+        if pad > 0.0:
+            cosmin = (
+                f"cos(radians(least(89.0e0, greatest(abs(la0), abs(la1)) + {flit(pad)})))"
+            )
+            lon_pad = f"({flit(pad)} / {cosmin})"
+            la_lo, la_hi = f"(la0 - {flit(pad)})", f"(la1 + {flit(pad)})"
+            lo_lo, lo_hi = f"(lo0 - {lon_pad})", f"(lo1 + {lon_pad})"
+        else:
+            la_lo, la_hi, lo_lo, lo_hi = "la0", "la1", "lo0", "lo1"
+        ix_lo, iy_lo = geo.quad_ixy(la_lo, lo_lo, res, SPARK)
+        ix_hi, iy_hi = geo.quad_ixy(la_hi, lo_hi, res, SPARK)
+        return (
+            df.selectExpr(
+                traj_id,
+                f"{ix_lo} as __ixl", f"{ix_hi} as __ixh",
+                f"explode(sequence({iy_lo}, {iy_hi})) as __cy",
+            )
+            .selectExpr(traj_id, "__cy", "explode(sequence(__ixl, __ixh)) as __cx")
+            .selectExpr(traj_id, geo.quad_pack("__cx", "__cy", res) + " as __cell")
+        )
+
+    a_cells = cover(rows, pad=r_deg).withColumnRenamed(traj_id, "ta")
+    b_cells = cover(rows, pad=0.0).withColumnRenamed(traj_id, "tb")
+    cand = a_cells.join(b_cells, "__cell").where("ta < tb").select("ta", "tb").distinct()
+    a = rows.selectExpr(f"{traj_id} as ta", "las as las_a", "los as los_a")
+    b = rows.selectExpr(f"{traj_id} as tb", "las as las_b", "los as los_b")
+    out = cand.join(a, "ta").join(b, "tb")
+    for cols in dtw_stage_exprs(n_steps, SPARK):
+        out = out.selectExpr("*", *cols)
+    k = int(n_steps)
+    out = (
+        out.withColumnRenamed(f"dp_{k}_{k}", "dtw_mm")
+        .where(F.col("dtw_mm") <= F.lit(int(round(max_cost_m * 1000))))
+        .selectExpr("ta as traj_a", "tb as traj_b", "dtw_mm")
+    )
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [rows])
+
+
+def dtw_join_oracle_sql(
+    trajs_sql_text: str,
+    max_cost_m: float,
+    n_steps: int,
+    traj_id: str = "traj_id",
+    step_col: str = "step",
+) -> str:
+    """DuckDB replay: brute all-pairs (proves the padded cover complete),
+    identical unrolled integer DP as chained CTE stages."""
+    from ..functions.portable import DUCK
+
+    k = int(n_steps)
+    ctes = [
+        f"tr as ({trajs_sql_text})",
+        f"""rows_ as (
+            select {traj_id} as tid,
+                   list(lat order by {step_col}) as las,
+                   list(lon order by {step_col}) as los
+            from tr group by {traj_id}
+        )""",
+        """pairs as (
+            select a.tid as ta, b.tid as tb,
+                   a.las as las_a, a.los as los_a,
+                   b.las as las_b, b.los as los_b
+            from rows_ a join rows_ b on a.tid < b.tid
+        )""",
+    ]
+    prev = "pairs"
+    for s, cols in enumerate(dtw_stage_exprs(k, DUCK)):
+        name = f"st{s}"
+        ctes.append(f"{name} as (select *, {', '.join(cols)} from {prev})")
+        prev = name
+    return (
+        "with " + ",\n".join(ctes) + f"""
+        select ta as traj_a, tb as traj_b, dp_{k}_{k} as dtw_mm
+        from {prev}
+        where dp_{k}_{k} <= {int(round(max_cost_m * 1000))}"""
+    )

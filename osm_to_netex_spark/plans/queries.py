@@ -4003,6 +4003,34 @@ def q_hausdorff_oracle() -> str:
 QUERIES["hausdorff_join"] = (q_hausdorff, q_hausdorff_oracle)
 
 
+_DTW_C = 30000.0  # total alignment cost budget (m)
+
+
+def q_dtw_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW trajectory-similarity join over the geo_traj fixture: padded
+    bbox-cover candidates (complete: DTW >= d(A1,B1)) + mm-integer
+    anti-diagonal-unrolled DP (trajsim.dtw_join)."""
+    from ..operators import trajsim
+
+    register_geometry_views(spark, sf_dir)
+    spark.sql(f"create or replace temp view geo_traj as {traj_sql(SPARK)}")
+    return trajsim.dtw_join(
+        spark.table("geo_traj"), max_cost_m=_DTW_C, n_steps=_MM_STEPS, res=12
+    )
+
+
+def q_dtw_join_oracle() -> str:
+    from ..operators import trajsim
+
+    body = trajsim.dtw_join_oracle_sql(
+        f"select * from ({traj_sql(DUCK)}) _t", max_cost_m=_DTW_C, n_steps=_MM_STEPS
+    )
+    return f"{duck_geometry_ctes()}, __d as ({body}) select * from __d"
+
+
+QUERIES["dtw_join"] = (q_dtw_join, q_dtw_join_oracle)
+
+
 # ---------------------------------------------------------------------------
 # Lexical diversity + geodesic zone stats
 # ---------------------------------------------------------------------------
