@@ -402,3 +402,111 @@ def lexical_diversity_oracle_sql(
                cast(coalesce(-a.sum_q, 0) as bigint) as entropy_q,
                round(cast(-a.sum_q as double) / (cast(a.n_tokens as double) * {_ENT_Q}.0e0), 9) as entropy
         from {table} b left join agg a on a.doc_id = b.{id_col}"""
+
+
+def bpe_encode_sql(
+    d: str,
+    table: str = "documents",
+    k_merges: int = 6,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> str:
+    """BPE tokenizer, trained AND applied in one dual-dialect SQL string:
+    ``k_merges`` unrolled merge rounds (Sennrich et al. 2016), each round
+    counting adjacent symbol pairs over the VOCABULARY weighted by word
+    frequency, picking the argmax (count desc, pair asc — deterministic
+    tiebreak) as a scalar subquery, and applying it to every word's symbol
+    string; the output is the post-merge subword vocabulary
+    (token, token_count), top ``top_n``.
+
+    Symbol representation: each symbol is wrapped as ``|sym|`` and words
+    are the concatenation, so a merge is a LITERAL string replace of
+    ``|x||y|`` with ``|xy|`` — replace() is left-to-right non-overlapping
+    in both engines, which is exactly BPE's greedy within-word merge order,
+    and adjacent matches share no characters so no occurrence is missed.
+    '|' cannot occur inside a symbol (tokens() strips non-alphanumerics).
+    A round with no remaining pairs coalesces to an unmatchable pattern
+    (no-op) rather than NULLing the corpus.
+
+    Scale shape: the corpus collapses to the vocabulary ONCE (one map-side
+    combined shuffle); every merge round — pair count, 1-row argmax, apply
+    — runs over the vocab (≪ corpus, the bpe_pairs/top_terms discipline);
+    the final token count is again vocab-sized.  The unroll depth is the
+    merge count, a tokenizer-training constant, not a data-dependent loop.
+    """
+    from ..functions import text as _tx
+
+    toks = _tx.tokens(text_col, d)
+    if d == SPARK:
+        tok_rows = f"select explode({toks}) as w from {table}"
+        wrap = "regexp_replace(w, '(.)', '|$1|')"
+        syms = (
+            "transform(split(e, '\\\\|\\\\|'), s -> replace(s, '|', ''))"
+        )
+        pair_rows = (
+            "select freq, explode(transform(sequence(1, size(sy) - 1), i -> "
+            "concat('|', sy[i - 1], '||', sy[i], '|'))) as pair "
+            "from (select freq, {syms} as sy from {prev}) z where size(sy) > 1"
+        )
+        tok_out = (
+            "select freq, explode({syms}) as token from {prev}"
+        )
+    else:
+        tok_rows = f"select unnest({toks}) as w from {table}"
+        wrap = "regexp_replace(w, '(.)', '|\\1|', 'g')"
+        syms = (
+            "list_transform(string_split(e, '||'), s -> replace(s, '|', ''))"
+        )
+        pair_rows = (
+            "select freq, unnest(list_transform(generate_series(1, len(sy) - 1), i -> "
+            "concat('|', sy[i], '||', sy[i + 1], '|'))) as pair "
+            "from (select freq, {syms} as sy from {prev}) z where len(sy) > 1"
+        )
+        tok_out = "select freq, unnest({syms}) as token from {prev}"
+    ctes = [
+        f"""v0 as (
+            select w, freq, {wrap} as e
+            from (select w, cast(count(*) as bigint) as freq
+                  from ({tok_rows}) tk group by w) vv
+        )"""
+    ]
+    for r in range(1, int(k_merges) + 1):
+        prev = f"v{r - 1}"
+        pr = pair_rows.format(syms=syms, prev=prev)
+        ctes.append(
+            f"""m{r} as (
+            select pair from ({pr}) pz
+            group by pair order by sum(freq) desc, pair asc limit 1
+        )"""
+        )
+        pat = f"coalesce((select pair from m{r}), '|~miss~|')"
+        ctes.append(
+            f"""v{r} as (
+            select w, freq, replace(e, {pat}, replace({pat}, '||', '')) as e
+            from {prev}
+        )"""
+        )
+    final = tok_out.format(syms=syms, prev=f"v{int(k_merges)}")
+    return (
+        "with " + ",\n".join(ctes) + f"""
+        select token, cast(sum(freq) as bigint) as token_count
+        from ({final}) f
+        group by token
+        order by token_count desc, token asc
+        limit {int(top_n)}"""
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    k_merges: int = 6,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """DataFrame wrapper for :func:`bpe_encode_sql` (Spark dialect)."""
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("__bpe_docs")
+    return spark.sql(
+        bpe_encode_sql(SPARK, "__bpe_docs", k_merges=k_merges, top_n=top_n,
+                       text_col=text_col)
+    )

@@ -4031,6 +4031,26 @@ def q_dtw_join_oracle() -> str:
 QUERIES["dtw_join"] = (q_dtw_join, q_dtw_join_oracle)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer trained AND applied in one plan: 6 unrolled merge
+    rounds over the vocabulary (argmax pair as a scalar subquery, literal
+    wrapped-symbol replace), output = post-merge subword vocabulary
+    (textstats.bpe_encode)."""
+    from ..operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.bpe_encode(docs, k_merges=6, top_n=100)
+
+
+def q_bpe_encode_oracle() -> str:
+    from ..operators import textstats
+
+    return textstats.bpe_encode_sql(DUCK, "documents", k_merges=6, top_n=100)
+
+
+QUERIES["bpe_encode"] = (q_bpe_encode, q_bpe_encode_oracle)
+
+
 # ---------------------------------------------------------------------------
 # Lexical diversity + geodesic zone stats
 # ---------------------------------------------------------------------------
