@@ -312,6 +312,18 @@ def main():
         "ring_repair",
         "od_matrix",
         "corpus_shuffle",
+        "stay_points",
+        "dup_spans",
+        "pack_sequences",
+        "encounters",
+        "dissolve",
+        "span_corruption",
+        "speed_filter",
+        "geofence",
+        "dtw_join",
+        "bpe_encode",
+        "geometric_median",
+        "resample",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -646,3 +646,216 @@ def geofence_events_oracle_sql(
         where (rn = 1 and zone is not null)
            or (rn > 1 and zone is distinct from prev_zone)
     """
+
+
+def geometric_median_sql(
+    d: str,
+    events_table: str = "events",
+    k_iters: int = 5,
+    bbox: tuple[float, float, float, float] = (59.4, 9.6, 60.2, 10.6),
+    synthesize: bool = True,
+) -> str:
+    """Per-user geometric median (Weiszfeld 1937) — the robust "home
+    location" estimator: unlike the centroid, one teleport outlier barely
+    moves it.  ``k_iters`` fixed-point rounds, UNROLLED as chained
+    projection stages (the DTW/map_match discipline), entirely in SQL.
+
+    Float discipline: the point metric is the trig-free equirectangular
+    distance (multiply/add/sqrt — every op correctly-rounded IEEE and
+    identical across engines, no libm last-ulp concerns), the fixes fold in
+    array order (arrays built by array_sort on event_id, J2
+    order-carried-in-data), and the seed is the integer-quantized centroid
+    — so all ``k_iters`` rounds produce bit-identical doubles in Spark and
+    DuckDB and the gate is exact.  Zero-distance fixes are smoothed with a
+    1e-9-degree floor (standard Weiszfeld regularization).
+
+    Output: (user_id, n_fixes, mlat, mlon).  Scale shape: ONE shuffle
+    (groupBy user collecting the fix arrays, map-side combined); all
+    iterations are per-row expressions over the arrays — no joins, no
+    driver loop, no per-iteration jobs.  Per-user state is that user's
+    fixes (sessionize first for unbounded streams).
+    """
+    from ..functions.portable import reduce_, transform as tr
+
+    lat_lo, lon_lo, lat_hi, lon_hi = bbox
+    COS0 = 0.5225  # fixed equirectangular lon scale, matches plans.queries
+    if synthesize:
+        plat = prand(concat_str(["'gm:lat:'", "event_id"], d), d)
+        plon = prand(concat_str(["'gm:lon:'", "event_id"], d), d)
+        fixes = (
+            f"select user_id, event_id, "
+            f"{flit(lat_lo)} + {plat} * {flit(lat_hi - lat_lo)} as lat, "
+            f"{flit(lon_lo)} + {plon} * {flit(lon_hi - lon_lo)} as lon "
+            f"from {events_table}"
+        )
+    else:
+        fixes = f"select user_id, event_id, lat, lon from {events_table}"
+    if d == SPARK:
+        las = "transform(array_sort(collect_list(struct(event_id as e, lat as v))), x -> x.v)"
+        los = "transform(array_sort(collect_list(struct(event_id as e, lon as v))), x -> x.v)"
+        el = lambda arr, i: f"{arr}[{i} - 1]"
+        idx = "sequence(1, n)"
+    else:
+        las = "list(lat order by event_id)"
+        los = "list(lon order by event_id)"
+        el = lambda arr, i: f"{arr}[{i}]"
+        idx = "generate_series(1, n)"
+    q = "cast(round({} * 1.0e9) as bigint)"
+
+    def dist(xla: str, xlo: str, i: str = "i") -> str:
+        dla = f"({el('las', i)} - {xla})"
+        dlo = f"(({el('los', i)} - {xlo}) * {flit(COS0)})"
+        return f"sqrt({dla} * {dla} + {dlo} * {dlo})"
+
+    def fold(body: str, xla: str, xlo: str) -> str:
+        w = f"(1.0e0 / greatest({dist(xla, xlo)}, 1.0e-9))"
+        lst = tr(idx, "i", body.format(w=w), d)
+        return reduce_(lst, "0.0e0", "s", "v", "s + v", d)
+
+    stage_cols = []
+    for r in range(1, int(k_iters) + 1):
+        xla, xlo = f"x{r - 1}", f"y{r - 1}"
+        stage_cols.append(
+            [
+                f"{fold('{w}', xla, xlo)} as den{r}",
+                f"{fold('{w} * ' + el('las', 'i'), xla, xlo)} as nla{r}",
+                f"{fold('{w} * ' + el('los', 'i'), xla, xlo)} as nlo{r}",
+            ]
+        )
+        stage_cols.append([f"nla{r} / den{r} as x{r}", f"nlo{r} / den{r} as y{r}"])
+    k = int(k_iters)
+    stages_sql = ""
+    prev = "seed"
+    for s, cols in enumerate(stage_cols):
+        stages_sql += f", st{s} as (select *, {', '.join(cols)} from {prev})\n"
+        prev = f"st{s}"
+    return f"""
+        with fixes as ({fixes}),
+        agg as (
+            select user_id, cast(count(*) as bigint) as n,
+                   {las} as las, {los} as los,
+                   sum({q.format('lat')}) as la_n,
+                   sum({q.format('lon')}) as lo_n
+            from fixes group by user_id
+        ),
+        seed as (
+            select user_id, n, las, los,
+                   la_n / (n * 1.0e9) as x0,
+                   lo_n / (n * 1.0e9) as y0
+            from agg
+        ){stages_sql}
+        select user_id, n as n_fixes,
+               round(x{k}, 9) as mlat, round(y{k}, 9) as mlon
+        from {prev}
+    """
+
+
+def geometric_median(
+    spark: SparkSession,
+    events: DataFrame,
+    k_iters: int = 5,
+    synthesize: bool = True,
+) -> DataFrame:
+    """DataFrame wrapper for :func:`geometric_median_sql` (Spark dialect)."""
+    events.createOrReplaceTempView("__gm_events")
+    return spark.sql(
+        geometric_median_sql(
+            SPARK, "__gm_events", k_iters=k_iters, synthesize=synthesize
+        )
+    )
+
+
+def resample_track_sql(
+    d: str,
+    events_table: str = "events",
+    step_s: int = 21600,
+    bbox: tuple[float, float, float, float] = (59.4, 9.6, 60.2, 10.6),
+    synthesize: bool = True,
+) -> str:
+    """Fixed-interval trajectory resampling — the time-normalization pass
+    every mobility pipeline runs before comparing tracks (irregular GPS
+    fixes → one position per grid tick): for each consecutive fix pair
+    (t0,p0)→(t1,p1) of a user, every grid time ``k·step`` in the half-open
+    window (t0, t1] gets the linearly interpolated position.  Half-open
+    intervals make each tick belong to exactly one segment (a tick landing
+    exactly on a fix reproduces that fix's position via frac = 1).
+
+    Float discipline: grid arithmetic is pure bigint epoch-MICROSECONDS
+    (``timestampdiff``/``epoch_us``, integer div for the tick range), and
+    the only float ops are two bigint→double casts, one division, and the
+    fused ``p0 + (p1-p0)·frac`` — a fixed correctly-rounded IEEE sequence,
+    bit-identical across engines, so the gate is exact.  Duplicate-time
+    fixes contribute no window (t1 > t0 filter) and can never divide by
+    zero.
+
+    Output: (user_id, tick, gts, rlat, rlon) where gts = tick·step epoch
+    seconds.  Scale shape: ONE shuffle (the per-user lead window); the
+    grid explode is scan-parallel, zero joins; per-key state is one fix
+    pair, never a whole track.  Engine-side (SURVEY §2.3).
+    """
+    lat_lo, lon_lo, lat_hi, lon_hi = bbox
+    step_us = int(step_s) * 1_000_000
+    if d == SPARK:
+        tus = "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+        idiv = lambda a: f"({a} div {step_us})"
+    else:
+        tus = "epoch_us(ts)"
+        idiv = lambda a: f"({a} // {step_us})"
+    if synthesize:
+        plat = prand(concat_str(["'rs:lat:'", "event_id"], d), d)
+        plon = prand(concat_str(["'rs:lon:'", "event_id"], d), d)
+        fixes = (
+            f"select user_id, event_id, {tus} as tus, "
+            f"{flit(lat_lo)} + {plat} * {flit(lat_hi - lat_lo)} as lat, "
+            f"{flit(lon_lo)} + {plon} * {flit(lon_hi - lon_lo)} as lon "
+            f"from {events_table}"
+        )
+    else:
+        fixes = (
+            f"select user_id, event_id, {tus} as tus, lat, lon "
+            f"from {events_table}"
+        )
+    frac = f"(cast(k * {step_us} - t0 as double) / cast(t1 - t0 as double))"
+    if d == SPARK:
+        grid_src = (
+            "select user_id, t0, t1, la0, lo0, la1, lo1, "
+            "explode(sequence(k_lo, k_hi)) as k from seg where k_lo <= k_hi"
+        )
+    else:
+        grid_src = (
+            "select user_id, t0, t1, la0, lo0, la1, lo1, t.k as k "
+            "from seg, unnest(generate_series(k_lo, k_hi)) t(k) "
+            "where k_lo <= k_hi"
+        )
+    return f"""
+        with fixes as ({fixes}),
+        seg as (
+            select user_id, tus as t0, lead(tus) over w as t1,
+                   lat as la0, lon as lo0,
+                   lead(lat) over w as la1, lead(lon) over w as lo1,
+                   {idiv('tus')} + 1 as k_lo,
+                   {idiv('lead(tus) over w')} as k_hi
+            from fixes
+            window w as (partition by user_id order by tus asc, event_id asc)
+        ),
+        grid as ({grid_src})
+        select user_id, k as tick,
+               round(k * {flit(float(step_s))}, 6) as gts,
+               round(la0 + (la1 - la0) * {frac}, 9) as rlat,
+               round(lo0 + (lo1 - lo0) * {frac}, 9) as rlon
+        from grid
+        where t1 > t0
+    """
+
+
+def resample_track(
+    spark: SparkSession,
+    events: DataFrame,
+    step_s: int = 21600,
+    synthesize: bool = True,
+) -> DataFrame:
+    """DataFrame wrapper for :func:`resample_track_sql` (Spark dialect)."""
+    events.createOrReplaceTempView("__rs_events")
+    return spark.sql(
+        resample_track_sql(SPARK, "__rs_events", step_s=step_s, synthesize=synthesize)
+    )

@@ -4051,6 +4051,44 @@ def q_bpe_encode_oracle() -> str:
 QUERIES["bpe_encode"] = (q_bpe_encode, q_bpe_encode_oracle)
 
 
+def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Weiszfeld geometric median, 5 unrolled rounds over the fix
+    arrays in one shuffle; trig-free metric keeps every float op identical
+    across engines (trajectory.geometric_median)."""
+    from ..operators import trajectory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trajectory.geometric_median(spark, ev, k_iters=5)
+
+
+def q_geometric_median_oracle() -> str:
+    from ..operators import trajectory
+
+    return trajectory.geometric_median_sql(DUCK, "events", k_iters=5)
+
+
+QUERIES["geometric_median"] = (q_geometric_median, q_geometric_median_oracle)
+
+
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval track resampling: per-user linear interpolation at
+    6-hour grid ticks, pure-integer grid arithmetic + one fused float
+    interpolation per tick (trajectory.resample_track)."""
+    from ..operators import trajectory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trajectory.resample_track(spark, ev, step_s=21600)
+
+
+def q_resample_oracle() -> str:
+    from ..operators import trajectory
+
+    return trajectory.resample_track_sql(DUCK, "events", step_s=21600)
+
+
+QUERIES["resample"] = (q_resample, q_resample_oracle)
+
+
 # ---------------------------------------------------------------------------
 # Lexical diversity + geodesic zone stats
 # ---------------------------------------------------------------------------
