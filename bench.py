@@ -324,6 +324,7 @@ def main():
         "bpe_encode",
         "geometric_median",
         "resample",
+        "pyramid",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

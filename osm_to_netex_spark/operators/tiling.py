@@ -409,6 +409,90 @@ def smooth_density_oracle_sql(
         from scatter group by tx, ty"""
 
 
+def tile_pyramid(
+    points: DataFrame,
+    res_hi: int = 9,
+    res_lo: int = 5,
+    lat: str = "lat",
+    lon: str = "lon",
+    id_col: str = "point_id",
+) -> DataFrame:
+    """Multi-resolution tile pyramid — the map-tile / zoom-level rollup
+    (count + weighted sum per quad cell at every resolution res_lo..res_hi)
+    in ONE pass: the finest cell is computed once from the coordinates,
+    each coarser level is derived by integer parent truncation (never
+    re-quantizing the floats), and a single ROLLUP over the (c_lo..c_hi)
+    hierarchy chain produces every level in one shuffle — Catalyst's Expand
+    feeds partial aggregation, so the shuffle carries at most
+    (levels × distinct cells) rows per task, not levels × corpus.
+
+    Exactness: the measure is an integer hash weight (``phash60 % 1000``)
+    so sums fold exactly in any order/partitioning; counts are counts.
+    Cell ids encode their resolution (geo.quad_pack), so levels can never
+    collide and ``res`` is recovered by one integer division.
+
+    Output: (res, cell, n_points, w_sum).  Engine-side (SURVEY §2.3).
+    """
+    from ..functions.portable import concat_str, phash60
+
+    w = f"({phash60(concat_str([chr(39) + 'pyr:w:' + chr(39), id_col], SPARK), SPARK)} % 1000)"
+    df = points.selectExpr(
+        f"{geo.quad_cell(lat, lon, res_hi, SPARK)} as c{res_hi}", f"{w} as w"
+    )
+    for r in range(res_hi, res_lo, -1):
+        df = df.selectExpr("*", f"{geo.quad_parent(f'c{r}', r, SPARK)} as c{r - 1}")
+    levels = [f"c{r}" for r in range(res_lo, res_hi + 1)]
+    finest_first = ", ".join(reversed(levels))
+    return (
+        df.rollup(*levels)
+        .agg(F.count("*").alias("n_points"), F.sum("w").alias("w_sum"))
+        .where(F.col(levels[0]).isNotNull())  # drop the grand-total row
+        .selectExpr(
+            f"coalesce({finest_first}) as cell", "n_points", "w_sum"
+        )
+        .selectExpr(
+            f"cast(cell div {2**geo.QUAD_RES_BITS} as int) as res",
+            "cell",
+            "cast(n_points as bigint) as n_points",
+            "cast(w_sum as bigint) as w_sum",
+        )
+    )
+
+
+def tile_pyramid_oracle_sql(
+    points_cte: str = "geo_points",
+    res_hi: int = 9,
+    res_lo: int = 5,
+    lat: str = "lat",
+    lon: str = "lon",
+    id_col: str = "point_id",
+) -> str:
+    """DuckDB replay with an INDEPENDENT plan: per-level GROUP BY unioned,
+    instead of one ROLLUP — same integer weights, same parent truncation."""
+    from ..functions.portable import DUCK, concat_str, phash60
+
+    w = f"({phash60(concat_str([chr(39) + 'pyr:w:' + chr(39), id_col], DUCK), DUCK)} % 1000)"
+    stages = [
+        f"p{res_hi} as (select {geo.quad_cell(lat, lon, res_hi, DUCK)} as c{res_hi}, "
+        f"{w} as w from {points_cte})"
+    ]
+    for r in range(res_hi, res_lo, -1):
+        stages.append(
+            f"p{r - 1} as (select *, {geo.quad_parent(f'c{r}', r, DUCK)} as c{r - 1} "
+            f"from p{r})"
+        )
+    unions = " union all ".join(
+        f"select c{r} as cell, count(*) as n_points, sum(w) as w_sum "
+        f"from p{res_lo} group by c{r}"
+        for r in range(res_lo, res_hi + 1)
+    )
+    return f"""
+        {', '.join(stages)}
+        select cast({geo._intdiv('cell', str(2**geo.QUAD_RES_BITS), DUCK)} as int) as res,
+               cell, cast(n_points as bigint) as n_points, cast(w_sum as bigint) as w_sum
+        from ({unions})"""
+
+
 def hotspot_gistar(
     points: DataFrame,
     res: int = 8,

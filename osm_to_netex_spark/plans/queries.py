@@ -4089,6 +4089,28 @@ def q_resample_oracle() -> str:
 QUERIES["resample"] = (q_resample, q_resample_oracle)
 
 
+def q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile pyramid (res 9..13) in one ROLLUP shuffle:
+    finest cell quantized once, parents by integer truncation, integer
+    hash weights so every level's sums are exact (tiling.tile_pyramid)."""
+    from ..operators import tiling
+
+    register_geometry_views(spark, sf_dir)
+    return tiling.tile_pyramid(spark.table("geo_points"), res_hi=13, res_lo=9)
+
+
+def q_pyramid_oracle() -> str:
+    from ..operators import tiling
+
+    return (
+        f"{duck_geometry_ctes()}, "
+        f"{tiling.tile_pyramid_oracle_sql('geo_points', res_hi=13, res_lo=9)}"
+    )
+
+
+QUERIES["pyramid"] = (q_pyramid, q_pyramid_oracle)
+
+
 # ---------------------------------------------------------------------------
 # Lexical diversity + geodesic zone stats
 # ---------------------------------------------------------------------------
