@@ -325,6 +325,7 @@ def main():
         "geometric_median",
         "resample",
         "pyramid",
+        "media_phash_pairs",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

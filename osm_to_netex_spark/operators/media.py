@@ -146,3 +146,101 @@ def resize_media(
             yield out
 
     return media_features.mapInPandas(batches, schema=MEDIA_FEATURES)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (oracle-gated multimodal path)
+# ---------------------------------------------------------------------------
+PHASH_BITS = FEATURE_DIM  # one sign bit per decoded feature
+PHASH_BANDS = 4           # 4 bands x 4 bits: hamming<=3 => >=1 band intact
+
+_SPARK = "spark"
+
+
+def phash_digest_sql(ref: str, d: str) -> str:
+    """sha256 hex of the synthesized payload bytes — identical in both
+    engines (Spark sha2 over binary, DuckDB sha256 over varchar bytes)."""
+    if d == _SPARK:
+        return f"sha2(cast(concat('blob:', {ref}) as binary), 256)"
+    return f"sha256('blob:' || {ref})"
+
+
+def phash_from_digest_sql(h: str, d: str) -> str:
+    """16-bit perceptual hash from the decode stub's feature vector, but
+    computed integer-exactly on the hex digest: feature i is the LE uint16 of
+    digest bytes (2i, 2i+1) / 65535 (media._fake_decode), and
+    feat_i >= 0.5 <=> uint16 >= 32768 <=> high byte (index 2i+1) >= 128 —
+    so the sign-bit quantization never touches float arithmetic and the
+    DuckDB oracle replays it bit-exactly.  PHASH_BITS is tied to the stub's
+    FEATURE_DIM; a real decoder widens this to 64-256 bits and PHASH_BANDS
+    scales with it (bands = max_hamming + 1 keeps the pigeonhole guarantee).
+    """
+    terms = []
+    for i in range(PHASH_BITS):
+        pos = 2 * (2 * i + 1) + 1  # 1-based hex offset of byte (2i+1)
+        if d == _SPARK:
+            byte = f"cast(conv(substring({h}, {pos}, 2), 16, 10) as int)"
+        else:
+            byte = f"cast(('0x' || substr({h}, {pos}, 2)) as int)"
+        terms.append(f"(case when {byte} >= 128 then {1 << i} else 0 end)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def media_phash(corpus: DataFrame) -> DataFrame:
+    """Distinct (media_ref, phash) over the corpus's media spans.
+
+    The digest is bound once per row (a column, not re-evaluated per bit);
+    the whole path is Catalyst expressions — no Python."""
+    return (
+        corpus.select(F.explode("spans").alias("span"))
+        .where(F.col("span.kind") == "media")
+        .select(F.col("span.media_ref").alias("media_ref"))
+        .distinct()
+        .withColumn("h", F.expr(phash_digest_sql("media_ref", _SPARK)))
+        .withColumn("phash", F.expr(phash_from_digest_sql("h", _SPARK)))
+        .drop("h")
+    )
+
+
+def media_neardup_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """All unordered media pairs with hamming(phash_a, phash_b) <= max_hamming.
+
+    LSH banding, never all-pairs: each hash splits into PHASH_BANDS 4-bit
+    bands; two hashes within max_hamming <= PHASH_BANDS-1 differing bits
+    agree on >=1 whole band (pigeonhole), so the banded equi-join is a
+    COMPLETE candidate generator and the exact bit_count(xor) verify runs
+    only on bucket survivors.  Candidates are made distinct per pair before
+    the verify so multi-band agreement costs one evaluation.
+
+    Scale note: at 10^12 media a 16-bit stub hash saturates (65,536 buckets);
+    the real-decoder configuration widens PHASH_BITS which keeps buckets
+    sparse — band count, not the plan shape, is the knob (same argument as
+    dedup.embedding_near_dup's n_bits)."""
+    if not 0 <= max_hamming < PHASH_BANDS:
+        raise ValueError("pigeonhole guarantee needs max_hamming < PHASH_BANDS")
+    ph = media_phash(corpus)
+    band_w = PHASH_BITS // PHASH_BANDS
+    bands = ph.select(
+        "media_ref",
+        "phash",
+        F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
+    ).withColumn(
+        "band_val", F.expr(f"shiftright(phash, band * {band_w}) % {1 << band_w}")
+    )
+    a = bands.select(
+        F.col("media_ref").alias("ref_a"), F.col("phash").alias("ph_a"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col("media_ref").alias("ref_b"), F.col("phash").alias("ph_b"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("ref_a") < F.col("ref_b"))
+        .select("ref_a", "ref_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ph_a ^ ph_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("ref_a", "ref_b", F.col("hamming").cast("int").alias("hamming"))
+    )

@@ -4279,3 +4279,43 @@ def q_corpus_shuffle_oracle() -> str:
 
 
 QUERIES["corpus_shuffle"] = (q_corpus_shuffle, q_corpus_shuffle_oracle)
+
+
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: 16-bit perceptual hash (sign bits of the decode
+    stub's feature vector, integer-exact on the sha256 hex) + 4-band LSH
+    candidate join + exact hamming verify (media.media_neardup_pairs).  The
+    oracle is an INDEPENDENT brute all-pairs plan — agreement proves the
+    banded candidate generator complete, upgrading the media feature path
+    from rows-only to value-gated."""
+    from ..operators import media
+    from .convert_queries import FIXTURE_CORPUS
+
+    corpus = spark.read.parquet(FIXTURE_CORPUS)
+    return media.media_neardup_pairs(corpus, max_hamming=3)
+
+
+def q_media_phash_pairs_oracle() -> str:
+    from ..operators import media
+    from .convert_queries import FIXTURE_CORPUS
+
+    phash = media.phash_from_digest_sql("h", DUCK)
+    return f"""
+        with m as (
+            select distinct span.media_ref as media_ref
+            from (select unnest(spans) as span
+                  from read_parquet('{FIXTURE_CORPUS}')) t
+            where span.kind = 'media'
+        ),
+        ph as (
+            select media_ref, {phash} as phash
+            from (select media_ref, {media.phash_digest_sql('media_ref', DUCK)} as h from m)
+        )
+        select a.media_ref as ref_a, b.media_ref as ref_b,
+               cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
+        from ph a join ph b on a.media_ref < b.media_ref
+        where bit_count(xor(a.phash, b.phash)) <= 3
+    """
+
+
+QUERIES["media_phash_pairs"] = (q_media_phash_pairs, q_media_phash_pairs_oracle)
