@@ -80,19 +80,27 @@ class SnapshotCatalog:
         data_dir = os.path.join(self.root, table, "snapshots", snap_id)
         df.write.mode("overwrite").parquet(data_dir)
 
+        seq = (prev["sequence"] + 1) if prev else 0
         dirs = [data_dir]
         dels: list[str] = []
+        eqs: list[dict] = []
+        data_seq = {data_dir: seq}
         if mode == "append" and prev:
             dirs = prev["data_dirs"] + dirs
-            # delete vectors keyed by file path still apply to carried files
+            # delete vectors keyed by file path still apply to carried files,
+            # and equality deletes still mask carried rows older than them
             dels = prev.get("delete_dirs", [])
+            eqs = prev.get("eq_deletes", [])
+            data_seq = {**self._dir_seq(prev), data_dir: seq}
         meta = {
             "snapshot_id": snap_id,
-            "sequence": (prev["sequence"] + 1) if prev else 0,
+            "sequence": seq,
             "mode": mode,
             **(extra_meta or {}),
             "data_dirs": dirs,
             "delete_dirs": dels,
+            "eq_deletes": eqs,
+            "data_seq": data_seq,
             "schema": json.loads(df.schema.json()),
             "merge_schema": merge,
             "committed_at_ms": int(time.time() * 1000),
@@ -360,6 +368,57 @@ class SnapshotCatalog:
         os.remove(path)
 
     # -- positional deletes (deletion vectors) -------------------------------
+    @staticmethod
+    def _dir_seq(meta: dict) -> dict:
+        """dir -> sequence at which it was added.  Snapshots written before
+        sequence tracking default every dir to 0 (equality deletes then
+        apply to all of them — the Iceberg-correct treatment of data whose
+        commit order is unknown but predates the delete)."""
+        return {
+            d: int(meta.get("data_seq", {}).get(d, 0)) for d in meta["data_dirs"]
+        }
+
+    def _apply_deletes(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Apply positional delete vectors then equality deletes to rows
+        carrying (__fp, __ri) physical identity.
+
+        Equality deletes are sequence-scoped (Iceberg v2): a delete at
+        sequence S masks key-matching rows only in files committed at
+        sequence < S — rows appended by the same or a later snapshot (e.g.
+        a MERGE's own upserts) stay alive.  Both joins broadcast the small
+        delete side; the data side never shuffles."""
+        from pyspark.sql import functions as F
+
+        if meta.get("delete_dirs"):
+            dv = self.spark.read.parquet(*meta["delete_dirs"])
+            df = df.join(
+                F.broadcast(dv),
+                (df["__fp"] == dv["file_path"]) & (df["__ri"] == dv["row_index"]),
+                "left_anti",
+            )
+        eqs = meta.get("eq_deletes") or []
+        if eqs:
+            seq_expr = None
+            for d, s in self._dir_seq(meta).items():
+                cond = F.col("__fp").contains(d.rstrip("/") + "/")
+                seq_expr = (
+                    F.when(cond, F.lit(s)) if seq_expr is None
+                    else seq_expr.when(cond, F.lit(s))
+                )
+            df = df.withColumn("__seq", F.coalesce(seq_expr, F.lit(0)))
+            for e in eqs:
+                keys = (
+                    self.spark.read.parquet(e["dir"])
+                    .select(*[F.col(c).alias(f"__k_{c}") for c in e["cols"]])
+                    .distinct()
+                )
+                cond = F.col("__seq") < F.lit(int(e["seq"]))
+                for c in e["cols"]:
+                    cond = cond & df[c].eqNullSafe(F.col(f"__k_{c}"))
+                df = df.join(F.broadcast(keys), cond, "left_anti")
+            df = df.drop("__seq")
+        return df
+
     def _read_with_pos(self, meta: dict) -> DataFrame:
         """Current rows of a snapshot plus their physical identity
         (__fp, __ri) = (file path, row index), deletes already applied."""
@@ -372,14 +431,7 @@ class SnapshotCatalog:
             F.col("_metadata.file_path").alias("__fp"),
             F.col("_metadata.row_index").alias("__ri"),
         )
-        if meta.get("delete_dirs"):
-            dv = self.spark.read.parquet(*meta["delete_dirs"])
-            df = df.join(
-                F.broadcast(dv),
-                (df["__fp"] == dv["file_path"]) & (df["__ri"] == dv["row_index"]),
-                "left_anti",
-            )
-        return df
+        return self._apply_deletes(df, meta)
 
     def delete_where(self, table: str, condition: str) -> dict:
         """Iceberg-v2-style positional delete: rows matching ``condition``
@@ -405,11 +457,14 @@ class SnapshotCatalog:
         hits.write.mode("overwrite").parquet(del_dir)
         n = self.spark.read.parquet(del_dir).count()
         new_meta = {
+            **{k: meta[k] for k in ("schema", "merge_schema") if k in meta},
             "snapshot_id": snap_id,
             "sequence": meta["sequence"] + 1,
             "mode": "delete",
             "data_dirs": meta["data_dirs"],
             "delete_dirs": meta.get("delete_dirs", []) + [del_dir],
+            "eq_deletes": meta.get("eq_deletes", []),
+            "data_seq": self._dir_seq(meta),
             "committed_at_ms": int(time.time() * 1000),
         }
         tmp = os.path.join(self._meta_dir(table), f".tmp-{uuid.uuid4().hex}.json")
@@ -419,6 +474,115 @@ class SnapshotCatalog:
             tmp, os.path.join(self._meta_dir(table), f"v{new_meta['sequence']:09d}.json")
         )
         return {"snapshot_id": snap_id, "n_deleted": n}
+
+    def delete_keys(self, table: str, keys: DataFrame) -> dict:
+        """Iceberg-v2-style EQUALITY delete: every live row whose key columns
+        match a row of ``keys`` is masked — without scanning the data at
+        all.  Complements `delete_where` (positional): positional deletes
+        pay one full scan to pin (file, row) pairs; equality deletes pay
+        nothing at write time and a broadcast anti-join at read time, the
+        right trade when the delete is keyed (GDPR by user_id, dedup by
+        doc_id) and the table is 100 TB.
+
+        Sequence-scoped: the delete masks only data committed BEFORE it —
+        a later append may legitimately re-insert the key.  `compact()`
+        materializes equality deletes away like positional ones.
+        """
+        meta = self.current_snapshot(table)
+        if meta is None:
+            raise FileNotFoundError(f"table {table!r} has no snapshots")
+        cols = list(keys.columns)
+        if meta.get("schema"):
+            known = {f["name"] for f in meta["schema"]["fields"]}
+            bad = [c for c in cols if c not in known]
+            if bad:
+                raise ValueError(f"equality-delete columns not in table schema: {bad}")
+        seq = meta["sequence"] + 1
+        snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        eq_dir = os.path.join(self.root, table, "eq_deletes", snap_id)
+        keys.distinct().write.mode("overwrite").parquet(eq_dir)
+        n_keys = self.spark.read.parquet(eq_dir).count()
+        new_meta = {
+            **{k: meta[k] for k in ("schema", "merge_schema") if k in meta},
+            "snapshot_id": snap_id,
+            "sequence": seq,
+            "mode": "eq_delete",
+            "data_dirs": meta["data_dirs"],
+            "delete_dirs": meta.get("delete_dirs", []),
+            "eq_deletes": meta.get("eq_deletes", [])
+            + [{"dir": eq_dir, "seq": seq, "cols": cols}],
+            "data_seq": self._dir_seq(meta),
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        tmp = os.path.join(self._meta_dir(table), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(new_meta, fh)
+        os.replace(
+            tmp, os.path.join(self._meta_dir(table), f"v{seq:09d}.json")
+        )
+        return {"snapshot_id": snap_id, "n_keys": n_keys}
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        table: str,
+        key_cols: list[str],
+        when_matched: str = "update",
+    ) -> dict:
+        """MERGE INTO, merge-on-read (Iceberg v2 shape): ONE atomic snapshot
+        that (a) equality-tombstones the source keys against all older data
+        and (b) appends the surviving source rows as a new data dir.
+
+        * ``when_matched='update'``: upsert — every source row is appended;
+          older rows with the same key are masked by the delete.
+        * ``when_matched='delete'``: matched keys vanish; only source rows
+          whose key was NOT present are appended (insert-or-delete).
+
+        No data file is rewritten or even read at write time for 'update'
+        (the delete is equality-scoped, sequence N masks only < N, and the
+        appended dir carries sequence N) — at 10^12 rows a MERGE costs the
+        size of the SOURCE, not the table.  'delete' pays one key-project
+        scan of the target to split matched from unmatched source keys.
+        """
+        if when_matched not in ("update", "delete"):
+            raise ValueError("when_matched must be 'update' or 'delete'")
+        meta = self.current_snapshot(table)
+        if meta is None:
+            snap = self.commit(source, table, mode="overwrite")
+            n = self.read(table).count()
+            return {"snapshot_id": snap, "n_appended": n, "created": True}
+        src = source.dropDuplicates(key_cols)
+        seq = meta["sequence"] + 1
+        snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        eq_dir = os.path.join(self.root, table, "eq_deletes", snap_id)
+        src.select(*key_cols).distinct().write.mode("overwrite").parquet(eq_dir)
+        data_dir = os.path.join(self.root, table, "snapshots", snap_id)
+        if when_matched == "update":
+            to_append = src
+        else:
+            live_keys = self._df_from_meta(meta).select(*key_cols).distinct()
+            to_append = src.join(live_keys, key_cols, "left_anti")
+        to_append.write.mode("overwrite").parquet(data_dir)
+        n_appended = self.spark.read.parquet(data_dir).count()
+        new_meta = {
+            **{k: meta[k] for k in ("schema", "merge_schema") if k in meta},
+            "snapshot_id": snap_id,
+            "sequence": seq,
+            "mode": "merge",
+            "data_dirs": meta["data_dirs"] + [data_dir],
+            "delete_dirs": meta.get("delete_dirs", []),
+            "eq_deletes": meta.get("eq_deletes", [])
+            + [{"dir": eq_dir, "seq": seq, "cols": list(key_cols)}],
+            "data_seq": {**self._dir_seq(meta), data_dir: seq},
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        tmp = os.path.join(self._meta_dir(table), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(new_meta, fh)
+        os.replace(
+            tmp, os.path.join(self._meta_dir(table), f"v{seq:09d}.json")
+        )
+        return {"snapshot_id": snap_id, "n_appended": n_appended}
 
     # -- retention ----------------------------------------------------------
     def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
@@ -501,7 +665,8 @@ class SnapshotCatalog:
                         n_bytes += os.path.getsize(os.path.join(root, f))
         n_out = max(1, -(-n_bytes // target_file_bytes))  # ceil
         if (len(meta["data_dirs"]) == 1 and meta.get("compaction_of")
-                and not meta.get("delete_dirs") and n_files <= n_out):
+                and not meta.get("delete_dirs") and not meta.get("eq_deletes")
+                and n_files <= n_out):
             return {"compacted": False, "n_files": n_files, "snapshot_id": meta["snapshot_id"]}
         df = self.read(table)
         if layout_col is not None:
@@ -637,18 +802,13 @@ class SnapshotCatalog:
         df = self.spark.read.option(
             "mergeSchema", str(meta.get("merge_schema", False)).lower()
         ).parquet(*files)
-        if meta.get("delete_dirs"):
+        if meta.get("delete_dirs") or meta.get("eq_deletes"):
             df = df.select(
                 "*",
                 F.col("_metadata.file_path").alias("__fp"),
                 F.col("_metadata.row_index").alias("__ri"),
             )
-            dv = self.spark.read.parquet(*meta["delete_dirs"])
-            df = df.join(
-                F.broadcast(dv),
-                (df["__fp"] == dv["file_path"]) & (df["__ri"] == dv["row_index"]),
-                "left_anti",
-            ).drop("__fp", "__ri")
+            df = self._apply_deletes(df, meta).drop("__fp", "__ri")
         return df.where(pred)
 
     # -- read ---------------------------------------------------------------
@@ -668,7 +828,7 @@ class SnapshotCatalog:
         return self._df_from_meta(meta)
 
     def _df_from_meta(self, meta: dict) -> DataFrame:
-        if meta.get("delete_dirs"):
+        if meta.get("delete_dirs") or meta.get("eq_deletes"):
             return self._read_with_pos(meta).drop("__fp", "__ri")
         return self.spark.read.option(
             "mergeSchema", str(meta.get("merge_schema", False)).lower()
