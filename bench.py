@@ -326,6 +326,7 @@ def main():
         "resample",
         "pyramid",
         "media_phash_pairs",
+        "semdedup",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

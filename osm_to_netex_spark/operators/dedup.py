@@ -567,3 +567,120 @@ def dup_spans(
             text_col=text_col,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via embedding-cluster pruning
+# ---------------------------------------------------------------------------
+def _semdedup_dot(a: str, b: str, d: str) -> str:
+    """Integer dot product of two quantized vectors (dual-dialect)."""
+    if d == SPARK:
+        prods = f"zip_with({a}, {b}, (x, y) -> x * y)"
+        return f"aggregate({prods}, 0L, (s, v) -> s + v)"
+    prods = f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])"
+    return f"list_reduce(list_prepend(cast(0 as bigint), {prods}), (s, v) -> s + v)"
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    p: int = 1,
+    q: int = 4,
+    bits: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): prune semantically
+    redundant items by clustering embeddings (k-means) and dropping, within
+    each cluster, every item whose cosine to a SMALLER-ID cluster-mate is
+    >= p/q (keep-first representative rule — deterministic, order-free).
+
+    Exactness: vectors are quantized to integers (2^bits scale) and the
+    cosine test runs as pure integer algebra — cos >= p/q iff dot > 0 and
+    q²·dot² >= p²·|a|²·|b|² — so the threshold is never float-rounded and
+    both engines agree bit-for-bit.  With bits=9, dim<=64, |x|<=1 every
+    intermediate fits int64 (dot² <= 2^48, p²·Na·Nb <= p²·2^48).
+
+    Scale: the pair join is CLUSTER-keyed — O(Σ c_i²), never corpus² — and
+    SemDeDup's own recipe (k grows with n, cluster size stays ~constant)
+    bounds c_i; the k-means step is the fixed-point operator whose shuffles
+    are one groupBy per iteration.  Returns (vec_id, cluster, keep).
+    """
+    from .clustering import _quant_expr, kmeans_fixed_point
+
+    if p * p > (1 << 14):
+        raise ValueError("p too large for the int64 overflow budget")
+    assigned = kmeans_fixed_point(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    qv = emb.select(
+        F.col(id_col).alias("vid"),
+        F.expr(_quant_expr(vec_col, bits, SPARK)).alias("qv"),
+    ).withColumn("n2", F.expr(_semdedup_dot("qv", "qv", SPARK)))
+    v = assigned.join(qv, "vid")
+    a = v.select(
+        F.col("cluster"), F.col("vid").alias("vid_a"),
+        F.col("qv").alias("qv_a"), F.col("n2").alias("n2_a"),
+    )
+    b = v.select(
+        F.col("cluster"), F.col("vid").alias("vid_b"),
+        F.col("qv").alias("qv_b"), F.col("n2").alias("n2_b"),
+    )
+    dot = _semdedup_dot("qv_a", "qv_b", SPARK)
+    pruned = (
+        a.join(b, "cluster")
+        .where(F.col("vid_a") < F.col("vid_b"))
+        .where(F.expr(
+            f"({dot}) > 0 and {q * q} * ({dot}) * ({dot}) >= {p * p} * n2_a * n2_b"
+        ))
+        .select(F.col("vid_b").alias("vid"))
+        .distinct()
+        .withColumn("__pruned", F.lit(True))
+    )
+    return (
+        assigned.join(pruned, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("__pruned"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semdedup_oracle_sql(
+    k: int = 8,
+    iters: int = 3,
+    p: int = 1,
+    q: int = 4,
+    bits: int = 9,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay: the k-means oracle as a derived table + the same
+    integer cosine keep-first rule."""
+    from .clustering import _quant_expr, kmeans_oracle_sql
+
+    from ..functions.portable import DUCK
+
+    km = kmeans_oracle_sql(
+        k=k, iters=iters, dim=dim, table=table, id_col=id_col, vec_col=vec_col
+    )
+    quant = _quant_expr(vec_col, bits, DUCK)
+    n2 = _semdedup_dot("qv", "qv", DUCK)
+    dot = _semdedup_dot("a.qv", "b.qv", DUCK)
+    return f"""
+        with km as ({km}),
+        qv as (select {id_col} as vid, {quant} as qv from {table}),
+        v as (select km.vid, km.cluster, qv.qv, {n2} as n2
+              from km join qv using (vid)),
+        pruned as (
+            select distinct b.vid as vid
+            from v a join v b on a.cluster = b.cluster and a.vid < b.vid
+            where ({dot}) > 0
+              and {q * q} * ({dot}) * ({dot}) >= {p * p} * a.n2 * b.n2
+        )
+        select v.vid as {id_col}, v.cluster as cluster,
+               (pruned.vid is null) as keep
+        from v left join pruned on v.vid = pruned.vid
+    """

@@ -4319,3 +4319,22 @@ def q_media_phash_pairs_oracle() -> str:
 
 
 QUERIES["media_phash_pairs"] = (q_media_phash_pairs, q_media_phash_pairs_oracle)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning over the embeddings table: k-means buckets
+    (the oracle-gated fixed-point operator) + integer-exact within-cluster
+    cosine keep-first rule (dedup.semdedup)."""
+    from ..operators import dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.semdedup(emb, k=8, iters=3, p=1, q=4)
+
+
+def q_semdedup_oracle() -> str:
+    from ..operators import dedup
+
+    return dedup.semdedup_oracle_sql(k=8, iters=3, p=1, q=4, dim=64)
+
+
+QUERIES["semdedup"] = (q_semdedup, q_semdedup_oracle)
