@@ -327,6 +327,7 @@ def main():
         "pyramid",
         "media_phash_pairs",
         "semdedup",
+        "pq_adc",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

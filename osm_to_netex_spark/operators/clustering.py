@@ -49,9 +49,13 @@ def kmeans_fixed_point(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = 20,
+    with_centroids: bool = False,
 ) -> DataFrame:
     """(vec_id, cluster) after `iters` Lloyd assignment steps (centroids
-    recomputed between steps); cluster labels are the init centroid ids."""
+    recomputed between steps); cluster labels are the init centroid ids.
+
+    with_centroids=True additionally returns the centroid dict
+    {cid: [int]} THE FINAL ASSIGNMENT USED (what PQ's ADC tables need)."""
     vecs = emb.select(
         F.col(id_col).alias("vid"), F.expr(_quant_expr(vec_col, bits, SPARK)).alias("q")
     ).persist()
@@ -92,7 +96,8 @@ def kmeans_fixed_point(
                     __import__("math").floor(int(r.s) / int(r.n) + 0.5)
                 )
             centroids = {cid: new.get(cid, cq) for cid, cq in centroids.items()}
-        return assigned.select("vid", "cluster")
+        out = assigned.select("vid", "cluster")
+        return (out, centroids) if with_centroids else out
     finally:
         vecs.unpersist()
 
@@ -105,9 +110,13 @@ def kmeans_oracle_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = 20,
+    with_centroids: bool = False,
 ) -> str:
     """Unrolled-CTE DuckDB replay: same init, same exact integer arithmetic,
-    same tie-breaks, same empty-cluster carry-forward."""
+    same tie-breaks, same empty-cluster carry-forward.
+
+    with_centroids=True selects (vid, cluster, cq) — the final-assignment
+    centroid vector joined in (the PQ oracle's ADC source)."""
     quant = _quant_expr(vec_col, bits, DUCK)
     dist = (
         "list_reduce(list_prepend(cast(0 as bigint), "
@@ -139,9 +148,14 @@ def kmeans_oracle_sql(
             f"left join (select cluster as cid, list(mv order by i) as cq "
             f"from m{t} group by cluster) n using (cid))"
         )
-    return (
-        "with " + ", ".join(ctes) + f" select vid, cluster from a{iters - 1}"
-    )
+    if with_centroids:
+        final = (
+            f" select a.vid, a.cluster, c.cq from a{iters - 1} a "
+            f"join cl{iters - 1} c on a.cluster = c.cid"
+        )
+    else:
+        final = f" select vid, cluster from a{iters - 1}"
+    return "with " + ", ".join(ctes) + final
 
 
 # ---------------------------------------------------------------------------

@@ -141,3 +141,196 @@ def topk_cosine_ivf(
         .where(F.col("rn") <= k)
         .select("query_id", "vec_id", "cos", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization (PQ) ANN — compressed codes + ADC scan
+# ---------------------------------------------------------------------------
+def pq_encode(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 9,
+):
+    """Jégou et al. 2011 product quantization: split each vector into ``m``
+    subspaces of dim/m and vector-quantize each with its own k-means
+    codebook — a 64-dim float32 vector compresses to m·log2(k) bits (4·4
+    here), the memory trick that lets an ANN index hold 10^12 vectors.
+
+    Codebooks are the oracle-gated integer fixed-point k-means per subspace
+    (code = assignment label); bits=9 quantization keeps the ADC integer
+    budget inside int64.  Returns (codes_df with columns vid, code_0..m-1,
+    centroids {sub: {cid: [int]}}).
+
+    Scale: training sees each subvector once per iteration (one groupBy);
+    encoding IS the final assignment (no extra pass); codes are m small ints
+    per corpus row — the only corpus-sized artifact."""
+    from .clustering import kmeans_fixed_point
+
+    d_sub = dim // m
+    codes = None
+    centroids: dict[int, dict[int, list[int]]] = {}
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("vid"),
+            F.expr(f"slice({vec_col}, {j * d_sub + 1}, {d_sub})").alias("embedding"),
+        )
+        assigned, cents = kmeans_fixed_point(
+            sub, k=k, iters=iters, id_col="vid", vec_col="embedding",
+            bits=bits, with_centroids=True,
+        )
+        assigned = assigned.select("vid", F.col("cluster").alias(f"code_{j}"))
+        centroids[j] = cents
+        codes = assigned if codes is None else codes.join(assigned, "vid")
+    return codes, centroids
+
+
+def topk_pq_adc(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    n_queries: int = 4,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 9,
+) -> DataFrame:
+    """Asymmetric-distance-computation top-k: approx d(q, x) = Σ_j
+    ||q_j − centroid(code_j(x))||², with the n_queries·m·k distance table
+    precomputed DRIVER-SIDE and inlined as array literals — the corpus scan
+    is a pure shuffle-free projection over the code columns (array index per
+    subspace), followed by one per-query top-k window.  All arithmetic is
+    exact int64 (quantized queries vs integer centroids), so the DuckDB
+    oracle agrees bit-for-bit — the approximation is in the QUANTIZER, not
+    the evaluation.
+
+    Queries are the n_queries smallest ids (deterministic, mirrors the IVF
+    query convention).  At 10^12 rows: the distance tables are a plan
+    literal (no broadcast, no join); the only shuffle is the final top-k."""
+    import math as _math
+
+    codes, centroids = pq_encode(
+        emb, m=m, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col, bits=bits
+    )
+    d_sub = dim // m
+    scale = float(1 << bits)
+    qrows = (
+        emb.select(F.col(id_col).alias("qid"), vec_col)
+        .orderBy("qid")
+        .limit(n_queries)
+        .collect()
+    )
+    out_parts = []
+    for qr in qrows:
+        qv = [int(_math.floor(float(x) * scale + 0.5)) for x in qr[vec_col]]
+        dist_terms = []
+        for j in range(m):
+            qsub = qv[j * d_sub : (j + 1) * d_sub]
+            cents = centroids[j]
+            # codes are init ids (arbitrary); map via a dense array ordered
+            # by cid with a CASE fallback-free index: array literal indexed
+            # by position of code in the sorted cid list
+            cids = sorted(cents)
+            lut = [
+                sum((a - b) * (a - b) for a, b in zip(qsub, cents[cid]))
+                for cid in cids
+            ]
+            idx = (
+                "array_position(array("
+                + ", ".join(f"cast({c} as bigint)" for c in cids)
+                + f"), code_{j})"
+            )
+            dist_terms.append(
+                f"element_at(array({', '.join(str(v) for v in lut)}), cast({idx} as int))"
+            )
+        out_parts.append(
+            codes.select(
+                F.lit(int(qr["qid"])).alias("qid"),
+                F.col("vid"),
+                F.expr(" + ".join(f"({t})" for t in dist_terms)).alias("adc_dist"),
+            )
+        )
+    scored = out_parts[0]
+    for p in out_parts[1:]:
+        scored = scored.unionByName(p)
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("vid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("qid", "vid", "adc_dist", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def topk_pq_adc_oracle_sql(
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    n_queries: int = 4,
+    topk: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 9,
+) -> str:
+    """DuckDB replay: per-subspace k-means CTEs (with centroids) + the same
+    integer ADC sum, computed by JOINs instead of inlined tables — an
+    independently-shaped plan over the same definition."""
+    from .clustering import _quant_expr, kmeans_oracle_sql
+
+    d_sub = dim // m
+    ctes = [
+        f"qids as (select {id_col} as qid from {table} order by qid limit {n_queries})"
+    ]
+    dsum = []
+    for j in range(m):
+        ctes.append(
+            f"sub{j} as (select {id_col} as vid, "
+            f"{vec_col}[{j * d_sub + 1}:{(j + 1) * d_sub}] as embedding from {table})"
+        )
+        km = kmeans_oracle_sql(
+            k=k, iters=iters, dim=d_sub, table=f"sub{j}",
+            id_col="vid", vec_col="embedding", bits=bits, with_centroids=True,
+        )
+        ctes.append(f"enc{j} as ({km})")
+        quant = _quant_expr("embedding", bits, "duckdb")
+        ctes.append(
+            f"q{j} as (select s.vid as qid, {quant} as qq from sub{j} s "
+            f"join qids on s.vid = qids.qid)"
+        )
+        ctes.append(
+            f"qd{j} as (select q{j}.qid, e.cluster as code, "
+            f"list_reduce(list_prepend(cast(0 as bigint), "
+            f"list_transform(list_zip(q{j}.qq, e.cq), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+            f"(s, x) -> s + x) as dj "
+            f"from q{j} cross join (select distinct cluster, cq from enc{j}) e)"
+        )
+        dsum.append(f"qd{j}.dj")
+    enc_joins = " ".join(
+        f"join enc{j} on enc{j}.vid = enc0.vid" for j in range(1, m)
+    )
+    ctes.append(
+        "adc as (select qids.qid as qid, enc0.vid as vid, "
+        + " + ".join(dsum)
+        + " as adc_dist from qids cross join enc0 "
+        + enc_joins
+        + " "
+        + " ".join(
+            f"join qd{j} on qd{j}.qid = qids.qid and qd{j}.code = enc{j}.cluster"
+            for j in range(m)
+        )
+        + ")"
+    )
+    return (
+        "with " + ", ".join(ctes)
+        + f""" select qid, vid, adc_dist, cast(rn as int) as rank from (
+            select qid, vid, adc_dist,
+                   row_number() over (partition by qid order by adc_dist, vid) as rn
+            from adc) where rn <= {topk}"""
+    )

@@ -4338,3 +4338,23 @@ def q_semdedup_oracle() -> str:
 
 
 QUERIES["semdedup"] = (q_semdedup, q_semdedup_oracle)
+
+
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN: per-subspace k-means codebooks (4x16), ADC top-10
+    for the 4 smallest-id queries via driver-inlined integer distance
+    tables — the corpus scan is a shuffle-free projection over the code
+    columns (similarity.topk_pq_adc)."""
+    from ..operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.topk_pq_adc(emb, m=4, k=16, iters=2, dim=64)
+
+
+def q_pq_adc_oracle() -> str:
+    from ..operators import similarity
+
+    return similarity.topk_pq_adc_oracle_sql(m=4, k=16, iters=2, dim=64)
+
+
+QUERIES["pq_adc"] = (q_pq_adc, q_pq_adc_oracle)
