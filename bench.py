@@ -328,6 +328,7 @@ def main():
         "media_phash_pairs",
         "semdedup",
         "pq_adc",
+        "temperature_mix",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -361,3 +361,75 @@ def corpus_shuffle_oracle_sql(
                cast(row_number() over (order by bucket, k, doc_id) - 1 as bigint)
                as global_pos
         from staged"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (training-mixture curriculum)
+# ---------------------------------------------------------------------------
+def _temp_mix_sql(
+    d: str,
+    temperature: float,
+    target_frac: float,
+    table: str = "documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """Shared dual-dialect SQL for temperature mixing.
+
+    Mixture weight per source: w_s = c_s^(1/T) — T=1 keeps natural
+    proportions, T→∞ flattens to uniform (the multilingual-training
+    rebalancing rule, e.g. mC4/XLM-R).  Per-source keep rate
+    r_s = min(1, target_frac·N·w_s / (Σw · c_s)); a doc survives iff its
+    60-bit hash fraction u(id) < r_s.
+
+    Exactness: T=2 is computed as sqrt(c) — IEEE-correctly-rounded in both
+    engines, so rates are bit-identical; other T use pow() (documented
+    last-ulp risk at the accept boundary, measure-zero under the 60-bit u).
+    The rate table is one tiny agg joined back broadcast; the corpus never
+    shuffles."""
+    if temperature == 2.0:
+        w = "sqrt(cast(c as double))"
+    elif temperature == 1.0:
+        w = "cast(c as double)"
+    else:
+        w = f"power(cast(c as double), {flit(1.0 / temperature)})"
+    u = prand(concat_str(["'mix:'", id_col], d), d)
+    return f"""
+        with __src as (
+            select {source_col} as src, count(*) as c from {table}
+            group by {source_col}
+        ),
+        __tot as (
+            select sum(c) as n, sum({w}) as sumw from __src
+        ),
+        __rates as (
+            select src,
+                   least(1.0e0, {flit(target_frac)} * cast(n as double) * ({w})
+                         / (sumw * cast(c as double))) as rate
+            from __src cross join __tot
+        )
+        select t.{id_col} as {id_col}, t.{source_col} as source
+        from {table} t join __rates r on t.{source_col} = r.src
+        where ({u}) < r.rate
+    """
+
+
+def temperature_mix(
+    spark,
+    temperature: float = 2.0,
+    target_frac: float = 0.5,
+    table: str = "documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic temperature-scaled mixture over a registered table
+    (see _temp_mix_sql).  The rate dimension is a per-source aggregate that
+    Spark broadcasts into the corpus scan — at 10^12 docs the corpus is
+    touched twice (count, filter) and shuffled never; the id-hash acceptance
+    makes the sample reproducible across cluster sizes."""
+    return spark.sql(
+        _temp_mix_sql(
+            SPARK, temperature, target_frac,
+            table=table, source_col=source_col, id_col=id_col,
+        )
+    )

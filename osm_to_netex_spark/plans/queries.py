@@ -4358,3 +4358,23 @@ def q_pq_adc_oracle() -> str:
 
 
 QUERIES["pq_adc"] = (q_pq_adc, q_pq_adc_oracle)
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (T=2, target 50%): the
+    multilingual-rebalancing sampling rule, deterministic by id hash
+    (sampling.temperature_mix; rates via sqrt so both engines round
+    identically)."""
+    from ..operators import sampling
+
+    register_geometry_views(spark, sf_dir)
+    return sampling.temperature_mix(spark, temperature=2.0, target_frac=0.5)
+
+
+def q_temperature_mix_oracle() -> str:
+    from ..operators import sampling
+
+    return sampling._temp_mix_sql(DUCK, 2.0, 0.5)
+
+
+QUERIES["temperature_mix"] = (q_temperature_mix, q_temperature_mix_oracle)
