@@ -329,6 +329,7 @@ def main():
         "semdedup",
         "pq_adc",
         "temperature_mix",
+        "cell_boundary",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -624,3 +624,55 @@ def poly_perimeter_m(pl: str, d: str) -> str:
     yi, xi, yj, xj = _edge_vertices(pl, d)
     leg = haversine_m(f"({yi})", f"({xi})", f"({yj})", f"({xj})", d)
     return _edge_sum(pl, f"({leg})", d)
+
+
+# ---------------------------------------------------------------------------
+# cell → boundary ring (H3 cellToBoundary / S2 GetVertex analogue)
+# ---------------------------------------------------------------------------
+def _flat_array(terms: list[str], d: str) -> str:
+    return f"array({', '.join(terms)})" if d == SPARK else f"[{', '.join(terms)}]"
+
+
+def hex_boundary(cell: str, res: int, d: str) -> str:
+    """Flat [lat0,lon0,...,lat5,lon5] ring of a hex cell — pointy-top, CCW
+    from the top vertex.  Vertex offsets are PRECOMPUTED python-float
+    literals (one add per coordinate), and the center uses the exact same
+    op sequence as hex_cell_classify's clat/clon — both engines emit
+    bit-identical doubles."""
+    s = hex_size_deg(res)
+    h = math.sqrt(3.0) / 2.0 * s
+    q, r = hex_unpack(cell, res, d)
+    clat = f"({flit(1.5 * s)} * ({r}))"
+    clon = f"({flit(math.sqrt(3.0) * s)} * (({q}) + ({r}) / 2.0e0))"
+    offs = [  # (dlat, dlon) at angles 90,150,210,270,330,30 — CCW
+        (s, 0.0), (0.5 * s, -h), (-0.5 * s, -h),
+        (-s, 0.0), (-0.5 * s, h), (0.5 * s, h),
+    ]
+    offs.append(offs[0])  # pos_list rings are CLOSED (first == last)
+    terms = []
+    for dy, dx in offs:
+        terms.append(f"(__b.clat + {flit(dy)})")
+        terms.append(f"(__b.clon + {flit(dx)})")
+    return let_({"clat": clat, "clon": clon}, _flat_array(terms, d), d)
+
+
+def quad_boundary(cell: str, res: int, d: str) -> str:
+    """Flat [lat,lon]×4 ring of a quad cell — CCW from the SW corner.
+    Corner coords are ix·step − 180 (etc.) with step a python-float literal,
+    identical in both engines."""
+    n = 2**res
+    ix, iy = quad_unpack(cell, res, d)
+    latstep, lonstep = 180.0 / n, 360.0 / n
+    lat_lo = f"(__b.fiy * {flit(latstep)} - 90.0e0)"
+    lat_hi = f"((__b.fiy + 1.0e0) * {flit(latstep)} - 90.0e0)"
+    lon_lo = f"(__b.fix * {flit(lonstep)} - 180.0e0)"
+    lon_hi = f"((__b.fix + 1.0e0) * {flit(lonstep)} - 180.0e0)"
+    terms = [
+        lat_lo, lon_lo, lat_lo, lon_hi, lat_hi, lon_hi, lat_hi, lon_lo,
+        lat_lo, lon_lo,  # pos_list rings are CLOSED (first == last)
+    ]
+    return let_(
+        {"fix": f"cast({ix} as double)", "fiy": f"cast({iy} as double)"},
+        _flat_array(terms, d),
+        d,
+    )

@@ -4378,3 +4378,54 @@ def q_temperature_mix_oracle() -> str:
 
 
 QUERIES["temperature_mix"] = (q_temperature_mix, q_temperature_mix_oracle)
+
+
+def q_cell_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cellToBoundary for the occupied res-8 hex and quad cells of
+    geo_points: 6 (hex) / 4 (quad) exploded vertices per distinct cell, CCW.
+    The ring array is staged as a column before the explode so the boundary
+    expression evaluates once per cell, not once per vertex."""
+    register_geometry_views(spark, sf_dir)
+    out = []
+    for scheme, nv, bfn, cfn in (
+        ("hex", 6, geo.hex_boundary, geo.hex_cell),
+        ("quad", 4, geo.quad_boundary, geo.quad_cell),
+    ):
+        cells = spark.table("geo_points").selectExpr(
+            f"{cfn('lat', 'lon', 8, SPARK)} as cell"
+        ).distinct()
+        staged = cells.selectExpr("cell", f"{bfn('cell', 8, SPARK)} as b")
+        out.append(
+            staged.selectExpr(
+                f"'{scheme}' as scheme",
+                "cell",
+                f"explode(sequence(1, {nv})) as v_idx",
+                "b",
+            ).selectExpr(
+                "scheme", "cell", "v_idx",
+                "element_at(b, 2 * v_idx - 1) as vlat",
+                "element_at(b, 2 * v_idx) as vlon",
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+def q_cell_boundary_oracle() -> str:
+    parts = []
+    for scheme, nv, bfn, cfn in (
+        ("hex", 6, geo.hex_boundary, geo.hex_cell),
+        ("quad", 4, geo.quad_boundary, geo.quad_cell),
+    ):
+        parts.append(f"""
+            select '{scheme}' as scheme, cell, t.v as v_idx,
+                   b[2 * t.v - 1] as vlat, b[2 * t.v] as vlon
+            from (
+                select cell, {bfn('cell', 8, DUCK)} as b
+                from (select distinct {cfn('lat', 'lon', 8, DUCK)} as cell
+                      from geo_points)
+            ) cross join unnest(generate_series(1, {nv})) t(v)
+        """)
+    return f"{duck_geometry_ctes()} " + " union all ".join(parts)
+
+
+QUERIES["cell_boundary"] = (q_cell_boundary, q_cell_boundary_oracle)
