@@ -61,24 +61,95 @@ class SnapshotCatalog:
                 out.append(json.load(fh))
         return out
 
+    # -- hidden partitioning -------------------------------------------------
+    @staticmethod
+    def _partition_col_expr(spec: dict) -> str:
+        """SQL expression deriving a partition value from its SOURCE column —
+        the Iceberg 'hidden partitioning' contract: queries filter on the
+        source column, the layout/pruning runs on the transform."""
+        t, c = spec["transform"], spec["col"]
+        if t == "identity":
+            return c
+        if t == "bucket":
+            # portable 60-bit md5 hash (functions.portable.phash60 formula)
+            return (
+                f"cast(conv(substring(md5(cast({c} as string)), 1, 15), 16, 10) "
+                f"as bigint) % {int(spec['n'])}"
+            )
+        if t == "truncate":
+            return f"(cast({c} as bigint) div {int(spec['n'])}) * {int(spec['n'])}"
+        if t == "day":
+            return f"cast(date_trunc('DAY', {c}) as date)"
+        raise ValueError(f"unknown partition transform {t!r}")
+
+    @staticmethod
+    def partition_value(spec: dict, value):
+        """Driver-side replica of _partition_col_expr for pruning literals."""
+        t = spec["transform"]
+        if t == "identity":
+            return value
+        if t == "bucket":
+            import hashlib
+
+            h = int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+            return h % int(spec["n"])
+        if t == "truncate":
+            return (int(value) // int(spec["n"])) * int(spec["n"])
+        raise ValueError(f"no driver-side transform for {t!r}")
+
+    @staticmethod
+    def _pname(spec: dict) -> str:
+        return f"__p_{spec['transform']}_{spec['col']}"
+
     # -- write --------------------------------------------------------------
     def commit(
         self, df: DataFrame, table: str, mode: str = "append",
         extra_meta: dict | None = None,
+        partition_spec: list[dict] | None = None,
     ) -> str:
         """Write df as a new immutable snapshot; returns snapshot_id.
 
         append: new snapshot = previous data dirs + new dir (no rewrite);
         overwrite: new snapshot = new dir only.  The metadata json is written
         via atomic rename, so a crash mid-write never exposes a torn table.
-        """
+
+        partition_spec: Iceberg-style hidden partitioning — a list of
+        {"transform": "identity"|"bucket"|"truncate"|"day", "col": ...,
+        "n": ...} dicts.  Data files land under one directory level per
+        transform (physical layout), readers never see the derived columns,
+        and `scan_partitions` prunes directories from a predicate on the
+        SOURCE column.  Appends must reuse the table's active spec (a spec
+        change needs an overwrite — partition-spec evolution on carried
+        files is out of scope; Iceberg proper tracks per-file specs)."""
         prev = self.current_snapshot(table)
+        if mode == "append" and prev is not None:
+            active = prev.get("partition_spec")
+            if partition_spec is None:
+                partition_spec = active
+            elif json.dumps(partition_spec, sort_keys=True) != json.dumps(
+                active, sort_keys=True
+            ):
+                raise ValueError(
+                    "append must reuse the table's partition spec; "
+                    "overwrite to change it"
+                )
         merge = bool(prev and prev.get("merge_schema")) if mode == "append" else False
         if mode == "append" and prev and prev.get("schema"):
             merge = self._check_evolution(prev, df) or merge
         snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.root, table, "snapshots", snap_id)
-        df.write.mode("overwrite").parquet(data_dir)
+        if partition_spec:
+            from pyspark.sql import functions as F
+
+            out = df
+            pnames = []
+            for spec in partition_spec:
+                pn = self._pname(spec)
+                out = out.withColumn(pn, F.expr(self._partition_col_expr(spec)))
+                pnames.append(pn)
+            out.write.mode("overwrite").partitionBy(*pnames).parquet(data_dir)
+        else:
+            df.write.mode("overwrite").parquet(data_dir)
 
         seq = (prev["sequence"] + 1) if prev else 0
         dirs = [data_dir]
@@ -101,6 +172,7 @@ class SnapshotCatalog:
             "delete_dirs": dels,
             "eq_deletes": eqs,
             "data_seq": data_seq,
+            "partition_spec": partition_spec,
             "schema": json.loads(df.schema.json()),
             "merge_schema": merge,
             "committed_at_ms": int(time.time() * 1000),
@@ -419,19 +491,43 @@ class SnapshotCatalog:
             df = df.drop("__seq")
         return df
 
+    def _read_base(self, meta: dict, with_pos: bool, pfilter=None) -> DataFrame:
+        """Raw rows of a snapshot's data dirs, derived partition columns
+        dropped, optional (__fp, __ri) physical identity.  Partitioned
+        multi-dir snapshots are read per-dir and unioned: each append dir is
+        its own partition-discovery root (a shared basePath would make the
+        snapshot-id level look like a partition), and the spec is enforced
+        identical across appends so the union is by name.  ``pfilter`` (a
+        predicate on a derived __p_ column) is applied per dir BEFORE the
+        drop — that is where directory pruning happens."""
+        from pyspark.sql import functions as F
+
+        opt = str(meta.get("merge_schema", False)).lower()
+
+        def one(paths):
+            df = self.spark.read.option("mergeSchema", opt).parquet(*paths)
+            if pfilter is not None:
+                df = df.where(pfilter)
+            if with_pos:
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__fp"),
+                    F.col("_metadata.row_index").alias("__ri"),
+                )
+            return df.drop(*[c for c in df.columns if c.startswith("__p_")])
+
+        dirs = meta["data_dirs"]
+        if meta.get("partition_spec") and len(dirs) > 1:
+            out = one([dirs[0]])
+            for d in dirs[1:]:
+                out = out.unionByName(one([d]), allowMissingColumns=True)
+            return out
+        return one(dirs)
+
     def _read_with_pos(self, meta: dict) -> DataFrame:
         """Current rows of a snapshot plus their physical identity
         (__fp, __ri) = (file path, row index), deletes already applied."""
-        from pyspark.sql import functions as F
-
-        df = self.spark.read.option(
-            "mergeSchema", str(meta.get("merge_schema", False)).lower()
-        ).parquet(*meta["data_dirs"]).select(
-            "*",
-            F.col("_metadata.file_path").alias("__fp"),
-            F.col("_metadata.row_index").alias("__ri"),
-        )
-        return self._apply_deletes(df, meta)
+        return self._apply_deletes(self._read_base(meta, with_pos=True), meta)
 
     def delete_where(self, table: str, condition: str) -> dict:
         """Iceberg-v2-style positional delete: rows matching ``condition``
@@ -457,7 +553,7 @@ class SnapshotCatalog:
         hits.write.mode("overwrite").parquet(del_dir)
         n = self.spark.read.parquet(del_dir).count()
         new_meta = {
-            **{k: meta[k] for k in ("schema", "merge_schema") if k in meta},
+            **{k: meta[k] for k in ("schema", "merge_schema", "partition_spec") if k in meta},
             "snapshot_id": snap_id,
             "sequence": meta["sequence"] + 1,
             "mode": "delete",
@@ -503,7 +599,7 @@ class SnapshotCatalog:
         keys.distinct().write.mode("overwrite").parquet(eq_dir)
         n_keys = self.spark.read.parquet(eq_dir).count()
         new_meta = {
-            **{k: meta[k] for k in ("schema", "merge_schema") if k in meta},
+            **{k: meta[k] for k in ("schema", "merge_schema", "partition_spec") if k in meta},
             "snapshot_id": snap_id,
             "sequence": seq,
             "mode": "eq_delete",
@@ -565,7 +661,7 @@ class SnapshotCatalog:
         to_append.write.mode("overwrite").parquet(data_dir)
         n_appended = self.spark.read.parquet(data_dir).count()
         new_meta = {
-            **{k: meta[k] for k in ("schema", "merge_schema") if k in meta},
+            **{k: meta[k] for k in ("schema", "merge_schema", "partition_spec") if k in meta},
             "snapshot_id": snap_id,
             "sequence": seq,
             "mode": "merge",
@@ -811,6 +907,57 @@ class SnapshotCatalog:
             df = self._apply_deletes(df, meta).drop("__fp", "__ri")
         return df.where(pred)
 
+    def scan_partitions(self, table: str, col: str, value, snapshot_id: str | None = None) -> DataFrame:
+        """Equality read pruned by HIDDEN partitioning: the predicate is on
+        the SOURCE column; the catalog translates it through the table's
+        partition transform (driver-side replica of the SQL expression) and
+        filters on the derived directory column — Spark's scan then lists
+        only the matching partition directories (PartitionFilters in the
+        plan), never touching the rest of the layout.  Falls back to a plain
+        filter when the column is not partition-driving.  Positional and
+        equality deletes still apply."""
+        from pyspark.sql import functions as F
+
+        meta = self._pin(table, snapshot_id)
+        spec = next(
+            (s for s in (meta.get("partition_spec") or []) if s["col"] == col), None
+        )
+        if spec is None:
+            return self.read(table, meta["snapshot_id"]).where(F.col(col) == F.lit(value))
+        pv = self.partition_value(spec, value)
+        df = self._read_base(
+            meta, with_pos=True, pfilter=(F.col(self._pname(spec)) == F.lit(pv))
+        )
+        return (
+            self._apply_deletes(df, meta)
+            .drop("__fp", "__ri")
+            .where(F.col(col) == F.lit(value))
+        )
+
+    def count_rows(self, table: str, snapshot_id: str | None = None) -> int:
+        """Metadata-only COUNT(*): summed parquet-footer row counts (no Spark
+        job, no data read), minus the positional tombstones (their (file,
+        row) pairs are disjoint by construction — delete_where only pins
+        LIVE rows).  Equality deletes cannot be counted from metadata, so
+        their presence falls back to the exact scan."""
+        import pyarrow.parquet as pq
+
+        meta = self._pin(table, snapshot_id)
+        if meta.get("eq_deletes"):
+            return self.read(table, meta["snapshot_id"]).count()
+        total = 0
+        for d in meta["data_dirs"]:
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        for d in meta.get("delete_dirs", []):
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total -= pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+
     # -- read ---------------------------------------------------------------
     def read(self, table: str, snapshot_id: str | None = None) -> DataFrame:
         """Read the table pinned at a snapshot (default: current)."""
@@ -830,9 +977,7 @@ class SnapshotCatalog:
     def _df_from_meta(self, meta: dict) -> DataFrame:
         if meta.get("delete_dirs") or meta.get("eq_deletes"):
             return self._read_with_pos(meta).drop("__fp", "__ri")
-        return self.spark.read.option(
-            "mergeSchema", str(meta.get("merge_schema", False)).lower()
-        ).parquet(*meta["data_dirs"])
+        return self._read_base(meta, with_pos=False)
 
 
 def write_bucketed(
