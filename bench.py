@@ -330,6 +330,7 @@ def main():
         "pq_adc",
         "temperature_mix",
         "cell_boundary",
+        "rrf_hybrid",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

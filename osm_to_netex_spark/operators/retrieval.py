@@ -181,3 +181,107 @@ def top_terms(
         .where(F.col("rank") <= n)
         .select(F.col("stratum").alias(stratum_col), "term", "n_occ", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of sparse (BM25) + dense (cosine)
+# ---------------------------------------------------------------------------
+def rrf_hybrid(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    n_list: int = 50,
+    k_const: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Hybrid search the way production RAG stacks rank (Cormack et al.
+    2009 RRF): fuse the BM25 top-``n_list`` and the dense cosine
+    top-``n_list`` (query = the ``query_vec_id`` document's embedding;
+    doc_id ≡ vec_id) by score = Σ 1/(k + rank), docs missing from a list
+    contributing 0.  Ranks are integers and the fusion is a FIXED two-term
+    IEEE sequence (div, div, add) — both engines produce bit-identical
+    scores, so the fused order is exact, ties broken by doc_id.
+
+    Scale: each list is already top-n_list (tiny); the fusion is a
+    broadcast-sized outer join + one TakeOrderedAndProject.  The corpus is
+    touched only inside the two underlying rankers."""
+    from pyspark.sql import Window
+
+    from .dedup import cosine_expr
+
+    bm = bm25_topk(docs, query_terms, k=n_list)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm_r = bm.withColumn("r_sparse", F.row_number().over(w)).select(
+        "doc_id", "r_sparse"
+    )
+    q = emb.where(F.col("vec_id") == query_vec_id).selectExpr(
+        "embedding as q_embedding"
+    )
+    dense = (
+        emb.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .selectExpr(
+            "vec_id",
+            f"round({cosine_expr('embedding', 'q_embedding', SPARK)}, 6) as cos",
+        )
+    )
+    wd = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    dense_r = (
+        dense.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(n_list)
+        .withColumn("r_dense", F.row_number().over(wd))
+        .selectExpr("vec_id as doc_id", "r_dense")
+    )
+    fused = bm_r.join(dense_r, "doc_id", "full_outer").selectExpr(
+        "doc_id",
+        f"(coalesce(1.0e0 / ({k_const} + r_sparse), 0.0e0) + "
+        f"coalesce(1.0e0 / ({k_const} + r_dense), 0.0e0)) as rrf",
+        # 0 = absent from that list (null would canonicalize as NaN)
+        "coalesce(r_sparse, 0) as r_sparse",
+        "coalesce(r_dense, 0) as r_dense",
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(topk)
+
+
+def rrf_hybrid_oracle_sql(
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    n_list: int = 50,
+    k_const: int = 60,
+    topk: int = 20,
+) -> str:
+    """DuckDB replay: nested BM25 oracle + the same dense ranking + the same
+    fixed-sequence fusion."""
+    from .dedup import cosine_expr
+
+    bm = bm25_topk_oracle_sql(query_terms, k=n_list)
+    cos = cosine_expr("c.embedding", "q.embedding", DUCK)
+    return f"""
+        with bm as (
+            select doc_id, row_number() over (order by score desc, doc_id asc)
+                   as r_sparse
+            from ({bm})
+        ),
+        dense0 as (
+            select c.vec_id as doc_id, round({cos}, 6) as cos
+            from embeddings c cross join
+                 (select embedding from embeddings where vec_id = {query_vec_id}) q
+            where c.vec_id <> {query_vec_id}
+        ),
+        dense as (
+            select doc_id, row_number() over (order by cos desc, doc_id asc)
+                   as r_dense
+            from (select * from dense0 order by cos desc, doc_id asc limit {n_list})
+        ),
+        fused as (
+            select coalesce(bm.doc_id, dense.doc_id) as doc_id,
+                   (coalesce(1.0e0 / ({k_const} + bm.r_sparse), 0.0e0) +
+                    coalesce(1.0e0 / ({k_const} + dense.r_dense), 0.0e0)) as rrf,
+                   coalesce(bm.r_sparse, 0) as r_sparse,
+                   coalesce(dense.r_dense, 0) as r_dense
+            from bm full outer join dense on bm.doc_id = dense.doc_id
+        )
+        select doc_id, rrf, r_sparse, r_dense from fused
+        order by rrf desc, doc_id asc limit {topk}
+    """

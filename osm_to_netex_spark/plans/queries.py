@@ -4429,3 +4429,23 @@ def q_cell_boundary_oracle() -> str:
 
 
 QUERIES["cell_boundary"] = (q_cell_boundary, q_cell_boundary_oracle)
+
+
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 + dense cosine top-50 fused by
+    reciprocal-rank (retrieval.rrf_hybrid) — integer ranks, fixed IEEE
+    fusion sequence, exact cross-engine."""
+    from ..operators import retrieval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return retrieval.rrf_hybrid(docs, emb, _BM25_TERMS, query_vec_id=0)
+
+
+def q_rrf_hybrid_oracle() -> str:
+    from ..operators import retrieval
+
+    return retrieval.rrf_hybrid_oracle_sql(_BM25_TERMS, query_vec_id=0)
+
+
+QUERIES["rrf_hybrid"] = (q_rrf_hybrid, q_rrf_hybrid_oracle)
