@@ -331,6 +331,7 @@ def main():
         "temperature_mix",
         "cell_boundary",
         "rrf_hybrid",
+        "flow_rose",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

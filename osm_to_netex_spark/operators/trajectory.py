@@ -859,3 +859,69 @@ def resample_track(
     return spark.sql(
         resample_track_sql(SPARK, "__rs_events", step_s=step_s, synthesize=synthesize)
     )
+
+
+# ---------------------------------------------------------------------------
+# Flow rose: per-cell movement-direction histogram
+# ---------------------------------------------------------------------------
+def flow_rose_sql(d: str, res: int = 9, traj_table: str = "geo_traj") -> str:
+    """Per-cell 8-sector direction rose — the flow-map primitive (where does
+    traffic through this tile head?): every consecutive fix pair contributes
+    one leg to the quad cell of its START fix, classified into compass
+    octants E=0, NE=1, N=2, ... SE=7.
+
+    Trig-free octant: the 22.5° sector boundaries are decided by comparing
+    |dlat| / |dlon| against tan(22.5°)·|other| — one float literal, one
+    multiply, one compare, in a FIXED-order CASE, so both engines classify
+    every leg identically (boundary legs deterministically too).  Zero-length
+    legs are dropped.  Leg length is haversine meters rounded to integer mm,
+    so per-cell totals fold exactly.
+
+    Scale: one lead() window per trajectory (the only corpus shuffle) + one
+    map-side-combined groupBy over (cell, octant) — the output is
+    cell-table-sized, never corpus-sized."""
+    import math as _m
+
+    from ..functions import geo
+
+    t = flit(_m.tan(_m.radians(22.5)))
+    lead_la = "lead(lat) over (partition by traj_id order by step)"
+    lead_lo = "lead(lon) over (partition by traj_id order by step)"
+    cell = geo.quad_cell("lat", "lon", res, d)
+    dist = haversine_m("lat", "lon", "nlat", "nlon", d)
+    return f"""
+        with legs as (
+            select traj_id, lat, lon, {lead_la} as nlat, {lead_lo} as nlon
+            from {traj_table}
+        ),
+        classified as (
+            select {cell} as cell,
+                   (case
+                        when adx = 0.0e0 and ady = 0.0e0 then -1
+                        when ady <= {t} * adx then (case when dlon > 0.0e0 then 0 else 4 end)
+                        when adx <= {t} * ady then (case when dlat > 0.0e0 then 2 else 6 end)
+                        when dlon > 0.0e0 and dlat > 0.0e0 then 1
+                        when dlon < 0.0e0 and dlat > 0.0e0 then 3
+                        when dlon < 0.0e0 and dlat < 0.0e0 then 5
+                        else 7
+                    end) as octant,
+                   cast(round(({dist}) * 1000.0e0) as bigint) as len_mm
+            from (
+                select lat, lon, nlat, nlon,
+                       (nlat - lat) as dlat, (nlon - lon) as dlon,
+                       abs(nlon - lon) as adx, abs(nlat - lat) as ady
+                from legs where nlat is not null
+            )
+        )
+        select cell, octant,
+               cast(count(*) as bigint) as n_legs,
+               cast(sum(len_mm) as bigint) as total_mm
+        from classified
+        where octant >= 0
+        group by cell, octant
+    """
+
+
+def flow_rose(spark: SparkSession, res: int = 9, traj_table: str = "geo_traj") -> DataFrame:
+    """Engine entry for flow_rose_sql (see there)."""
+    return spark.sql(flow_rose_sql(SPARK, res=res, traj_table=traj_table))

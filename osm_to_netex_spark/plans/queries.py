@@ -4449,3 +4449,27 @@ def q_rrf_hybrid_oracle() -> str:
 
 
 QUERIES["rrf_hybrid"] = (q_rrf_hybrid, q_rrf_hybrid_oracle)
+
+
+def q_flow_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell 8-sector direction rose over the geo_traj tracks: trig-free
+    tan(22.5°)-comparison octants, integer-mm leg lengths
+    (trajectory.flow_rose)."""
+    from ..operators import trajectory
+
+    register_geometry_views(spark, sf_dir)
+    spark.sql(f"create or replace temp view geo_traj as {traj_sql(SPARK)}")
+    return trajectory.flow_rose(spark, res=9)
+
+
+def q_flow_rose_oracle() -> str:
+    from ..operators import trajectory
+
+    body = trajectory.flow_rose_sql(DUCK, res=9, traj_table="geo_traj")
+    return (
+        f"{duck_geometry_ctes()}, geo_traj as ({traj_sql(DUCK)}), "
+        f"__fr as ({body}) select * from __fr"
+    )
+
+
+QUERIES["flow_rose"] = (q_flow_rose, q_flow_rose_oracle)
