@@ -332,6 +332,7 @@ def main():
         "cell_boundary",
         "rrf_hybrid",
         "flow_rose",
+        "profile",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

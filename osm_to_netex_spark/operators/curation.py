@@ -120,3 +120,68 @@ def curate_corpus_oracle_sql(
         )
         select doc_id, {split} as split from final
     """
+
+
+# ---------------------------------------------------------------------------
+# Column profiler — one-scan data-quality stats
+# ---------------------------------------------------------------------------
+def profile_sql(
+    d: str,
+    table: str,
+    numeric_cols: list[str],
+    string_cols: list[str],
+) -> str:
+    """Per-column profile rows (col, n_rows, n_null, n_distinct, min_num,
+    max_num) — the ingest-gate stats a 100 TB pipeline checks before a
+    table is promoted (nulls exploding? key cardinality collapsed?).
+
+    ONE corpus scan: every aggregate folds in a single pass (the exact
+    count(distinct)s expand the scan k-ways map-side — the standard plan —
+    but never re-read the table); the 1×(6k) aggregate row is then
+    unpivoted into k rows of 6.  String columns report min/max of the
+    portable 60-bit content hash instead of lexicographic min/max (string
+    ordering/formatting is not engine-portable; the hash extremes are a
+    deterministic content fingerprint that moves when the value set
+    drifts)."""
+    from ..functions.portable import SPARK as _S, phash60
+
+    aggs = []
+    structs = []
+    for c in numeric_cols + string_cols:
+        if c in numeric_cols:
+            val = f"cast({c} as double)"
+        else:
+            val = f"cast({phash60(c, d)} as double)"
+        aggs += [
+            f"count({c}) as nn_{c}",
+            f"count(distinct {c}) as nd_{c}",
+            f"min({val}) as mn_{c}",
+            f"max({val}) as mx_{c}",
+        ]
+        fields = (
+            f"'col', '{c}', 'n_rows', n_rows, 'n_null', n_rows - nn_{c}, "
+            f"'n_distinct', nd_{c}, 'min_num', mn_{c}, 'max_num', mx_{c}"
+            if d == _S
+            else f"col := '{c}', n_rows := n_rows, n_null := n_rows - nn_{c}, "
+            f"n_distinct := nd_{c}, min_num := mn_{c}, max_num := mx_{c}"
+        )
+        structs.append(
+            f"named_struct({fields})" if d == _S else f"struct_pack({fields})"
+        )
+    cte = f"with a as (select count(*) as n_rows, {', '.join(aggs)} from {table}) "
+    if d == _S:
+        # inline() over the struct array: `a` is referenced exactly once, so
+        # the scan is not re-inlined per output row (a UNION of per-column
+        # selects would re-scan the corpus k times)
+        return cte + f"select inline(array({', '.join(structs)})) from a"
+    return (
+        cte
+        + f"select u.* from (select unnest([{', '.join(structs)}]) as u from a)"
+    )
+
+
+def profile(spark, table: str, numeric_cols: list[str], string_cols: list[str]):
+    """Engine entry for profile_sql (see there)."""
+    from ..functions.portable import SPARK
+
+    return spark.sql(profile_sql(SPARK, table, numeric_cols, string_cols))

@@ -4473,3 +4473,29 @@ def q_flow_rose_oracle() -> str:
 
 
 QUERIES["flow_rose"] = (q_flow_rose, q_flow_rose_oracle)
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profiler over events: nulls / exact distincts /
+    numeric extremes / string content-hash extremes (curation.profile)."""
+    from ..operators import curation
+
+    register_geometry_views(spark, sf_dir)
+    return curation.profile(
+        spark, "events",
+        numeric_cols=["event_id", "user_id", "value"],
+        string_cols=["event_type", "props"],
+    )
+
+
+def q_profile_oracle() -> str:
+    from ..operators import curation
+
+    return curation.profile_sql(
+        DUCK, "events",
+        numeric_cols=["event_id", "user_id", "value"],
+        string_cols=["event_type", "props"],
+    )
+
+
+QUERIES["profile"] = (q_profile, q_profile_oracle)
