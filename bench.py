@@ -333,6 +333,7 @@ def main():
         "rrf_hybrid",
         "flow_rose",
         "profile",
+        "tile_cut",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

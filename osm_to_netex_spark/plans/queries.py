@@ -4499,3 +4499,26 @@ def q_profile_oracle() -> str:
 
 
 QUERIES["profile"] = (q_profile, q_profile_oracle)
+
+
+def q_tile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVT-style vector-tile cut: zone rings Sutherland-Hodgman-clipped to
+    every tile of their refined res-7 quad cover, quantized to the 256-unit
+    tile-local grid (operators/vectortile.py)."""
+    from ..operators import vectortile
+
+    register_geometry_views(spark, sf_dir)
+    return vectortile.tile_cut(spark.table("geo_polys"), res=7, extent=256)
+
+
+def q_tile_cut_oracle() -> str:
+    from ..operators import vectortile
+
+    body = vectortile.tile_cut_sql(DUCK, res=7, extent=256, cover_table="__tcc")
+    return (
+        f"{duck_geometry_ctes()}, __tcc as ({vectortile.duck_cover_cte(res=7)}), "
+        f"__out as ({body}) select * from __out"
+    )
+
+
+QUERIES["tile_cut"] = (q_tile_cut, q_tile_cut_oracle)
