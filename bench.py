@@ -334,6 +334,7 @@ def main():
         "flow_rose",
         "profile",
         "tile_cut",
+        "contour",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

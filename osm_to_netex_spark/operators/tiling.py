@@ -947,3 +947,132 @@ def ripley_k_oracle_sql(
                round({k}, 6) as k_hat,
                round(sqrt(({k}) / 3.141592653589793e0), 6) as l_hat
         from staged"""
+
+
+# ---------------------------------------------------------------------------
+# Marching-squares contour extraction over the cell density grid
+# ---------------------------------------------------------------------------
+def contour_sql(
+    d: str,
+    res: int = 6,
+    threshold: int = 3,
+    points_table: str = "geo_points",
+) -> str:
+    """Iso-density contour segments (marching squares) at ``threshold``
+    points/cell: per-cell counts become grid-node values (node = cell
+    center), every occupied node SCATTERS to the 4 blocks it corners (one
+    map-side-combined shuffle — the dense-neighborhood trick shared with
+    hotspot/moran), and each block emits its case's line segments with
+    linear interpolation along crossing edges.
+
+    Exactness: counts are integers, the inside test is v >= T, and a
+    crossing edge always has va >= T > vb, so the interpolation divisor is
+    a nonzero integer difference — t = (T−v0)/(v1−v0) is one exact-operand
+    IEEE division, identical both engines.  Saddle cases (5, 10) use the
+    fixed standard resolution (two segments hugging the inside corners) —
+    deterministic, documented, engine-identical.
+
+    Output: (bx, by, seg_idx, gx1, gy1, gx2, gy2) in GRID coordinates
+    (node (ix, iy) at integer (ix, iy); callers map to lon/lat via the
+    cell-center affine).  Scale: the block table is occupied-cells-sized
+    (x4), never corpus-sized."""
+    from ..functions import geo
+    from ..functions.portable import SPARK as _S
+
+    ix, iy = geo.quad_ixy("lat", "lon", res, d)
+    t01 = f"((tt - v0) / (v1 - v0))"
+    t12 = f"((tt - v1) / (v2 - v1))"
+    t32 = f"((tt - v3) / (v2 - v3))"
+    t03 = f"((tt - v0) / (v3 - v0))"
+    # edge midpoints in block-local coords (x east, y north)
+    bot = (t01, "0.0e0")
+    rgt = ("1.0e0", t12)
+    top = (t32, "1.0e0")
+    lft = ("0.0e0", t03)
+
+    def seg(a, b):
+        return [a[0], a[1], b[0], b[1]]
+
+    cases = {
+        1: seg(lft, bot), 2: seg(bot, rgt), 3: seg(lft, rgt),
+        4: seg(rgt, top), 5: seg(lft, bot) + seg(rgt, top),
+        6: seg(bot, top), 7: seg(lft, top), 8: seg(top, lft),
+        9: seg(bot, top), 10: seg(bot, rgt) + seg(top, lft),
+        11: seg(rgt, top), 12: seg(rgt, lft), 13: seg(bot, rgt),
+        14: seg(lft, bot),
+    }
+    arr = (lambda v: f"array({', '.join(v)})") if d == _S else (
+        lambda v: f"[{', '.join(v)}]"
+    )
+    empty = (
+        "cast(array() as array<double>)" if d == _S else "cast([] as double[])"
+    )
+    whens = " ".join(
+        f"when {idx} then {arr(exprs)}" for idx, exprs in sorted(cases.items())
+    )
+    case_expr = f"(case ci {whens} else {empty} end)"
+    if d == _S:
+        corners = (
+            "explode(array(named_struct('bx', ix - 1, 'by', iy - 1, 'k', 2), "
+            "named_struct('bx', ix, 'by', iy - 1, 'k', 3), "
+            "named_struct('bx', ix - 1, 'by', iy, 'k', 1), "
+            "named_struct('bx', ix, 'by', iy, 'k', 0))) as c"
+        )
+        expl = "explode(sequence(1, size(segs) div 4)) as s"
+        elem = lambda i: f"element_at(segs, cast(4*s - {i} as int))"
+    else:
+        corners = (
+            "unnest([struct_pack(bx := ix - 1, by := iy - 1, k := 2), "
+            "struct_pack(bx := ix, by := iy - 1, k := 3), "
+            "struct_pack(bx := ix - 1, by := iy, k := 1), "
+            "struct_pack(bx := ix, by := iy, k := 0)]) as c"
+        )
+        expl = "unnest(generate_series(1, len(segs) // 4)) as s"
+        elem = lambda i: f"list_extract(segs, cast(4*s - {i} as bigint))"
+    return f"""
+        with cells as (
+            select ix, iy, cast(count(*) as double) as v from (
+                select {ix} as ix, {iy} as iy from {points_table}
+            ) group by ix, iy
+        ),
+        scattered as (
+            select (c).bx as bx, (c).by as by, (c).k as k, v
+            from (select v, {corners} from cells)
+        ),
+        blocks as (
+            select bx, by,
+                   max(case when k = 0 then v else 0.0e0 end) as v0,
+                   max(case when k = 1 then v else 0.0e0 end) as v1,
+                   max(case when k = 2 then v else 0.0e0 end) as v2,
+                   max(case when k = 3 then v else 0.0e0 end) as v3
+            from scattered group by bx, by
+        ),
+        classified as (
+            select bx, by, {case_expr} as segs from (
+                select bx, by, v0, v1, v2, v3,
+                       cast({float(threshold)} as double) as tt,
+                       ((case when v0 >= {float(threshold)} then 1 else 0 end)
+                        + (case when v1 >= {float(threshold)} then 2 else 0 end)
+                        + (case when v2 >= {float(threshold)} then 4 else 0 end)
+                        + (case when v3 >= {float(threshold)} then 8 else 0 end)) as ci
+                from blocks
+            )
+        ),
+        segs as (
+            select bx, by, segs, {expl}
+            from classified where {'size' if d == _S else 'len'}(segs) > 0
+        )
+        select bx, by, cast(s as int) as seg_idx,
+               cast(bx as double) + {elem(3)} as gx1,
+               cast(by as double) + {elem(2)} as gy1,
+               cast(bx as double) + {elem(1)} as gx2,
+               cast(by as double) + {elem(0)} as gy2
+        from segs
+    """
+
+
+def contour(spark, res: int = 6, threshold: int = 3, points_table: str = "geo_points"):
+    """Engine entry for contour_sql (see there)."""
+    from ..functions.portable import SPARK as _S
+
+    return spark.sql(contour_sql(_S, res=res, threshold=threshold, points_table=points_table))

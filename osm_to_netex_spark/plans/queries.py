@@ -4522,3 +4522,23 @@ def q_tile_cut_oracle() -> str:
 
 
 QUERIES["tile_cut"] = (q_tile_cut, q_tile_cut_oracle)
+
+
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares iso-density contour segments at 3 points/cell over
+    the res-12 grid (tiling.contour): scatter-to-blocks + table-driven case
+    emission, saddles fixed deterministically."""
+    from ..operators import tiling
+
+    register_geometry_views(spark, sf_dir)
+    return tiling.contour(spark, res=12, threshold=3)
+
+
+def q_contour_oracle() -> str:
+    from ..operators import tiling
+
+    body = tiling.contour_sql(DUCK, res=12, threshold=3)
+    return f"{duck_geometry_ctes()}, __ct as ({body}) select * from __ct"
+
+
+QUERIES["contour"] = (q_contour, q_contour_oracle)
