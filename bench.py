@@ -335,6 +335,7 @@ def main():
         "profile",
         "tile_cut",
         "contour",
+        "headways",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

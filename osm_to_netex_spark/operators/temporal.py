@@ -540,3 +540,51 @@ def interval_merge_oracle_sql(
                min(s_us) as start_us, max(e_us) as end_us,
                count(*) as n_events
         from islands group by grp, island"""
+
+
+# ---------------------------------------------------------------------------
+# Headway analysis (service-frequency stats per stream)
+# ---------------------------------------------------------------------------
+def headway_sql(d: str, table: str = "events") -> str:
+    """Transit-style headway statistics per (event_type, hour-of-day): the
+    gap between consecutive events of a type (ordered by ts, event_id) is
+    the 'headway'; each gap is attributed to the hour of its LATER event.
+
+    Integer end-to-end: timestamps become epoch micros (the engine-wide
+    NTZ-safe idiom), gaps are integer differences, per-group sums/max fold
+    exactly; mean_s is the single final division of exact operands.
+    Output: (event_type, hour, n_gaps, mean_s, max_s).
+
+    Scale: one keyed window shuffle on event_type + one map-side-combined
+    groupBy — the same shape as rolling_stats."""
+    if d == "spark":
+        us = (
+            "cast(timestampdiff(MICROSECOND, "
+            "timestamp_ntz'1970-01-01 00:00:00', ts) as bigint)"
+        )
+        lag = "lag(us) over (partition by event_type order by us, event_id)"
+    else:
+        us = "cast(epoch_us(ts) as bigint)"
+        lag = "lag(us) over (partition by event_type order by us, event_id)"
+    idiv = "div" if d == "spark" else "//"
+    hour = f"cast((us {idiv} 3600000000) % 24 as int)"
+    return f"""
+        with t as (
+            select event_type, event_id, {us} as us from {table}
+        ),
+        gaps as (
+            select event_type, us, ({lag}) as prev_us from t
+        )
+        select event_type, {hour} as hour,
+               cast(count(*) as bigint) as n_gaps,
+               (cast(sum(us - prev_us) as double)
+                / (1000000.0e0 * cast(count(*) as double))) as mean_s,
+               (cast(max(us - prev_us) as double) / 1000000.0e0) as max_s
+        from gaps where prev_us is not null
+        group by event_type, {hour}
+    """
+
+
+def headways(spark, table: str = "events") -> DataFrame:
+    """Engine entry for headway_sql (see there)."""
+    return spark.sql(headway_sql("spark", table=table))

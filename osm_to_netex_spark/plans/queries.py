@@ -4542,3 +4542,21 @@ def q_contour_oracle() -> str:
 
 
 QUERIES["contour"] = (q_contour, q_contour_oracle)
+
+
+def q_headways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-frequency headways per (event_type, hour): integer-micros
+    gaps via one keyed lag window (temporal.headways)."""
+    from ..operators import temporal
+
+    register_geometry_views(spark, sf_dir)
+    return temporal.headways(spark)
+
+
+def q_headways_oracle() -> str:
+    from ..operators import temporal
+
+    return temporal.headway_sql(DUCK)
+
+
+QUERIES["headways"] = (q_headways, q_headways_oracle)
