@@ -336,6 +336,7 @@ def main():
         "tile_cut",
         "contour",
         "headways",
+        "gravity_ipf",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

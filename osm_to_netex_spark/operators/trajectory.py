@@ -925,3 +925,104 @@ def flow_rose_sql(d: str, res: int = 9, traj_table: str = "geo_traj") -> str:
 def flow_rose(spark: SparkSession, res: int = 9, traj_table: str = "geo_traj") -> DataFrame:
     """Engine entry for flow_rose_sql (see there)."""
     return spark.sql(flow_rose_sql(SPARK, res=res, traj_table=traj_table))
+
+
+# ---------------------------------------------------------------------------
+# Gravity model fit via IPF (iterative proportional fitting)
+# ---------------------------------------------------------------------------
+def gravity_ipf_sql(
+    d: str,
+    res: int = 10,
+    rounds: int = 2,
+    traj_table: str = "geo_traj",
+) -> str:
+    """Transport-modeling primitive on top of the OD matrix: fit a gravity
+    model T_ij = a_i · b_j · f(dist_ij) to the observed origin/destination
+    margins by ``rounds`` full IPF passes (row-scale to O_i, column-scale
+    to D_j), seeded with the impedance f = 1/(1 + dist²) between cell
+    centers over the full origin×destination support.
+
+    Exact cross-engine: the matrix state lives in integer NANO units —
+    every scaling step is floor(state · factor + 0.5) where factor =
+    (target·1e9)/current_sum is ONE division of exact integer operands, and
+    the margin sums are integer folds (order-free).  The unrolled rounds
+    are window sums over the pair table, so each pass is one hash shuffle
+    of a |O|·|D| table — cell-table-sized squared, never trajectory-sized
+    (the corpus is touched once, building the margins).
+
+    Output: (o_cell, d_cell, t_nano) — fitted trips in nano units."""
+    from ..functions import geo
+
+    cos0 = "0.5225e0"  # equirectangular COSLAT0, engine-wide constant
+    n = 2**res
+    latstep, lonstep = 180.0 / n, 360.0 / n
+
+    def center(cell, axis):
+        ix, iy = geo.quad_unpack(cell, res, d)
+        if axis == "lat":
+            return f"((cast({iy} as double) + 0.5e0) * {flit(latstep)} - 90.0e0)"
+        return f"((cast({ix} as double) + 0.5e0) * {flit(lonstep)} - 180.0e0)"
+
+    if d == SPARK:
+        omin = "min(named_struct('s', step, 'la', lat, 'lo', lon))"
+        omax = "max(named_struct('s', step, 'la', lat, 'lo', lon))"
+    else:
+        omin = "min(struct_pack(s := step, la := lat, lo := lon))"
+        omax = "max(struct_pack(s := step, la := lat, lo := lon))"
+    oc = geo.quad_cell("(o).la", "(o).lo", res, d)
+    dc = geo.quad_cell("(t).la", "(t).lo", res, d)
+    ola, olo = center("o_cell", "lat"), center("o_cell", "lon")
+    dla, dlo = center("d_cell", "lat"), center("d_cell", "lon")
+    dist2 = (
+        f"(({dla} - {ola}) * ({dla} - {ola}) + "
+        f"({cos0} * ({dlo} - {olo})) * ({cos0} * ({dlo} - {olo})))"
+    )
+    q = lambda x: f"cast(floor(({x}) * 1000000000.0e0 + 0.5e0) as bigint)"
+    qi = lambda x: f"cast(floor(({x}) + 0.5e0) as bigint)"
+    ctes = [
+        f"""ends as (
+            select traj_id, {omin} as o, {omax} as t
+            from {traj_table} group by traj_id
+        )""",
+        f"""flows as (
+            select {oc} as o_cell, {dc} as d_cell,
+                   cast(count(*) as bigint) as n_obs
+            from ends group by 1, 2
+        )""",
+        """orig as (select o_cell, sum(n_obs) as o_tot from flows group by o_cell)""",
+        """dest as (select d_cell, sum(n_obs) as d_tot from flows group by d_cell)""",
+        f"""m0 as (
+            select o.o_cell, d.d_cell, o.o_tot, d.d_tot,
+                   {q(f"1.0e0 / (1.0e0 + {dist2})")} as m
+            from orig o cross join dest d
+        )""",
+    ]
+    prev = "m0"
+    for r in range(rounds):
+        ctes.append(
+            f"""mr{r} as (
+                select o_cell, d_cell, o_tot, d_tot,
+                       {qi("cast(m as double) * ((cast(o_tot as double) * 1000000000.0e0) "
+                           "/ cast(sum(m) over (partition by o_cell) as double))")} as m
+                from {prev}
+            )"""
+        )
+        ctes.append(
+            f"""mc{r} as (
+                select o_cell, d_cell, o_tot, d_tot,
+                       {qi("cast(m as double) * ((cast(d_tot as double) * 1000000000.0e0) "
+                           "/ cast(sum(m) over (partition by d_cell) as double))")} as m
+                from mr{r}
+            )"""
+        )
+        prev = f"mc{r}"
+    return (
+        "with " + ", ".join(ctes)
+        + f" select o_cell, d_cell, m as t_nano from {prev}"
+    )
+
+
+def gravity_ipf(spark: SparkSession, res: int = 10, rounds: int = 2,
+                traj_table: str = "geo_traj") -> DataFrame:
+    """Engine entry for gravity_ipf_sql (see there)."""
+    return spark.sql(gravity_ipf_sql(SPARK, res=res, rounds=rounds, traj_table=traj_table))

@@ -4560,3 +4560,27 @@ def q_headways_oracle() -> str:
 
 
 QUERIES["headways"] = (q_headways, q_headways_oracle)
+
+
+def q_gravity_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity-model OD fit: 2 IPF rounds over the origin×destination
+    support, integer-nano state, impedance 1/(1+dist²)
+    (trajectory.gravity_ipf)."""
+    from ..operators import trajectory
+
+    register_geometry_views(spark, sf_dir)
+    spark.sql(f"create or replace temp view geo_traj as {traj_sql(SPARK)}")
+    return trajectory.gravity_ipf(spark, res=10, rounds=2)
+
+
+def q_gravity_ipf_oracle() -> str:
+    from ..operators import trajectory
+
+    body = trajectory.gravity_ipf_sql(DUCK, res=10, rounds=2, traj_table="geo_traj")
+    return (
+        f"{duck_geometry_ctes()}, geo_traj as ({traj_sql(DUCK)}), "
+        f"__g as ({body}) select * from __g"
+    )
+
+
+QUERIES["gravity_ipf"] = (q_gravity_ipf, q_gravity_ipf_oracle)
