@@ -681,6 +681,36 @@ class SnapshotCatalog:
         return {"snapshot_id": snap_id, "n_appended": n_appended}
 
     # -- retention ----------------------------------------------------------
+    def remove_orphans(self, table: str) -> dict:
+        """Iceberg `removeOrphanFiles`: delete directories under the table's
+        storage that NO snapshot (committed, staged, branch/tag-pinned)
+        references — the debris of writers that crashed after writing data
+        but before the atomic metadata rename.  Such dirs are invisible to
+        every reader, so deleting them can never change a query result; the
+        expire crash-window note relies on this being re-runnable.
+        """
+        import shutil
+
+        referenced: set[str] = set()
+        for m in self.snapshots(table) + self.staged_snapshots(table):
+            referenced.update(m["data_dirs"] + m.get("delete_dirs", []))
+            referenced.update(e["dir"] for e in m.get("eq_deletes", []))
+        for r in self.refs(table).values():
+            m = r["meta"]
+            referenced.update(m["data_dirs"] + m.get("delete_dirs", []))
+            referenced.update(e["dir"] for e in m.get("eq_deletes", []))
+        dropped = 0
+        for sub in ("snapshots", "deletes", "eq_deletes"):
+            base = os.path.join(self.root, table, sub)
+            if not os.path.isdir(base):
+                continue
+            for name in sorted(os.listdir(base)):
+                p = os.path.join(base, name)
+                if os.path.isdir(p) and p not in referenced:
+                    shutil.rmtree(p, ignore_errors=True)
+                    dropped += 1
+        return {"orphan_dirs_removed": dropped, "referenced_dirs": len(referenced)}
+
     def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
         """Iceberg-style `expireSnapshots`: drop all but the newest
         ``keep_last`` snapshot versions and DELETE data directories no
