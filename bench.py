@@ -337,6 +337,7 @@ def main():
         "contour",
         "headways",
         "gravity_ipf",
+        "ann_recall",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

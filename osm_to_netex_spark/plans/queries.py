@@ -4584,3 +4584,45 @@ def q_gravity_ipf_oracle() -> str:
 
 
 QUERIES["gravity_ipf"] = (q_gravity_ipf, q_gravity_ipf_oracle)
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation, itself oracle-gated: recall@5 of the IVF
+    index vs the exact brute-force top-5, per query — the measurement a
+    100 TB similarity deployment runs before trusting its index (both
+    rankings are deterministic, so the metric is bit-exact)."""
+    from ..operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id % 50 = 0")
+    brute = similarity.topk_cosine_brute(queries, emb, k=5).select("query_id", "vec_id")
+    ivf = (
+        similarity.topk_cosine_ivf(queries, emb, k=5, n_centroids=16, n_probe=4)
+        .select("query_id", F.col("vec_id").alias("ivf_vec"))
+    )
+    joined = brute.join(
+        ivf,
+        (brute["query_id"] == ivf["query_id"]) & (brute["vec_id"] == ivf["ivf_vec"]),
+        "left",
+    ).select(brute["query_id"], brute["vec_id"], ivf["ivf_vec"])
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_brute"),
+        F.count("ivf_vec").cast("long").alias("n_hit"),
+        (F.count("ivf_vec").cast("double") / F.count("*").cast("double")).alias("recall"),
+    )
+
+
+def q_ann_recall_oracle() -> str:
+    return f"""
+        with b as ({q_embed_topk_oracle()}),
+        v as ({q_embed_topk_ivf_oracle()})
+        select b.query_id as query_id,
+               cast(count(*) as bigint) as n_brute,
+               cast(count(v.vec_id) as bigint) as n_hit,
+               (cast(count(v.vec_id) as double) / cast(count(*) as double)) as recall
+        from b left join v on b.query_id = v.query_id and b.vec_id = v.vec_id
+        group by b.query_id
+    """
+
+
+QUERIES["ann_recall"] = (q_ann_recall, q_ann_recall_oracle)
