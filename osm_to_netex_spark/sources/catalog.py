@@ -681,6 +681,48 @@ class SnapshotCatalog:
         return {"snapshot_id": snap_id, "n_appended": n_appended}
 
     # -- retention ----------------------------------------------------------
+    def history(self, table: str) -> DataFrame:
+        """Iceberg `table.history`/`table.snapshots` metadata table: one row
+        per committed snapshot (id, sequence, mode, commit time, dir/delete
+        counts) — driver-side metadata only, no data read."""
+        rows = [
+            (
+                m["snapshot_id"],
+                int(m["sequence"]),
+                m.get("mode", ""),
+                int(m.get("committed_at_ms", 0)),
+                len(m["data_dirs"]),
+                len(m.get("delete_dirs", [])) + len(m.get("eq_deletes", [])),
+            )
+            for m in self.snapshots(table)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id: string, sequence: long, mode: string, "
+            "committed_at_ms: long, n_data_dirs: int, n_delete_files: int",
+        )
+
+    def files(self, table: str, snapshot_id: str | None = None) -> DataFrame:
+        """Iceberg `table.files` metadata table: one row per live data file
+        (path, rows, bytes) from parquet footers — no Spark job, no data
+        read.  Positional/equality tombstones are not subtracted here (this
+        lists PHYSICAL files; `count_rows` nets deletes out)."""
+        import pyarrow.parquet as pq
+
+        meta = self._pin(table, snapshot_id)
+        rows = []
+        for dirpath in meta["data_dirs"]:
+            for root, _dirs, fs in os.walk(dirpath):
+                for f in sorted(fs):
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        rows.append(
+                            (p, pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p))
+                        )
+        return self.spark.createDataFrame(
+            rows, "file_path: string, row_count: long, size_bytes: long"
+        )
+
     def remove_orphans(self, table: str) -> dict:
         """Iceberg `removeOrphanFiles`: delete directories under the table's
         storage that NO snapshot (committed, staged, branch/tag-pinned)
