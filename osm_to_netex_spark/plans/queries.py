@@ -4626,3 +4626,41 @@ def q_ann_recall_oracle() -> str:
 
 
 QUERIES["ann_recall"] = (q_ann_recall, q_ann_recall_oracle)
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-quality evaluation, itself oracle-gated: recall of the
+    MinHash-LSH pair finder against the EXACT PPJoin pair set at the same
+    threshold, measured over the lang-blocked universe the exact operator
+    covers (the LSH side also surfaces cross-lang pairs; they are outside
+    the measured universe and reported in n_lsh_total).  Both pair sets are
+    deterministic, so the metric is bit-exact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lsh = dedup.minhash_lsh_pairs(docs, n_perm=16, bands=4, jaccard_threshold=0.4)
+    ex = dedup.ngram_jaccard_pairs(docs, n_shingle=3, threshold=0.4, prefilter_key="lang")
+    lsh_pairs = lsh.select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    joined = ex.select("doc_a", "doc_b").join(lsh_pairs, ["doc_a", "doc_b"], "left")
+    out = joined.agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.count("hit").cast("long").alias("n_hit"),
+        (F.count("hit").cast("double") / F.count("*").cast("double")).alias("recall"),
+    ).crossJoin(lsh.groupBy().agg(F.count("*").cast("long").alias("n_lsh_total")))
+    out._graft_cached = tuple(getattr(lsh, "_graft_cached", ())) + tuple(
+        getattr(ex, "_graft_cached", ())
+    )
+    return out
+
+
+def q_lsh_recall_oracle() -> str:
+    return f"""
+        with ex as ({q_ngram_jaccard_oracle()}),
+        lsh as ({q_minhash_pairs_oracle()})
+        select cast(count(*) as bigint) as n_exact,
+               cast(count(lsh.doc_a) as bigint) as n_hit,
+               (cast(count(lsh.doc_a) as double) / cast(count(*) as double)) as recall,
+               (select cast(count(*) as bigint) from lsh) as n_lsh_total
+        from ex left join lsh on ex.doc_a = lsh.doc_a and ex.doc_b = lsh.doc_b
+    """
+
+
+QUERIES["lsh_recall"] = (q_lsh_recall, q_lsh_recall_oracle)
