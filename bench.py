@@ -338,6 +338,7 @@ def main():
         "headways",
         "gravity_ipf",
         "ann_recall",
+        "rendezvous",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -433,3 +433,47 @@ def temperature_mix(
             table=table, source_col=source_col, id_col=id_col,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) sharding
+# ---------------------------------------------------------------------------
+def rendezvous_sql(
+    d: str,
+    shards: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """Highest-random-weight (rendezvous) shard assignment: every row goes
+    to argmax_s phash60(shard || ':' || id) — the consistent-hashing rule a
+    10^12-doc incremental pipeline needs: adding a shard moves only
+    ~1/(n+1) of the keys (each key moves iff the NEW shard wins its
+    rendezvous), and removing one moves only that shard's keys.  No ring
+    state, no coordination — the shard list is a plan literal.
+
+    Deterministic integer hashes; argmax via greatest-of-structs (hash
+    ties are impossible across distinct shard strings under md5).  One
+    projection, zero shuffles."""
+    from ..functions.portable import phash60
+
+    structs = []
+    for s in sorted(shards):
+        h = phash60(concat_str([f"'{s}:'", id_col], d), d)
+        if d == SPARK:
+            structs.append(f"named_struct('h', {h}, 's', '{s}')")
+        else:
+            structs.append(f"struct_pack(h := {h}, s := '{s}')")
+    arr = (
+        f"array({', '.join(structs)})" if d == SPARK else f"[{', '.join(structs)}]"
+    )
+    if d == SPARK:
+        pick = f"array_max({arr}).s"
+    else:
+        pick = f"list_max({arr}).s"
+    return f"select {id_col} as {id_col}, {pick} as shard from {table}"
+
+
+def rendezvous_assign(spark, shards: list[str], table: str = "documents",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Engine entry for rendezvous_sql (see there)."""
+    return spark.sql(rendezvous_sql(SPARK, shards, table=table, id_col=id_col))

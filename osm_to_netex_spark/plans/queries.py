@@ -4664,3 +4664,21 @@ def q_lsh_recall_oracle() -> str:
 
 
 QUERIES["lsh_recall"] = (q_lsh_recall, q_lsh_recall_oracle)
+
+
+def q_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent HRW shard assignment of the corpus to 5 shards
+    (sampling.rendezvous_assign) — zero-shuffle projection."""
+    from ..operators import sampling
+
+    register_geometry_views(spark, sf_dir)
+    return sampling.rendezvous_assign(spark, [f"shard-{i}" for i in range(5)])
+
+
+def q_rendezvous_oracle() -> str:
+    from ..operators import sampling
+
+    return sampling.rendezvous_sql(DUCK, [f"shard-{i}" for i in range(5)])
+
+
+QUERIES["rendezvous"] = (q_rendezvous, q_rendezvous_oracle)
