@@ -228,3 +228,33 @@ def stream_upsert_to_catalog(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "30 seconds",
+    window: str = "1 minute",
+) -> DataFrame:
+    """Watermarked tumbling-window counts in APPEND mode semantics: a window
+    emits once, when the watermark passes its end; events arriving after
+    that are DROPPED (the bounded-state contract — without the watermark,
+    state at 10^12 events grows forever)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+
+
+def dropped_by_watermark(progresses) -> int:
+    """Late-data accounting from the engine's own metrics: total
+    numRowsDroppedByWatermark across a query's progress events — the number
+    production pipelines alert on (silent late-drop is a data-loss bug;
+    visible late-drop is a latency/SLA decision)."""
+    total = 0
+    for p in progresses:
+        for op in (p.get("stateOperators") or []):
+            total += int(op.get("numRowsDroppedByWatermark", 0) or 0)
+    return total
