@@ -339,6 +339,7 @@ def main():
         "gravity_ipf",
         "ann_recall",
         "rendezvous",
+        "service_area",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -1076,3 +1076,114 @@ def contour(spark, res: int = 6, threshold: int = 3, points_table: str = "geo_po
     from ..functions.portable import SPARK as _S
 
     return spark.sql(contour_sql(_S, res=res, threshold=threshold, points_table=points_table))
+
+
+# ---------------------------------------------------------------------------
+# Service area (isochrone) over the occupied-cell grid
+# ---------------------------------------------------------------------------
+def _service_area_cells_sql(d: str, res: int, points_table: str, seed_mod: int) -> str:
+    """Occupied cells with centers + seed flag (any point with
+    point_id % seed_mod == 0 makes its cell a seed)."""
+    from ..functions import geo
+    from ..functions.portable import flit
+
+    n = 2**res
+    latstep, lonstep = 180.0 / n, 360.0 / n
+    ix, iy = geo.quad_ixy("lat", "lon", res, d)
+    cla = f"((cast(iy as double) + 0.5e0) * {flit(latstep)} - 90.0e0)"
+    clo = f"((cast(ix as double) + 0.5e0) * {flit(lonstep)} - 180.0e0)"
+    return f"""
+        select ix, iy, {cla} as clat, {clo} as clon,
+               max(case when point_id % {seed_mod} = 0 then 1 else 0 end) as seed
+        from (select point_id, {ix} as ix, {iy} as iy from {points_table})
+        group by ix, iy
+    """
+
+
+def _service_area_edges_sql(d: str, cells: str) -> str:
+    """8-neighbour edges between OCCUPIED cells, weight = integer-mm
+    haversine between centers (symmetric; both directions emitted by the
+    ±1 offset cross)."""
+    from ..functions.portable import haversine_m, round_half
+
+    w = round_half(f"({haversine_m('a.clat', 'a.clon', 'b.clat', 'b.clon', d)}) * 1000.0e0", d)
+    return f"""
+        select a.ix as six, a.iy as siy, b.ix as dix, b.iy as diy, {w} as w
+        from {cells} a join {cells} b
+          on abs(a.ix - b.ix) <= 1 and abs(a.iy - b.iy) <= 1
+         and not (a.ix = b.ix and a.iy = b.iy)
+    """
+
+
+def _service_area_iter_sql(edges: str, prev: str) -> str:
+    return (
+        f"select ix, iy, min(dist) as dist from ("
+        f"  select ix, iy, dist from {prev}"
+        f"  union all"
+        f"  select e.dix as ix, e.diy as iy, p.dist + e.w as dist"
+        f"  from {edges} e join {prev} p on e.six = p.ix and e.siy = p.iy"
+        f") group by ix, iy"
+    )
+
+
+def service_area(
+    spark,
+    res: int = 9,
+    n_rounds: int = 4,
+    seed_mod: int = 9,
+    budget_mm: int | None = None,
+    points_table: str = "geo_points",
+):
+    """Isochrone / service-area cells: exact min walking distance (integer
+    mm over 8-neighbour cell-center hops) from the seed cells, within
+    ``n_rounds`` synchronous relaxations — the transit 'what can reach this
+    stop' product query, grid-discretized.
+
+    Same scale shape as graph.sssp: the frontier is sparse, each round is
+    one equi-join + one map-side-combined min-agg, rounds are
+    localCheckpoint-bounded so the plan stays linear in K; integer weights
+    make every round order-free and both engines bit-identical.  The edge
+    join is an occupied-cells self-join under a ±1 band predicate —
+    cell-table-sized, never corpus-sized.  ``budget_mm`` filters to the
+    iso-contour (None keeps every reached cell with its distance)."""
+    from ..functions.portable import SPARK as _S
+
+    spark.sql(
+        _service_area_cells_sql(_S, res, points_table, seed_mod)
+    ).localCheckpoint(eager=False).createOrReplaceTempView("__sa_cells")
+    spark.sql(_service_area_edges_sql(_S, "__sa_cells")).localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("__sa_edges")
+    cur = spark.sql(
+        "select ix, iy, cast(0 as bigint) as dist from __sa_cells where seed = 1"
+    )
+    for t in range(n_rounds):
+        cur.localCheckpoint(eager=False).createOrReplaceTempView(f"__sa_d{t}")
+        cur = spark.sql(_service_area_iter_sql("__sa_edges", f"__sa_d{t}"))
+    if budget_mm is not None:
+        cur = cur.where(f"dist <= {int(budget_mm)}")
+    return cur
+
+
+def service_area_oracle_sql(
+    res: int = 9,
+    n_rounds: int = 4,
+    seed_mod: int = 9,
+    budget_mm: int | None = None,
+    points_table: str = "geo_points",
+) -> str:
+    """Unrolled-CTE DuckDB replay of service_area."""
+    from ..functions.portable import DUCK
+
+    ctes = [
+        f"c0 as ({_service_area_cells_sql(DUCK, res, points_table, seed_mod)})",
+        f"e0 as ({_service_area_edges_sql(DUCK, 'c0')})",
+        "s0 as (select ix, iy, cast(0 as bigint) as dist from c0 where seed = 1)",
+    ]
+    for t in range(n_rounds):
+        ctes.append(f"s{t + 1} as ({_service_area_iter_sql('e0', f's{t}')})")
+    where = f" where dist <= {int(budget_mm)}" if budget_mm is not None else ""
+    return (
+        "with " + ", ".join(ctes)
+        + f" select ix, iy, dist from s{n_rounds}{where}"
+    )

@@ -4682,3 +4682,23 @@ def q_rendezvous_oracle() -> str:
 
 
 QUERIES["rendezvous"] = (q_rendezvous, q_rendezvous_oracle)
+
+
+def q_service_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone cells: exact min-mm distance from the seed cells through
+    4 relaxation rounds over the occupied res-12 grid
+    (tiling.service_area)."""
+    from ..operators import tiling
+
+    register_geometry_views(spark, sf_dir)
+    return tiling.service_area(spark, res=12, n_rounds=4, seed_mod=9)
+
+
+def q_service_area_oracle() -> str:
+    from ..operators import tiling
+
+    body = tiling.service_area_oracle_sql(res=12, n_rounds=4, seed_mod=9)
+    return f"{duck_geometry_ctes()}, __sa as ({body}) select * from __sa"
+
+
+QUERIES["service_area"] = (q_service_area, q_service_area_oracle)
