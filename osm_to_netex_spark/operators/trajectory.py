@@ -577,15 +577,23 @@ def geofence_events(
 
     # one-pass LEFT binding: the fixes plan is consumed exactly once (no
     # join-back self-join), unmatched fixes keep zone = null for free, and
-    # the exact ray-cast runs inside the aggregate's filter
-    cov = cover_cells(polys, "zone_id", res, "quad", keep=("pos_list",))
+    # the exact ray-cast runs inside the aggregate's filter.  The cover is
+    # CLASSIFIED (pip.py discipline): bbox-only cells (class 0) never enter
+    # the join, interior cells (class 2) bind without the ray-cast — at a
+    # res where cells are zone-sized, per-fix candidates are O(overlapping
+    # zones), not O(zones sharing a country-sized cell) (the res-8 form
+    # measured 219 s at sf0.1; this one ~3 s, same rows)
+    cov = cover_cells(polys, "zone_id", res, "quad", keep=("pos_list",)).withColumn(
+        "cls", F.expr(geo.quad_cell_classify("cell", "pos_list", res, SPARK))
+    ).where(F.col("cls") > 0)
     dim = F.broadcast(cov) if broadcast_polygons else cov
     fx = fixes.withColumn("cell", geo.quad_cell_col("lat", "lon", res))
     pip = geo.point_in_polygon("lat", "lon", "pos_list", SPARK)
+    inside = f"case when cls = 2 then true else ({pip}) end"
     seq = (
         fx.join(dim, "cell", "left")
         .groupBy("user_id", "event_id", "eps")
-        .agg(F.min(F.when(F.expr(pip), F.col("zone_id"))).alias("zone"))
+        .agg(F.min(F.when(F.expr(inside), F.col("zone_id"))).alias("zone"))
     )
     seq.createOrReplaceTempView("__gf_seq")
     return fixes.sparkSession.sql(

@@ -3647,15 +3647,17 @@ def gf_fixes_sql(d: str) -> str:
 
 
 def q_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geofence enter/exit/switch events: PIP zone binding (cell-cover
-    join) + per-user lag-window change detection (trajectory.
+    """Geofence enter/exit/switch events: PIP zone binding (classified
+    cell-cover join at a res where cells are zone-sized — res 8 measured
+    219 s at sf0.1 from country-cell fan-out, res 14 measures 9 s, same
+    rows) + per-user lag-window change detection (trajectory.
     geofence_events); the oracle binds zones with a brute cross-join
     ray-cast — an independent spatial plan."""
     from ..operators import trajectory
 
     register_geometry_views(spark, sf_dir)
     fixes = spark.sql(gf_fixes_sql(SPARK))
-    return trajectory.geofence_events(fixes, spark.table("geo_polys"), res=8)
+    return trajectory.geofence_events(fixes, spark.table("geo_polys"), res=14)
 
 
 def q_geofence_oracle() -> str:
@@ -4702,3 +4704,63 @@ def q_service_area_oracle() -> str:
 
 
 QUERIES["service_area"] = (q_service_area, q_service_area_oracle)
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index quality, itself oracle-gated: recall@10 of the ADC ranking
+    against the exact cosine top-10 for the same 4 queries — quantifies
+    what the m·log2(k)-bit compression costs, bit-exactly (both rankings
+    deterministic)."""
+    from ..operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(4)
+    brute = (
+        similarity.topk_cosine_brute(queries, emb, k=10)
+        .select(F.col("query_id").alias("qid"), "vec_id")
+    )
+    # PQ ranks over the full corpus (the query itself lands at/near rank 1);
+    # take 11 and drop self so both lists offer 10 non-self candidates
+    pq = (
+        similarity.topk_pq_adc(emb, m=4, k=16, iters=2, dim=64, n_queries=4, topk=11)
+        .where(F.col("vid") != F.col("qid"))
+        .select("qid", F.col("vid").alias("pq_vec"))
+    )
+    joined = brute.join(
+        pq, (brute["qid"] == pq["qid"]) & (brute["vec_id"] == pq["pq_vec"]), "left"
+    ).select(brute["qid"], brute["vec_id"], pq["pq_vec"])
+    return joined.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_brute"),
+        F.count("pq_vec").cast("long").alias("n_hit"),
+        (F.count("pq_vec").cast("double") / F.count("*").cast("double")).alias("recall"),
+    )
+
+
+def q_pq_recall_oracle() -> str:
+    from ..operators import dedup as _dd, similarity
+
+    cos = _dd.cosine_expr("q.embedding", "c.embedding", DUCK)
+    pq = similarity.topk_pq_adc_oracle_sql(m=4, k=16, iters=2, dim=64, n_queries=4, topk=11)
+    return f"""
+        with qs as (select vec_id, embedding from embeddings order by vec_id limit 4),
+        brute as (
+            select qid, vec_id from (
+                select q.vec_id as qid, c.vec_id as vec_id,
+                       row_number() over (partition by q.vec_id
+                           order by round({cos}, 6) desc, c.vec_id asc) as rn
+                from qs q cross join embeddings c
+                where c.vec_id <> q.vec_id
+            ) where rn <= 10
+        ),
+        pq0 as ({pq}),
+        pq as (select qid, vid from pq0 where vid <> qid)
+        select brute.qid as qid,
+               cast(count(*) as bigint) as n_brute,
+               cast(count(pq.vid) as bigint) as n_hit,
+               (cast(count(pq.vid) as double) / cast(count(*) as double)) as recall
+        from brute left join pq on brute.qid = pq.qid and brute.vec_id = pq.vid
+        group by brute.qid
+    """
+
+
+QUERIES["pq_recall"] = (q_pq_recall, q_pq_recall_oracle)
