@@ -503,10 +503,47 @@ def bpe_encode(
     top_n: int = 100,
     text_col: str = "text",
 ) -> DataFrame:
-    """DataFrame wrapper for :func:`bpe_encode_sql` (Spark dialect)."""
+    """Engine execution of :func:`bpe_encode_sql`'s semantics, round by
+    round with a lazy localCheckpoint per merge (the sssp discipline).
+
+    Why not one WITH-query like the oracle: DuckDB materializes CTEs, but
+    Spark INLINES them — round r's vocab feeds both the argmax subquery and
+    the merge apply, so inlining doubles the tree per round and v0
+    (corpus tokenization) is re-evaluated 2^k times (measured 42 s at
+    sf0.1 for k=6; this form ~3 s, same rows)."""
+    from ..functions import text as _tx
+
     spark = docs.sparkSession
     docs.createOrReplaceTempView("__bpe_docs")
+    toks = _tx.tokens(text_col, SPARK)
+    wrap = "regexp_replace(w, '(.)', '|$1|')"
+    syms = "transform(split(e, '\\\\|\\\\|'), s -> replace(s, '|', ''))"
+    v = spark.sql(
+        f"""select w, freq, {wrap} as e
+            from (select w, cast(count(*) as bigint) as freq
+                  from (select explode({toks}) as w from __bpe_docs) tk
+                  group by w) vv"""
+    )
+    for r in range(1, int(k_merges) + 1):
+        v.localCheckpoint(eager=False).createOrReplaceTempView(f"__bpe_v{r - 1}")
+        spark.sql(
+            f"""select pair from (
+                select freq, explode(transform(sequence(1, size(sy) - 1), i ->
+                    concat('|', sy[i - 1], '||', sy[i], '|'))) as pair
+                from (select freq, {syms} as sy from __bpe_v{r - 1}) z
+                where size(sy) > 1) pz
+            group by pair order by sum(freq) desc, pair asc limit 1"""
+        ).createOrReplaceTempView(f"__bpe_m{r}")
+        pat = f"coalesce((select pair from __bpe_m{r}), '|~miss~|')"
+        v = spark.sql(
+            f"""select w, freq, replace(e, {pat}, replace({pat}, '||', '')) as e
+            from __bpe_v{r - 1}"""
+        )
+    v.createOrReplaceTempView("__bpe_vfinal")
     return spark.sql(
-        bpe_encode_sql(SPARK, "__bpe_docs", k_merges=k_merges, top_n=top_n,
-                       text_col=text_col)
+        f"""select token, cast(sum(freq) as bigint) as token_count
+        from (select freq, explode({syms}) as token from __bpe_vfinal) f
+        group by token
+        order by token_count desc, token asc
+        limit {int(top_n)}"""
     )
