@@ -342,6 +342,7 @@ def main():
         "service_area",
         "pq_recall",
         "lsh_recall",
+        "zone_dwell",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -4764,3 +4764,57 @@ def q_pq_recall_oracle() -> str:
 
 
 QUERIES["pq_recall"] = (q_pq_recall, q_pq_recall_oracle)
+
+
+def q_zone_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone dwell analytics: stay-point centroids bound to zones (the
+    cell-pruned PIP operator), dwell summed per zone in exact integer
+    micros — 'how long do users actually spend inside each fare zone', the
+    composition a transit analyst runs on top of stop/move segmentation.
+    A stay inside overlapping zones counts toward each (PIP semantics)."""
+    from ..operators import pip, trajectory
+
+    register_geometry_views(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stays = trajectory.stay_points(spark, ev).selectExpr(
+        "user_id * 100000 + stop_seq as point_id",
+        "clat as lat", "clon as lon",
+        "cast(round(duration_s * 1000000.0e0) as bigint) as dwell_us",
+    )
+    bound = pip.bind_points_to_polygons(
+        stays.select("point_id", "lat", "lon"),
+        spark.table("geo_polys"), res=12, scheme="quad",
+    )
+    return (
+        bound.join(stays.select("point_id", "dwell_us"), "point_id")
+        .groupBy("zone_id")
+        .agg(
+            F.count("*").cast("long").alias("n_stays"),
+            F.sum("dwell_us").cast("long").alias("dwell_us"),
+        )
+    )
+
+
+def q_zone_dwell_oracle() -> str:
+    from ..operators import trajectory
+
+    stays = trajectory.stay_points_sql(DUCK, "events")
+    pred = geo.point_in_polygon("s.lat", "s.lon", "z.pos_list", DUCK)
+    return f"""
+        {duck_geometry_ctes()},
+        stays as (
+            select user_id * 100000 + stop_seq as point_id,
+                   clat as lat, clon as lon,
+                   cast(round(duration_s * 1000000.0e0) as bigint) as dwell_us
+            from ({stays}) st
+        )
+        select z.zone_id as zone_id,
+               cast(count(*) as bigint) as n_stays,
+               cast(sum(s.dwell_us) as bigint) as dwell_us
+        from stays s cross join geo_polys z
+        where {pred}
+        group by z.zone_id
+    """
+
+
+QUERIES["zone_dwell"] = (q_zone_dwell, q_zone_dwell_oracle)
