@@ -305,6 +305,8 @@ def main():
         "tpch_q1",
         "tpch_q3",
         "tpch_q18",
+        "tpch_q4",
+        "tpch_q12",
         "hausdorff_join",
         "lexdiv",
         "zone_stats_sph",

@@ -4818,3 +4818,73 @@ def q_zone_dwell_oracle() -> str:
 
 
 QUERIES["zone_dwell"] = (q_zone_dwell, q_zone_dwell_oracle)
+
+
+def _tpch_q4_sql(d: str) -> str:
+    """TPC-H Q4 shape (priority counts over a semi-join): orders in a
+    quarter with AT LEAST ONE late-shipping lineitem (exists → left-semi),
+    counted by priority.  The testdata lineitem carries no commitdate, so
+    'late' = shipped more than 60 days after order date — same plan shape
+    (date-windowed fact scan, semi-join on the key, tiny group-by), pure
+    integer output."""
+    lag = (
+        "l_shipdate > o_orderdate + interval 60 days" if d == SPARK
+        else "l_shipdate > o_orderdate + interval 60 day"
+    )
+    return f"""
+        select o_orderpriority, cast(count(*) as bigint) as order_count
+        from orders
+        where o_orderdate >= timestamp '1998-01-01 00:00:00'
+          and o_orderdate <  timestamp '1998-07-01 00:00:00'
+          and exists (
+            select 1 from lineitem
+            where l_orderkey = o_orderkey and {lag}
+          )
+        group by o_orderpriority
+    """
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS decorrelates to a left-semi join; the fact crosses
+    the join once at order granularity."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_tpch_q4_sql(SPARK))
+
+
+def q_tpch_q4_oracle() -> str:
+    return _tpch_q4_sql(DUCK)
+
+
+QUERIES["tpch_q4"] = (q_tpch_q4, q_tpch_q4_oracle)
+
+
+def _tpch_q12_sql(d: str) -> str:
+    """TPC-H Q12 shape (conditional aggregation after a fact join): per
+    l_returnflag (the testdata's stand-in for shipmode), count high- vs
+    low-priority orders among lineitems shipping in a window — integer
+    conditional sums, one join, one tiny group-by."""
+    return f"""
+        select l_returnflag,
+               cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                        then 1 else 0 end) as bigint) as high_line_count,
+               cast(sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH')
+                        then 1 else 0 end) as bigint) as low_line_count
+        from lineitem join orders on l_orderkey = o_orderkey
+        where l_shipdate >= timestamp '1998-01-01 00:00:00'
+          and l_shipdate <  timestamp '1998-07-01 00:00:00'
+        group by l_returnflag
+    """
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: windowed fact scan (PushedFilters on l_shipdate) joined to
+    orders, conditional integer sums."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_tpch_q12_sql(SPARK))
+
+
+def q_tpch_q12_oracle() -> str:
+    return _tpch_q12_sql(DUCK)
+
+
+QUERIES["tpch_q12"] = (q_tpch_q12, q_tpch_q12_oracle)
