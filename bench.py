@@ -345,6 +345,7 @@ def main():
         "pq_recall",
         "lsh_recall",
         "zone_dwell",
+        "cluster_cohesion",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -289,3 +289,78 @@ def dbscan_oracle_sql(
         from pts t
         left join core_label cl on t.{id_col} = cl.cid
         left join border b on t.{id_col} = b.pid"""
+
+
+def cluster_cohesion(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 20,
+) -> DataFrame:
+    """Clustering-quality report, exact: per cluster (n, sum of squared
+    integer distances to the FINAL centroid, mean squared distance as one
+    division) — the number an embedding-pipeline owner tracks across
+    retrains.  Centroids come back from the fixed-point k-means driver-side
+    (k×dim ints) and ride the plan as a literal map, so the scoring pass is
+    a shuffle-free projection + one small groupBy."""
+    assigned, cents = kmeans_fixed_point(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, bits=bits,
+        with_centroids=True,
+    )
+    entries = []
+    for cid, cq in sorted(cents.items()):
+        arr = ", ".join(str(v) for v in cq)
+        entries.append(f"cast({cid} as bigint), array({arr})")
+    cmap = f"map({', '.join(entries)})"
+    qv = emb.select(
+        F.col(id_col).alias("vid"),
+        F.expr(_quant_expr(vec_col, bits, SPARK)).alias("q"),
+    )
+    d2 = (
+        "aggregate(zip_with(q, element_at(" + cmap + ", cluster), "
+        "(a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v)"
+    )
+    return (
+        assigned.join(qv, "vid")
+        .selectExpr("cluster", f"{d2} as d2")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("d2").cast("long").alias("sum_d2"),
+            (F.sum("d2").cast("double") / F.count("*").cast("double")).alias("msd"),
+        )
+    )
+
+
+def cluster_cohesion_oracle_sql(
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 20,
+) -> str:
+    """DuckDB replay: k-means CTE with centroids + the same integer fold."""
+    km = kmeans_oracle_sql(
+        k=k, iters=iters, dim=dim, table=table, id_col=id_col,
+        vec_col=vec_col, bits=bits, with_centroids=True,
+    )
+    quant = _quant_expr(vec_col, bits, DUCK)
+    d2 = (
+        "list_reduce(list_prepend(cast(0 as bigint), "
+        "list_transform(list_zip(qv.q, km.cq), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+        "(s, v) -> s + v)"
+    )
+    return f"""
+        with km as ({km}),
+        qv as (select {id_col} as vid, {quant} as q from {table})
+        select km.cluster as cluster,
+               cast(count(*) as bigint) as n,
+               cast(sum({d2}) as bigint) as sum_d2,
+               (cast(sum({d2}) as double) / cast(count(*) as double)) as msd
+        from km join qv using (vid)
+        group by km.cluster
+    """

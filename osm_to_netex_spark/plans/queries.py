@@ -4888,3 +4888,22 @@ def q_tpch_q12_oracle() -> str:
 
 
 QUERIES["tpch_q12"] = (q_tpch_q12, q_tpch_q12_oracle)
+
+
+def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cohesion (n, Σd², mean squared distance to the final
+    centroid) — exact clustering-quality report
+    (clustering.cluster_cohesion)."""
+    from ..operators import clustering
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return clustering.cluster_cohesion(emb, k=8, iters=3)
+
+
+def q_cluster_cohesion_oracle() -> str:
+    from ..operators import clustering
+
+    return clustering.cluster_cohesion_oracle_sql(k=8, iters=3, dim=64)
+
+
+QUERIES["cluster_cohesion"] = (q_cluster_cohesion, q_cluster_cohesion_oracle)
