@@ -346,6 +346,7 @@ def main():
         "lsh_recall",
         "zone_dwell",
         "cluster_cohesion",
+        "linear_ref",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -499,3 +499,73 @@ def corridor_join(
             F.round("__d", 6).alias("dist_m"),
         )
     )
+
+
+def seg_t_expr(plat: str, plon: str, ay: str, ax: str, by: str, bx: str, d: str) -> str:
+    """Along-segment projection parameter t ∈ [0,1] — the EXACT same op
+    sequence as seg_dist_m's internal t (equirect plane centered on the
+    point's latitude), exposed for linear referencing."""
+    k = f"cos(radians({plat}))"
+    axp = f"(({ax}) - ({plon})) * {k}"
+    bxp = f"(({bx}) - ({plon})) * {k}"
+    ayp = f"(({ay}) - ({plat}))"
+    byp = f"(({by}) - ({plat}))"
+    dx = f"({bxp} - ({axp}))"
+    dy = f"({byp} - ({ayp}))"
+    len2 = f"({dx}*{dx} + {dy}*{dy})"
+    return (
+        f"least(1.0e0, greatest(0.0e0, coalesce((-(({axp})*{dx} + ({ayp})*{dy}))"
+        f" / nullif({len2}, 0.0e0), 0.0e0)))"
+    )
+
+
+def linear_reference(
+    points: DataFrame,
+    lines: DataFrame,
+    radius_m: float,
+    res: int = 14,
+    point_id: str = "point_id",
+    line_id: str = "zone_id",
+    pos_list: str = "pos_list",
+) -> DataFrame:
+    """Linear referencing (the NeTEx LinkSequence / route-chainage
+    primitive): each point within ``radius_m`` of a polyline gets, beyond
+    its snap (line, segment, distance), the CHAINAGE — integer mm travelled
+    along the line to the projected point: prefix of whole segments
+    (integer-mm cumulative sum, order-free) + round(t · seg_len_mm).
+
+    One extra broadcastable join over snap_join's plan: the per-segment
+    prefix table is lines-sized; the corpus-side snap output never
+    reshuffles (join key = its groupBy key)."""
+    from ..functions.portable import haversine_m, round_half
+
+    snapped = snap_join(points, lines, radius_m, res, point_id, line_id, pos_list)
+    seg_len = round_half(
+        f"({haversine_m('sy1', 'sx1', 'sy2', 'sx2', SPARK)}) * 1000.0e0", SPARK
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("s_id").orderBy("s_seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg_tab = (
+        _segments(lines, line_id, pos_list, "s")
+        .withColumn("seg_len_mm", F.expr(seg_len))
+        .withColumn("prefix_mm", F.coalesce(F.sum("seg_len_mm").over(w), F.lit(0)))
+    )
+    pts = points.select(point_id, F.col("lat").alias("__plat"), F.col("lon").alias("__plon"))
+    t = seg_t_expr("__plat", "__plon", "sy1", "sx1", "sy2", "sx2", SPARK)
+    return (
+        snapped
+        .join(
+            F.broadcast(seg_tab),
+            (F.col(line_id) == F.col("s_id")) & (F.col("seg_idx") == F.col("s_seg")),
+        )
+        .join(pts, point_id)
+        .selectExpr(
+            point_id, line_id, "seg_idx", "dist_m",
+            f"prefix_mm + cast(round(({t}) * cast(seg_len_mm as double)) as bigint)"
+            " as chainage_mm",
+        )
+    )

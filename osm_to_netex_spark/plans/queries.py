@@ -4907,3 +4907,63 @@ def q_cluster_cohesion_oracle() -> str:
 
 
 QUERIES["cluster_cohesion"] = (q_cluster_cohesion, q_cluster_cohesion_oracle)
+
+
+def q_linear_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing: snap + integer-mm chainage along the polyline
+    (prefix cumsum of segment lengths + round(t·seg_len), the NeTEx
+    LinkSequence primitive — distjoin.linear_reference)."""
+    from ..operators import distjoin
+
+    register_geometry_views(spark, sf_dir)
+    return distjoin.linear_reference(
+        spark.table("geo_points"), spark.table("geo_polys"),
+        radius_m=2000.0, res=14,
+    )
+
+
+def q_linear_ref_oracle() -> str:
+    from ..operators import distjoin
+    from ..functions.portable import haversine_m as _hv
+
+    dist = distjoin.seg_dist_m("p.lat", "p.lon", "s.say", "s.sax", "s.sby", "s.sbx", DUCK)
+    t = distjoin.seg_t_expr("p2.lat", "p2.lon", "st.say", "st.sax", "st.sby", "st.sbx", DUCK)
+    seg_len = f"cast(round(({_hv('say', 'sax', 'sby', 'sbx', DUCK)}) * 1000.0e0) as bigint)"
+    return f"""{duck_geometry_ctes()},
+        segs as (
+            select zone_id, t.i as seg_idx,
+                   pos_list[2*t.i - 1] as say, pos_list[2*t.i] as sax,
+                   pos_list[2*t.i + 1] as sby, pos_list[2*t.i + 2] as sbx
+            from geo_polys, unnest(generate_series(1, len(pos_list) // 2 - 1)) t(i)
+        ),
+        seg_tab as (
+            select zone_id, seg_idx, say, sax, sby, sbx,
+                   {seg_len} as seg_len_mm,
+                   coalesce(sum({seg_len}) over (
+                       partition by zone_id order by seg_idx
+                       rows between unbounded preceding and 1 preceding), 0)
+                       as prefix_mm
+            from segs
+        ),
+        cand as (
+            select p.point_id, s.zone_id, s.seg_idx, {dist} as d
+            from geo_points p cross join segs s
+        ),
+        snapped as (
+            select point_id, zone_id, seg_idx, round(d, 6) as dist_m
+            from (select *, row_number() over (partition by point_id
+                      order by d, zone_id, seg_idx) as rn
+                  from cand where d <= 2000.0e0)
+            where rn = 1
+        )
+        select sn.point_id as point_id, sn.zone_id as zone_id,
+               sn.seg_idx as seg_idx, sn.dist_m as dist_m,
+               st.prefix_mm + cast(round(({t}) * cast(st.seg_len_mm as double))
+                   as bigint) as chainage_mm
+        from snapped sn
+        join seg_tab st on sn.zone_id = st.zone_id and sn.seg_idx = st.seg_idx
+        join geo_points p2 on sn.point_id = p2.point_id
+    """
+
+
+QUERIES["linear_ref"] = (q_linear_ref, q_linear_ref_oracle)

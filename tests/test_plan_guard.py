@@ -18,6 +18,14 @@ from osm_to_netex_spark.plans import queries as Q
 SF_DIR = "/root/testdata/sf0.001"
 
 
+# Largest legitimate plan measured ~1.1 MB (the convert pipeline's tag
+# mapping); the CollapseProject/CTE-inlining blowups this guards against
+# (dtw chained projections: 3^(2n) nodes; bpe WITH-chain: 2^k re-inlined
+# subtrees) cross this by orders of magnitude or hit Spark's own
+# "Truncated the string representation" warning.
+PLAN_SIZE_LIMIT = 4_000_000
+
+
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
 def test_plan_has_no_python_and_no_cartesian(spark, name):
     builder, _oracle = Q.QUERIES[name]
@@ -26,3 +34,7 @@ def test_plan_has_no_python_and_no_cartesian(spark, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     assert "ArrowEvalPython" not in plan, f"{name}: Python eval in a SQL query"
     assert "CartesianProduct" not in plan, f"{name}: unbroadcast cartesian join"
+    assert len(plan) < PLAN_SIZE_LIMIT, (
+        f"{name}: physical plan is {len(plan)} chars — a CollapseProject / "
+        f"CTE-inlining expression blowup (see dtw_expr / bpe_encode notes)"
+    )
