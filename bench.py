@@ -98,6 +98,46 @@ def build_flagship(spark, corpus_path: str):
     from osm_to_netex_spark.sources import documents as docs_src
 
     corpus = docs_src.read_documents(spark, corpus_path)
+    if os.environ.get("SPARK_GRAFT_FUSE_WAYS", "1") != "0":
+        # single-pass fusion: ONE span scan parses node AND way spans into
+        # the cached slim projection — the way side no longer re-reads the
+        # corpus (passes per run: 1, down from 2)
+        both = extract.extract_nodes_ways_slim(corpus, tag_fields=("entity", "id"))
+        staged, hex_cols = geo.hex_cells_staged(both, "lat", "lon", (7, 8, 9))
+        for r in (7, 8, 9):
+            staged = staged.withColumn(
+                f"__quadc{r}", F.expr(geo.quad_cell("lat", "lon", r, SPARK))
+            )
+        cells = " ^ ".join(hex_cols + [f"__quadc{r}" for r in (7, 8, 9)])
+        obs = Observation("tiles")
+        cached = (
+            staged.observe(
+                obs,
+                F.expr(f"bit_xor({cells})").alias("chk"),
+                F.count("lat").alias("n"),
+            )
+            .drop(*hex_cols, "__quadc7", "__quadc8", "__quadc9")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        nodes_c = cached.where(F.col("kind") == "osm_node")
+        ways = cached.where(F.col("kind") == "osm_way").selectExpr(
+            "way_id", "nd_refs", "doc_id",
+            # assemble's interface carries way tags; the flagship never
+            # consumes them, so the slim parse skips them entirely
+            "cast(null as map<string,string>) as tags",
+        )
+        asm = assemble.assemble_poslist(ways, nodes_c, strict=False, broadcast_ways=True)
+        polys = asm.selectExpr("cast(way_id as string) as zone_id", "pos_list")
+        pts = nodes_c.where(F.col("entity").isNotNull()).select(
+            F.col("tag_id").alias("point_id"), "lat", "lon"
+        )
+        bound = pip.bind_points_to_polygons(pts, polys, res=12, scheme="quad")
+        pip_stats = bound.agg(
+            F.lit("pip").alias("phase"), F.lit(0).cast("long").alias("chk"),
+            F.count("*").alias("n"),
+        )
+        return pip_stats, obs, cached
+
     nodes = extract.extract_nodes_slim(corpus, tag_fields=("entity", "id"))
 
     staged, hex_cols = geo.hex_cells_staged(nodes, "lat", "lon", (7, 8, 9))

@@ -199,3 +199,65 @@ def assert_span_parity(before: DataFrame, after: DataFrame) -> int:
     if broken:
         raise AssertionError(f"span-sequence invariant violated for: {broken[:5]}")
     return before.count()
+
+
+def extract_nodes_ways_slim(
+    documents: DataFrame, tag_fields: tuple[str, ...] = ("entity", "id")
+) -> DataFrame:
+    """ONE span scan yielding BOTH node and way rows (kind-discriminated):
+    node rows carry (node_id, lat, lon, <tags…>), way rows (way_id,
+    nd_refs).  The kind-specific from_json sits under a lazy CASE, so each
+    span is parsed exactly once with its own schema.
+
+    This is the single-corpus-pass flagship fusion: caching this combined
+    slim projection lets the assembly's way side, its node side AND the PIP
+    probe all read one scan — the previous shape re-read the whole corpus
+    just to pull the (tiny) way spans."""
+    import pyspark.sql.types as T
+
+    slim = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField(
+                "tags",
+                T.StructType([T.StructField(k, T.StringType()) for k in tag_fields]),
+            ),
+        ]
+    )
+    way_slim = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("nd_refs", T.ArrayType(T.LongType())),
+        ]
+    )
+    sp = (
+        documents.select("doc_id", F.explode("spans").alias("span"))
+        .where(F.col("span.kind").isin("osm_node", "osm_way"))
+        .select(
+            "doc_id",
+            F.col("span.kind").alias("kind"),
+            F.when(
+                F.col("span.kind") == "osm_node",
+                F.from_json(F.col("span.text"), slim),
+            ).alias("n"),
+            F.when(
+                F.col("span.kind") == "osm_way",
+                F.from_json(F.col("span.text"), way_slim),
+            ).alias("w"),
+        )
+    )
+    tag_cols = [
+        F.col(f"n.tags.{k}").alias("tag_id" if k == "id" else k) for k in tag_fields
+    ]
+    return sp.select(
+        "doc_id",
+        "kind",
+        F.col("n.id").alias("node_id"),
+        F.col("n.lat").alias("lat"),
+        F.col("n.lon").alias("lon"),
+        *tag_cols,
+        F.col("w.id").alias("way_id"),
+        F.col("w.nd_refs").alias("nd_refs"),
+    )
