@@ -10,7 +10,8 @@ round 2: both engines read the committed fixture corpus
 (tests/fixtures/convert_corpus.parquet) and the DuckDB oracle re-derives
 extraction, ordered assembly, and tag mapping in SQL
 (plans/convert_queries.py).  Only the Arrow-batched media decode and the
-Structured Streaming queries remain rows-only (genuinely non-SQL).
+custom stateful-HLL stream remain rows-only (genuinely non-SQL); every
+other streaming query is arrival-order-independent and value-gated.
 """
 
 from __future__ import annotations
