@@ -422,6 +422,7 @@ def main():
         "zone_dwell",
         "cluster_cohesion",
         "linear_ref",
+        "zipf_fit",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -547,3 +547,62 @@ def bpe_encode(
         order by token_count desc, token asc
         limit {int(top_n)}"""
     )
+
+
+def zipf_fit_sql(d: str, table: str = "documents", top_n: int = 200,
+                 text_col: str = "text") -> str:
+    """Zipf-law fit of the corpus term distribution: OLS slope/intercept of
+    ln(freq) vs ln(rank) over the top ``top_n`` terms — the sanity metric a
+    corpus pipeline tracks (natural language sits near slope −1; synthetic
+    or deduplicated-to-death corpora drift).
+
+    Exactness: ln values are quantized to bigint 1e-6 units at the source
+    (|ln| ≤ ~15 here ⇒ products ≤ ~2·10^14, sums over top_n ≪ 2^63), so the
+    OLS moment sums are order-free integer folds; slope and intercept are
+    short fixed IEEE sequences over exact operands — bit-identical across
+    engines and partitionings.  The corpus collapses to the vocabulary in
+    one map-side-combined shuffle; ranking the top_n head is a
+    TakeOrderedAndProject, never a global sort of the tail."""
+    from ..functions import text as _tx
+
+    toks = _tx.tokens(text_col, d)
+    if d == SPARK:
+        tok_rows = f"select explode({toks}) as w from {table}"
+    else:
+        tok_rows = f"select unnest({toks}) as w from {table}"
+    q = "cast(round(ln({}) * 1000000.0e0) as bigint)"
+    return f"""
+        with vocab as (
+            select w, cast(count(*) as bigint) as freq
+            from ({tok_rows}) tk group by w
+        ),
+        ranked as (
+            select freq, row_number() over (order by freq desc, w asc) as rnk
+            from vocab
+        ),
+        head as (
+            select {q.format('cast(rnk as double)')} as qx,
+                   {q.format('cast(freq as double)')} as qy
+            from ranked where rnk <= {int(top_n)}
+        ),
+        moments as (
+            select cast(count(*) as bigint) as n,
+                   sum(qx) as sx, sum(qy) as sy,
+                   sum(qx * qx) as sxx, sum(qx * qy) as sxy
+            from head
+        )
+        select n,
+               (cast(n * sxy - sx * sy as double)
+                / cast(n * sxx - sx * sx as double)) as slope,
+               ((cast(sy as double) - (cast(n * sxy - sx * sy as double)
+                    / cast(n * sxx - sx * sx as double)) * cast(sx as double))
+                / cast(n as double) / 1000000.0e0) as intercept_ln
+        from moments
+    """
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 200, text_col: str = "text") -> DataFrame:
+    """Engine entry for zipf_fit_sql (see there)."""
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("__zipf_docs")
+    return spark.sql(zipf_fit_sql(SPARK, "__zipf_docs", top_n=top_n, text_col=text_col))

@@ -4967,3 +4967,21 @@ def q_linear_ref_oracle() -> str:
 
 
 QUERIES["linear_ref"] = (q_linear_ref, q_linear_ref_oracle)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope/intercept of the corpus term distribution, integer-exact
+    OLS in log-log space (textstats.zipf_fit)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..operators import textstats
+
+    return textstats.zipf_fit(docs, top_n=200)
+
+
+def q_zipf_fit_oracle() -> str:
+    from ..operators import textstats
+
+    return textstats.zipf_fit_sql(DUCK, top_n=200)
+
+
+QUERIES["zipf_fit"] = (q_zipf_fit, q_zipf_fit_oracle)
