@@ -74,10 +74,10 @@ def build_flagship(spark, corpus_path: str):
     that same single pass as a CollectMetrics observation placed BEFORE the
     stop-point filter, so every node's six cells (hex+quad, res 7-9) are
     computed and bit_xor-folded during cache materialization.  Corpus
-    passes per run: nodes (once, cached) + ways — 2, down from 3 in the
-    round-2 shape and 4 in round 1.  A bare count() would let Catalyst
-    prune the cell expressions; the checksum forces them (bit_xor, not
-    sum: packed cell ids overflow a sum).
+    passes per run: 1 (the default fused branch parses node AND way spans
+    in the same scan; session-3 shape was 2, round-2 3, round-1 4).  A bare
+    count() would let Catalyst prune the cell expressions; the checksum
+    forces them (bit_xor, not sum: packed cell ids overflow a sum).
 
     Scale note (10^12 docs): the cached projection is ~40 B/node —
     disk-backed distributed storage a 1000-executor cluster absorbs — and
