@@ -518,6 +518,7 @@ def main():
         # recompute variant — the SAME pipeline minus the cache stage —
         # shows the engine's parallel work scaling without that host wall.
         if os.environ.get("SPARK_GRAFT_SCALE_DECOMPOSE", "1") != "0":
+            prior_fuse = os.environ.get("SPARK_GRAFT_FUSE_PERSIST")
             os.environ["SPARK_GRAFT_FUSE_PERSIST"] = "0"
             try:
                 v_lo = _stats(_measure_times(lo, s_corpus, warm_path, n_runs=2), s_docs)
@@ -526,7 +527,11 @@ def main():
                     (v_hi["docs_per_sec"] / v_lo["docs_per_sec"]) / (hi / lo), 3
                 )
             finally:
-                os.environ.pop("SPARK_GRAFT_FUSE_PERSIST", None)
+                # restore the caller's value, not the default
+                if prior_fuse is None:
+                    os.environ.pop("SPARK_GRAFT_FUSE_PERSIST", None)
+                else:
+                    os.environ["SPARK_GRAFT_FUSE_PERSIST"] = prior_fuse
             scaling["host_membw_x_lo_to_hi"] = _membw_ratio(lo, hi)
 
     out = {

@@ -186,10 +186,11 @@ def pack_sequences_sql(
         )
         select cast(chunk as bigint) as chunk_id,
                doc_id,
-               greatest(off, chunk * {C}) - off + 1 as doc_off_tok,
-               least(off + n, (chunk + 1) * {C})
-                   - greatest(off, chunk * {C}) as frag_len,
-               greatest(off, chunk * {C}) - chunk * {C} + 1 as chunk_pos
+               cast(greatest(off, chunk * {C}) - off + 1 as bigint) as doc_off_tok,
+               cast(least(off + n, (chunk + 1) * {C})
+                   - greatest(off, chunk * {C}) as bigint) as frag_len,
+               cast(greatest(off, chunk * {C}) - chunk * {C} + 1
+                   as bigint) as chunk_pos
         {explode_from}
     """
 

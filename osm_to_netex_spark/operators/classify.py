@@ -94,14 +94,14 @@ def nb_langid_sql(d: str, train_mod: int = 10, train_lt: int = 8) -> str:
         agv as (select ag.doc_id, ag.g, ag.tf from ag join vocab on ag.g = vocab.g),
         scored as (
             select agv.doc_id, u.lang,
-                   sum(agv.tf * coalesce(lp.lp_q, u.lp0_q)) as dot_q
+                   cast(sum(agv.tf * coalesce(lp.lp_q, u.lp0_q)) as bigint) as dot_q
             from agv
             cross join unseen u
             left join lp on lp.lang = u.lang and lp.g = agv.g
             group by agv.doc_id, u.lang
         ),
         fin as (
-            select s.doc_id, s.lang, s.dot_q + p.pr_q as score_q
+            select s.doc_id, s.lang, cast(s.dot_q + p.pr_q as bigint) as score_q
             from scored s join prior p on s.lang = p.lang
         ),
         pred as (

@@ -100,7 +100,11 @@ def pagerank_oracle_sql(table: str = "documents", n_iter: int = 5) -> str:
             f"r{t + 1} as ({_iter_sql('d0', 'e0', f'r{t}', n_expr, DUCK)})"
         )
     return (
-        "with " + ", ".join(ctes) + f" select doc_id, r as pagerank from r{n_iter}"
+        "with "
+        + ", ".join(ctes)
+        # DuckDB integer sums widen to HUGEINT, which pandas canonicalizes to
+        # float64 and fails dtype-sensitive value hashes; pin output to BIGINT.
+        + f" select doc_id, cast(r as bigint) as pagerank from r{n_iter}"
     )
 
 

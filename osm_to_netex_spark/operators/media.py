@@ -1,12 +1,13 @@
 """Multimodal column plumbing: decode / feature-extract over media spans.
 
-Media payloads are opaque ``binary`` columns with typed metadata.  The image/
-audio decode libraries are NOT present in this container, so the decode step
-is stubbed (deterministic fake keyed on the media_ref, or
-NotImplementedError when real decoding is requested) — but the Spark-side
-plumbing is real and tested: schema, Arrow batching via ``mapInPandas``,
-partition-sized batches, and the exact UDF signature a real decoder drops
-into.
+Media payloads are opaque ``binary`` columns with typed metadata.  Binary
+PPM/PGM (Netpbm) payloads decode FOR REAL via a pure-NumPy decoder — no
+external image libraries needed — so ``real_decode=True`` runs end to end in
+this container; formats whose libraries are absent (JPEG/PNG/video) fall back
+to a deterministic stub keyed on the payload sha256.  The Spark-side plumbing
+is identical either way: schema, Arrow batching via ``mapInPandas``,
+partition-sized batches, and the exact UDF signature a PIL/ffmpeg decoder
+drops into.
 
 This is the only Python-touching operator family in the engine; everything
 arrives as pandas DataFrames in Arrow batches (never row-at-a-time).
@@ -69,23 +70,77 @@ def _fake_decode(media_ref: str, payload: bytes) -> tuple[str, int, int, int, np
     return fmt, width, height, n_frames, feats
 
 
+def _parse_pnm_header(payload: bytes) -> tuple[str, int, int, int, int]:
+    """Parse a binary PNM header (P5 gray / P6 rgb): returns
+    (magic, width, height, maxval, data_offset).  Handles '#' comments and
+    arbitrary whitespace per the Netpbm spec."""
+    magic = payload[:2].decode("ascii")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = fields
+    return magic, w, h, maxval, pos
+
+
+def _decode_pnm(
+    media_ref: str, payload: bytes
+) -> tuple[str, int, int, int, np.ndarray]:
+    """REAL pure-NumPy decoder for binary PPM (P6) / PGM (P5), 8-bit maxval —
+    no external image libraries needed.  Features are the FEATURE_DIM block
+    means of normalized luminance over a 4x4 grid (row-major), computed in
+    float64 and cast to float32 — deterministic across runs/partitionings.
+    """
+    magic, w, h, maxval, off = _parse_pnm_header(payload)
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    n_ch = 3 if magic == "P6" else 1
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * n_ch, offset=off)
+    img = raster.reshape(h, w, n_ch).astype(np.float64)
+    lum = img.sum(axis=2) / (n_ch * float(maxval))  # (h, w) in [0, 1]
+    side = int(FEATURE_DIM**0.5)
+    feats = np.empty(FEATURE_DIM, dtype=np.float64)
+    row_blocks = np.array_split(np.arange(h), side)
+    col_blocks = np.array_split(np.arange(w), side)
+    for i in range(side):
+        for j in range(side):
+            feats[i * side + j] = lum[np.ix_(row_blocks[i], col_blocks[j])].mean()
+    return ("ppm" if magic == "P6" else "pgm", w, h, 1, feats.astype(np.float32))
+
+
+def _real_decode(media_ref: str, payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    """Real decode path: binary PNM decodes for real (pure NumPy); any other
+    format falls back to the labeled deterministic stub — the container has
+    no image/audio libraries, so JPEG/PNG/video remain stubbed."""
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(media_ref, payload)
+    return _fake_decode(media_ref, payload)
+
+
 def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """mapInPandas decode: (doc_id, media_ref, payload) → MEDIA_FEATURES.
 
-    real_decode=True raises NotImplementedError inside the batch (clearly
-    marked stub boundary): plug a PIL/ffmpeg call into ``_fake_decode``'s slot
-    when the libraries exist.
+    real_decode=True decodes binary PPM/PGM payloads for real (pure-NumPy
+    Netpbm decoder, no external libs) and falls back to the deterministic
+    stub for formats whose libraries are absent from this container; a
+    PIL/ffmpeg call drops into ``_real_decode``'s slot when they exist.
     """
 
     def batches(it):
+        decode = _real_decode if real_decode else _fake_decode
         for pdf in it:
-            if real_decode:
-                raise NotImplementedError(
-                    "real media decoding requires image/audio libs not present "
-                    "in this container; the Arrow plumbing around this point is real"
-                )
             rows = [
-                _fake_decode(mr, bytes(pl))
+                decode(mr, bytes(pl))
                 for mr, pl in zip(pdf["media_ref"], pdf["payload"])
             ]
             yield pd.DataFrame(
@@ -184,6 +239,15 @@ def phash_from_digest_sql(h: str, d: str) -> str:
             byte = f"cast(('0x' || substr({h}, {pos}, 2)) as int)"
         terms.append(f"(case when {byte} >= 128 then {1 << i} else 0 end)")
     return "(" + " + ".join(terms) + ")"
+
+
+def phash_from_features(feats) -> int:
+    """Sign-bit perceptual hash over a decoded feature vector — bit i set
+    iff feature i >= 0.5.  For the stub decoder this equals the integer-exact
+    SQL formula (``phash_from_digest_sql``) bit for bit (pytest-pinned); the
+    REAL decode path (PNM block-mean features) uses this same quantizer, so
+    both paths share one hash definition."""
+    return sum(1 << i for i, f in enumerate(feats[:PHASH_BITS]) if float(f) >= 0.5)
 
 
 def media_phash(corpus: DataFrame) -> DataFrame:

@@ -203,21 +203,25 @@ def topk_pq_adc(
 ) -> DataFrame:
     """Asymmetric-distance-computation top-k: approx d(q, x) = Σ_j
     ||q_j − centroid(code_j(x))||², with the n_queries·m·k distance table
-    precomputed DRIVER-SIDE and inlined as array literals — the corpus scan
-    is a pure shuffle-free projection over the code columns (array index per
-    subspace), followed by one per-query top-k window.  All arithmetic is
-    exact int64 (quantized queries vs integer centroids), so the DuckDB
-    oracle agrees bit-for-bit — the approximation is in the QUANTIZER, not
-    the evaluation.
+    shipped as DATA — one tiny broadcast-joined lookup table per subspace —
+    so the plan size is O(m) regardless of how many queries are scored (the
+    round-2 plan inlined the tables as array literals, which grew the plan
+    O(n_q·m·k) and would become a driver bottleneck for large query sets).
+    The corpus side stays a shuffle-free projection over the code columns:
+    one cross join against the broadcast query-id list, then m broadcast
+    hash joins (code_j, qid) → partial distance, summed per row; the only
+    shuffle is the final per-query top-k.  All arithmetic is exact int64
+    (quantized queries vs integer centroids), so the DuckDB oracle agrees
+    bit-for-bit — the approximation is in the QUANTIZER, not the evaluation.
 
     Queries are the n_queries smallest ids (deterministic, mirrors the IVF
-    query convention).  At 10^12 rows: the distance tables are a plan
-    literal (no broadcast, no join); the only shuffle is the final top-k."""
+    query convention)."""
     import math as _math
 
     codes, centroids = pq_encode(
         emb, m=m, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col, bits=bits
     )
+    spark = emb.sparkSession
     d_sub = dim // m
     scale = float(1 << bits)
     qrows = (
@@ -226,39 +230,37 @@ def topk_pq_adc(
         .limit(n_queries)
         .collect()
     )
-    out_parts = []
-    for qr in qrows:
-        qv = [int(_math.floor(float(x) * scale + 0.5)) for x in qr[vec_col]]
-        dist_terms = []
-        for j in range(m):
+    qids = spark.createDataFrame(
+        [(int(r["qid"]),) for r in qrows], "qid bigint"
+    )
+    scored = codes.crossJoin(F.broadcast(qids))
+    for j in range(m):
+        lut_rows = []
+        cents = centroids[j]
+        for qr in qrows:
+            qv = [int(_math.floor(float(x) * scale + 0.5)) for x in qr[vec_col]]
             qsub = qv[j * d_sub : (j + 1) * d_sub]
-            cents = centroids[j]
-            # codes are init ids (arbitrary); map via a dense array ordered
-            # by cid with a CASE fallback-free index: array literal indexed
-            # by position of code in the sorted cid list
-            cids = sorted(cents)
-            lut = [
-                sum((a - b) * (a - b) for a, b in zip(qsub, cents[cid]))
-                for cid in cids
-            ]
-            idx = (
-                "array_position(array("
-                + ", ".join(f"cast({c} as bigint)" for c in cids)
-                + f"), code_{j})"
-            )
-            dist_terms.append(
-                f"element_at(array({', '.join(str(v) for v in lut)}), cast({idx} as int))"
-            )
-        out_parts.append(
-            codes.select(
-                F.lit(int(qr["qid"])).alias("qid"),
-                F.col("vid"),
-                F.expr(" + ".join(f"({t})" for t in dist_terms)).alias("adc_dist"),
-            )
+            for cid, cvec in cents.items():
+                lut_rows.append(
+                    (
+                        int(qr["qid"]),
+                        int(cid),
+                        int(sum((a - b) * (a - b) for a, b in zip(qsub, cvec))),
+                    )
+                )
+        lut = spark.createDataFrame(
+            lut_rows, f"__lq_{j} bigint, __lc_{j} bigint, __ld_{j} bigint"
         )
-    scored = out_parts[0]
-    for p in out_parts[1:]:
-        scored = scored.unionByName(p)
+        scored = scored.join(
+            F.broadcast(lut),
+            (F.col("qid") == F.col(f"__lq_{j}"))
+            & (F.col(f"code_{j}").cast("bigint") == F.col(f"__lc_{j}")),
+        ).drop(f"__lq_{j}", f"__lc_{j}")
+    scored = scored.select(
+        "qid",
+        "vid",
+        F.expr(" + ".join(f"__ld_{j}" for j in range(m))).alias("adc_dist"),
+    )
     w = Window.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("vid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

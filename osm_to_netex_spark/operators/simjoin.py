@@ -60,13 +60,36 @@ def cosine_pairs(
     text_col: str = "text",
     threshold_p: int = 1,
     threshold_q: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All (doc_a < doc_b) with tf-cosine >= threshold_p/threshold_q.
 
     Returns (doc_a, doc_b, dot, cosine); rows provably identical to the
-    brute all-pairs evaluation."""
+    brute all-pairs evaluation (with ``max_df=None``).
+
+    ``max_df`` is the standalone-use guardrail (default OFF): terms whose
+    document frequency exceeds it are dropped from the tf vectors BEFORE the
+    self-join, capping the Θ(Σ_term df²) pair fan-out that a skewed corpus
+    (stopwords, boilerplate tokens) would otherwise blow a shard with.  When
+    it engages, the result is the exact cosine over the CAPPED vocabulary —
+    a documented approximation for standalone corpus-wide runs; the
+    recommended 100-TB path remains LSH sharding (minhash_lsh_pairs) with
+    this operator as the exact within-shard verifier, where the cap stays
+    off.  A cap at or above the corpus's max df is a provable no-op
+    (pytest-pinned)."""
     p2, q2 = threshold_p**2, threshold_q**2
-    tf = _tf(docs, id_col, text_col).persist()  # feeds norms + both join sides
+    tf = _tf(docs, id_col, text_col)
+    if max_df is not None:
+        keep = (
+            tf.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= int(max_df))
+            .select("term")
+        )
+        # term-keyed join: same key as the postings self-join below, so the
+        # partitioning is reused and no extra shuffle of the big side occurs
+        tf = tf.join(keep, "term")
+    tf = tf.persist()  # feeds norms + both join sides
     norm = tf.groupBy("doc_id").agg(F.sum(F.expr("tf * tf")).alias("na2"))
     # DIRECT postings self-join: dot over shared terms, partial-aggregated
     # into (a, b) before the pair shuffle.  An earlier PPJoin-style variant
@@ -118,7 +141,7 @@ def cosine_pairs_oracle_sql(
             from tf a join tf b on a.term = b.term and a.doc_id < b.doc_id
             group by a.doc_id, b.doc_id
         )
-        select doc_a, doc_b, dot,
+        select doc_a, doc_b, cast(dot as bigint) as dot,
                dot / sqrt(cast(x.na2 * y.na2 as double)) as cosine
         from dots
         join norm x on x.doc_id = doc_a

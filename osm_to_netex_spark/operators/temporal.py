@@ -532,8 +532,9 @@ def interval_merge_oracle_sql(
         ),
         islands as (
             select grp, s_us, e_us,
-                   sum(brk) over (partition by grp order by s_us asc, e_us asc, event_id asc
-                                  rows between unbounded preceding and current row) as island
+                   cast(sum(brk) over (partition by grp order by s_us asc, e_us asc, event_id asc
+                                  rows between unbounded preceding and current row)
+                        as bigint) as island
             from flagged
         )
         select grp as {group_col}, island,

@@ -818,7 +818,7 @@ def mk_trend_oracle_sql(
         ),
         s as (
             select a.cx, a.cy,
-                   sum(cast(sign(b.x - a.x) as bigint)) as s_stat
+                   cast(sum(cast(sign(b.x - a.x) as bigint)) as bigint) as s_stat
             from dense a join dense b on a.cx = b.cx and a.cy = b.cy and a.b < b.b
             group by a.cx, a.cy
         ),

@@ -95,11 +95,41 @@ class SnapshotCatalog:
             return h % int(spec["n"])
         if t == "truncate":
             return (int(value) // int(spec["n"])) * int(spec["n"])
+        if t == "day":
+            import datetime
+
+            if isinstance(value, str):
+                value = datetime.datetime.fromisoformat(value)
+            if isinstance(value, datetime.datetime):
+                return value.date()
+            if isinstance(value, datetime.date):
+                return value
+            raise ValueError(f"cannot day-truncate {type(value).__name__}")
         raise ValueError(f"no driver-side transform for {t!r}")
 
     @staticmethod
     def _pname(spec: dict) -> str:
         return f"__p_{spec['transform']}_{spec['col']}"
+
+    def _write_data_dir(
+        self, df: DataFrame, data_dir: str, partition_spec: list[dict] | None
+    ) -> None:
+        """Write one immutable data dir honoring the table's hidden
+        partitioning — EVERY write path (commit, merge_into) must derive the
+        __p_* directory columns the same way, or a later scan_partitions
+        directory filter hits a dir lacking the derived column."""
+        if partition_spec:
+            from pyspark.sql import functions as F
+
+            out = df
+            pnames = []
+            for spec in partition_spec:
+                pn = self._pname(spec)
+                out = out.withColumn(pn, F.expr(self._partition_col_expr(spec)))
+                pnames.append(pn)
+            out.write.mode("overwrite").partitionBy(*pnames).parquet(data_dir)
+        else:
+            df.write.mode("overwrite").parquet(data_dir)
 
     # -- write --------------------------------------------------------------
     def commit(
@@ -138,18 +168,7 @@ class SnapshotCatalog:
             merge = self._check_evolution(prev, df) or merge
         snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.root, table, "snapshots", snap_id)
-        if partition_spec:
-            from pyspark.sql import functions as F
-
-            out = df
-            pnames = []
-            for spec in partition_spec:
-                pn = self._pname(spec)
-                out = out.withColumn(pn, F.expr(self._partition_col_expr(spec)))
-                pnames.append(pn)
-            out.write.mode("overwrite").partitionBy(*pnames).parquet(data_dir)
-        else:
-            df.write.mode("overwrite").parquet(data_dir)
+        self._write_data_dir(df, data_dir, partition_spec)
 
         seq = (prev["sequence"] + 1) if prev else 0
         dirs = [data_dir]
@@ -658,7 +677,7 @@ class SnapshotCatalog:
         else:
             live_keys = self._df_from_meta(meta).select(*key_cols).distinct()
             to_append = src.join(live_keys, key_cols, "left_anti")
-        to_append.write.mode("overwrite").parquet(data_dir)
+        self._write_data_dir(to_append, data_dir, meta.get("partition_spec"))
         n_appended = self.spark.read.parquet(data_dir).count()
         new_meta = {
             **{k: meta[k] for k in ("schema", "merge_schema", "partition_spec") if k in meta},

@@ -107,14 +107,18 @@ def streaming_cell_sessions(
         .groupBy(F.session_window(F.col(ts_col), gap), F.col("user_id"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # per-row 1e-6 quantization BEFORE the fold: the session sum is an
+            # exact integer, order-free under any micro-batch arrival order
+            F.sum(F.expr("cast(floor(value * 1.0e6 + 0.5e0) as bigint)")).alias(
+                "sum_value_q6"
+            ),
         )
         .select(
             "user_id",
             F.col("session_window.start").alias("session_start"),
             F.col("session_window.end").alias("session_end"),
             "n_events",
-            "sum_value",
+            "sum_value_q6",
         )
     )
 

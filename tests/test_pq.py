@@ -68,3 +68,17 @@ def test_partition_invariance(spark):
     a = sorted(tuple(r) for r in similarity.topk_pq_adc(emb, m=4, k=4, iters=2, dim=16, n_queries=2, topk=5).collect())
     b = sorted(tuple(r) for r in similarity.topk_pq_adc(emb.repartition(5), m=4, k=4, iters=2, dim=16, n_queries=2, topk=5).collect())
     assert a == b
+
+
+def test_adc_plan_size_constant_in_query_count(spark):
+    """The ADC distance table ships as broadcast-joined DATA, so the physical
+    plan must not grow with the query set (the round-2 literal-inlined form
+    grew O(n_q*m*k)).  10x the queries may add at most a small constant."""
+    emb = _emb(spark, n=60)
+    small = similarity.topk_pq_adc(emb, m=4, k=4, iters=1, dim=16, n_queries=4, topk=3)
+    big = similarity.topk_pq_adc(emb, m=4, k=4, iters=1, dim=16, n_queries=40, topk=3)
+    p_small = small._jdf.queryExecution().executedPlan().toString()
+    p_big = big._jdf.queryExecution().executedPlan().toString()
+    assert len(p_big) < len(p_small) * 1.5 + 2000, (
+        f"plan grew with n_queries: {len(p_small)} -> {len(p_big)}"
+    )

@@ -62,3 +62,49 @@ def test_cosine_identical_docs_hit_one(spark):
     got, full = _run(spark, rows, 99, 100)
     assert (1, 2, 3) in got
     assert [r.cosine for r in full if (r.doc_a, r.doc_b) == (1, 2)] == [1.0]
+
+
+def test_max_df_cap_noop_above_corpus_max(spark):
+    """The standalone guardrail: a cap at/above the corpus's max document
+    frequency must change NOTHING (every term survives), and an engaging cap
+    equals the brute evaluation over the capped vocabulary."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+        for i in range(60)
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+    uncapped = {
+        (r.doc_a, r.doc_b, r.dot)
+        for r in simjoin.cosine_pairs(df, threshold_p=1, threshold_q=2).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.dot)
+        for r in simjoin.cosine_pairs(
+            df, threshold_p=1, threshold_q=2, max_df=len(rows)
+        ).collect()
+    }
+    assert capped == uncapped
+
+    # engaging cap == brute over the capped vocabulary
+    max_df = 20
+    tf = simjoin._tf(df, "doc_id", "text")
+    df_counts = {
+        r["term"]: r["df"]
+        for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+    kept_vocab = {t for t, c in df_counts.items() if c <= max_df}
+    capped_rows = [
+        (i, " ".join(w for w in t.split() if w in kept_vocab)) for i, t in rows
+    ]
+    want = _brute(capped_rows, 1, 2)
+    got = {
+        (r.doc_a, r.doc_b, r.dot)
+        for r in simjoin.cosine_pairs(
+            df, threshold_p=1, threshold_q=2, max_df=max_df
+        ).collect()
+    }
+    assert got == want and len(kept_vocab) < len(df_counts)

@@ -60,12 +60,14 @@ def test_media_decode_plumbing(spark, corpus):
     assert a == b
 
 
-def test_media_real_decode_is_marked_stub(spark, corpus):
-    import pytest
-
-    refs = media.extract_media_refs(corpus).limit(1)
-    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
-        media.decode_media(refs, real_decode=True).collect()
+def test_media_real_decode_falls_back_to_stub_for_non_pnm(spark, corpus):
+    """Corpus payloads are synthetic 'blob:*' bytes (not PNM), so the real
+    path must yield exactly the labeled stub's output; PNM payloads decode
+    for real (tests/test_media_real_decode.py)."""
+    refs = media.extract_media_refs(corpus).limit(3)
+    real = sorted(tuple(r) for r in media.decode_media(refs, real_decode=True).collect())
+    stub = sorted(tuple(r) for r in media.decode_media(refs).collect())
+    assert real == stub and len(real) > 0
 
 
 def test_frame_sample(spark, corpus):

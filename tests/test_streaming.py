@@ -145,12 +145,12 @@ def test_stream_session_windows_match_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
     got = {
-        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value_q6)
         for r in spark.table("sess_test").collect()
     }
     batch = stream.streaming_cell_sessions(spark.read.parquet(src), gap="30 minutes", watermark="90 days")
     expect = {
-        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value_q6)
         for r in batch.collect()
     }
     assert got == expect and len(got) > 50

@@ -21,18 +21,33 @@ TABLES = (
 ).split()
 
 
+import math
+import struct
+
 import numpy as np
 
 
 def _norm_val(v):
+    """Dtype-faithful canonical form (VERDICT r02 task 3): floats compare by
+    exact IEEE bit pattern (NaN canonicalized), ints stay tagged as ints —
+    so a DuckDB HUGEINT→float64 3.0 no longer equals Spark's int64 3, and
+    local green predicts the driver's dtype-sensitive hash."""
     if isinstance(v, np.ndarray):
         v = v.tolist()
-    if isinstance(v, (np.floating,)):
+    if isinstance(v, np.bool_):
+        v = bool(v)
+    if isinstance(v, np.floating):
         v = float(v)
-    if isinstance(v, (np.integer,)):
+    if isinstance(v, np.integer):
         v = int(v)
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
-        return round(v, 9)
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", struct.pack("<d", v).hex())
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, (list, tuple)):
         return tuple(_norm_val(x) for x in v)
     return v
@@ -82,6 +97,29 @@ def main():
         scols, dcols = sorted(sdf.columns), sorted(duck.columns)
         if scols != dcols:
             print(f"{name:26s} SCHEMA MISMATCH spark={scols} duck={dcols}")
+            failures.append(name)
+            continue
+        def _canon_dtype(dt: str) -> str:
+            # WIDTH differences within a family are benign (Spark row_number →
+            # int32 vs DuckDB bigint; toPandas ns vs fetchdf us timestamps) —
+            # the driver's canonicalizer hashes those equal (knn/top_terms were
+            # driver-green in r02).  FAMILY crossings are the class that must
+            # stay strict: int-vs-float is exactly the round-2 HUGEINT failure.
+            if dt.startswith("datetime64"):
+                return "datetime64"
+            if dt.startswith(("int", "uint")):
+                return "int"
+            if dt.startswith("float"):
+                return "float"
+            return dt
+
+        dt_bad = [
+            (c, str(sdf[c].dtype), str(duck[c].dtype))
+            for c in scols
+            if _canon_dtype(str(sdf[c].dtype)) != _canon_dtype(str(duck[c].dtype))
+        ]
+        if dt_bad:
+            print(f"{name:26s} DTYPE MISMATCH {dt_bad}")
             failures.append(name)
             continue
         srows = normalize(sdf.to_dict("records"), scols)
