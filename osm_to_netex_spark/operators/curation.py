@@ -185,3 +185,60 @@ def profile(spark, table: str, numeric_cols: list[str], string_cols: list[str]):
     from ..functions.portable import SPARK
 
     return spark.sql(profile_sql(SPARK, table, numeric_cols, string_cols))
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization ladder (privacy audit before data release)
+# ---------------------------------------------------------------------------
+def kanon_ladder_sql(d: str, table: str = "customer", k: int = 5) -> str:
+    """Minimal-generalization k-anonymity: for every row, the SMALLEST
+    generalization level of the quasi-identifier (nation, account-balance
+    band) whose equivalence class reaches ``k`` members — the decision a
+    release pipeline makes per record before publishing micro-data.
+
+    Ladder (level → QI): 0 = (nation, balance to 1), 1 = (nation, balance
+    to 100), 2 = (nation, balance to 1000), 3 = nation only; level 4 marks
+    rows not k-anonymous even under full suppression of the balance.
+    Balance bands use floor(x / width) on doubles — floor() is engine-
+    portable where integer ``div`` vs ``//`` is not (negative balances).
+
+    Scale: four map-side-combined groupBys over the QI (each dimension-
+    sized), joined back by their keys — the corpus-sized table crosses the
+    shuffle once per level with partial aggregation; no window, no
+    cross join.  Output is pure integers."""
+    b0 = "cast(floor(c_acctbal) as bigint)"
+    b1 = "cast(floor(c_acctbal / 100.0e0) as bigint)"
+    b2 = "cast(floor(c_acctbal / 1000.0e0) as bigint)"
+    return f"""
+        with q as (
+            select c_custkey, c_nationkey,
+                   {b0} as g0, {b1} as g1, {b2} as g2
+            from {table}
+        ),
+        s0 as (select c_nationkey, g0, count(*) as n from q group by 1, 2),
+        s1 as (select c_nationkey, g1, count(*) as n from q group by 1, 2),
+        s2 as (select c_nationkey, g2, count(*) as n from q group by 1, 2),
+        s3 as (select c_nationkey, count(*) as n from q group by 1)
+        select q.c_custkey,
+               cast(case when s0.n >= {k} then 0
+                         when s1.n >= {k} then 1
+                         when s2.n >= {k} then 2
+                         when s3.n >= {k} then 3
+                         else 4 end as int) as anon_level,
+               cast(case when s0.n >= {k} then s0.n
+                         when s1.n >= {k} then s1.n
+                         when s2.n >= {k} then s2.n
+                         when s3.n >= {k} then s3.n
+                         else s3.n end as bigint) as class_size
+        from q
+        join s0 on s0.c_nationkey = q.c_nationkey and s0.g0 = q.g0
+        join s1 on s1.c_nationkey = q.c_nationkey and s1.g1 = q.g1
+        join s2 on s2.c_nationkey = q.c_nationkey and s2.g2 = q.g2
+        join s3 on s3.c_nationkey = q.c_nationkey"""
+
+
+def kanon_ladder(spark, table: str = "customer", k: int = 5):
+    """Engine entry for kanon_ladder_sql (see there)."""
+    from ..functions.portable import SPARK
+
+    return spark.sql(kanon_ladder_sql(SPARK, table=table, k=k))

@@ -307,3 +307,142 @@ def sssp_oracle_sql(table: str = "documents", n_rounds: int = 4,
     for t in range(n_rounds):
         ctes.append(f"s{t + 1} as ({_sssp_iter_sql('e0', f's{t}')})")
     return "with " + ", ".join(ctes) + f" select doc_id, dist from s{n_rounds}"
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (R-round peel)
+# ---------------------------------------------------------------------------
+def undirected_edges_sql(d: str, docs: str, n_expr: str) -> str:
+    """Simple undirected adjacency (u, w) from the deterministic link graph:
+    self-loops dropped, both directions emitted once via a distinct on the
+    canonical (min, max) pair."""
+    return f"""
+        select a as u, b as w from (
+            select distinct least(src, dst) as a, greatest(src, dst) as b
+            from ({edges_sql(d, docs, n_expr)}) e where src <> dst
+        ) s
+        union all
+        select b as u, a as w from (
+            select distinct least(src, dst) as a, greatest(src, dst) as b
+            from ({edges_sql(d, docs, n_expr)}) e where src <> dst
+        ) s2"""
+
+
+def _kcore_round_sql(adj: str, alive: str, k: int) -> str:
+    """One peel: recount degrees within the alive set, keep deg >= k.
+    Shared dialect (pure joins + one map-side-combined groupBy)."""
+    return f"""
+        select v, deg from (
+            select n.v as v, count(*) as deg
+            from {alive} n
+            join {adj} e on e.u = n.v
+            join {alive} m on m.v = e.w
+            group by n.v
+        ) t where deg >= {k}"""
+
+
+def k_core(
+    spark: SparkSession, docs: DataFrame, k: int = 2, n_rounds: int = 4
+) -> DataFrame:
+    """(doc_id, deg): survivors of ``n_rounds`` peel rounds of the k-core
+    decomposition — repeatedly drop nodes whose degree within the surviving
+    subgraph is < k.  Deterministic for ANY round count (each round is an
+    exact set), and equal to the true k-core once the peel converges
+    (pytest-pinned on the fixture graph).
+
+    Scale: each round is one groupBy (map-side combine) + two hash joins on
+    node id; the alive table only shrinks; adjacency is localCheckpoint-bound
+    so the plan stays linear in rounds — the connected-components /
+    grid_bfs discipline."""
+    docs.select("doc_id").createOrReplaceTempView("__kc_docs")
+    n_expr = "(select count(*) from __kc_docs)"
+    spark.sql(
+        undirected_edges_sql(SPARK, "__kc_docs", n_expr)
+    ).localCheckpoint(eager=False).createOrReplaceTempView("__kc_adj")
+    cur = spark.sql(
+        "select v, deg from ("
+        "  select u as v, count(*) as deg from __kc_adj group by u"
+        f") t where deg >= {k}"
+    )
+    for t in range(n_rounds):
+        cur.localCheckpoint(eager=False).createOrReplaceTempView(f"__kc_a{t}")
+        cur = spark.sql(_kcore_round_sql("__kc_adj", f"__kc_a{t}", k))
+    return cur.selectExpr("v as doc_id", "cast(deg as bigint) as deg")
+
+
+def k_core_oracle_sql(table: str = "documents", k: int = 2, n_rounds: int = 4) -> str:
+    """The same peel unrolled as chained CTEs (DuckDB dialect)."""
+    n_expr = "(select count(*) from d0)"
+    ctes = [
+        f"d0 as (select doc_id from {table})",
+        f"adj as ({undirected_edges_sql(DUCK, 'd0', n_expr)})",
+        f"a0 as (select v, deg from (select u as v, count(*) as deg "
+        f"from adj group by u) t where deg >= {k})",
+    ]
+    for t in range(n_rounds):
+        ctes.append(f"a{t + 1} as ({_kcore_round_sql('adj', f'a{t}', k)})")
+    return (
+        "with " + ", ".join(ctes)
+        + f" select v as doc_id, cast(deg as bigint) as deg from a{n_rounds}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities (synchronous, deterministic tie-break)
+# ---------------------------------------------------------------------------
+def _lpa_round_sql(adj: str, lab: str) -> str:
+    """One synchronous LPA round: each node adopts the most frequent label
+    among its neighbors, ties broken by the SMALLEST label (fully
+    deterministic); isolated nodes keep their label via the left join."""
+    return f"""
+        select l.v,
+               coalesce(nl.lbl, l.lbl) as lbl
+        from {lab} l
+        left join (
+            select v, lbl from (
+                select e.u as v, n.lbl, count(*) as c,
+                       row_number() over (
+                           partition by e.u order by count(*) desc, n.lbl asc
+                       ) as rn
+                from {adj} e join {lab} n on n.v = e.w
+                group by e.u, n.lbl
+            ) t where rn = 1
+        ) nl on nl.v = l.v"""
+
+
+def label_propagation(
+    spark: SparkSession, docs: DataFrame, n_rounds: int = 3
+) -> DataFrame:
+    """(doc_id, community) after ``n_rounds`` synchronous label-propagation
+    rounds over the undirected link graph — the classic near-linear community
+    detector (Raghavan et al. 2007), made deterministic by the count-desc /
+    label-asc vote so the result is value-hash-gateable.
+
+    Scale: per round one groupBy on (node, label) with map-side combine, one
+    per-node top-1 window (keys are node ids — no global window), one
+    broadcast-free left join; labels are ints, no driver state."""
+    docs.select("doc_id").createOrReplaceTempView("__lp_docs")
+    n_expr = "(select count(*) from __lp_docs)"
+    spark.sql(
+        undirected_edges_sql(SPARK, "__lp_docs", n_expr)
+    ).localCheckpoint(eager=False).createOrReplaceTempView("__lp_adj")
+    cur = spark.sql("select doc_id as v, doc_id as lbl from __lp_docs")
+    for t in range(n_rounds):
+        cur.localCheckpoint(eager=False).createOrReplaceTempView(f"__lp_l{t}")
+        cur = spark.sql(_lpa_round_sql("__lp_adj", f"__lp_l{t}"))
+    return cur.selectExpr("v as doc_id", "cast(lbl as bigint) as community")
+
+
+def label_propagation_oracle_sql(table: str = "documents", n_rounds: int = 3) -> str:
+    n_expr = "(select count(*) from d0)"
+    ctes = [
+        f"d0 as (select doc_id from {table})",
+        f"adj as ({undirected_edges_sql(DUCK, 'd0', n_expr)})",
+        "l0 as (select doc_id as v, doc_id as lbl from d0)",
+    ]
+    for t in range(n_rounds):
+        ctes.append(f"l{t + 1} as ({_lpa_round_sql('adj', f'l{t}')})")
+    return (
+        "with " + ", ".join(ctes)
+        + f" select v as doc_id, cast(lbl as bigint) as community from l{n_rounds}"
+    )

@@ -336,3 +336,44 @@ def topk_pq_adc_oracle_sql(
                    row_number() over (partition by qid order by adc_dist, vid) as rn
             from adc) where rn <= {topk}"""
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(query_id, vec_id, cos, rn) — for every query vector, the top-k most
+    similar corpus vectors with a DIFFERENT label: contrastive-training
+    hard-negative mining (the in-batch-negatives upgrade every embedding
+    pipeline ships).  Same exact staged-cosine arithmetic and broadcast
+    shape as :func:`topk_cosine_brute`; the label inequality prunes before
+    the ranking window, so positives never occupy top-k slots."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("qv"),
+        F.expr(NORM.format(v=vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("c_label"),
+        F.col(vec_col).alias("cv"),
+        F.expr(NORM.format(v=vec_col)).alias("cn"),
+    )
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_label") != F.col("c_label"))
+        .withColumn("cos", F.round(F.expr(_cos_staged("qv", "cv", "qn", "cn")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos", "rn")
+    )

@@ -589,3 +589,72 @@ def headway_sql(d: str, table: str = "events") -> str:
 def headways(spark, table: str = "events") -> DataFrame:
     """Engine entry for headway_sql (see there)."""
     return spark.sql(headway_sql("spark", table=table))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (one-sided, integer-exact)
+# ---------------------------------------------------------------------------
+def cusum_sql(
+    d: str,
+    table: str = "events",
+    slack_q: int = 50_000,
+    threshold_q: int = 2_000_000,
+) -> str:
+    """Per-user one-sided CUSUM drift detector (Page 1954) over the event
+    stream, closed-form instead of recursive: with y_t = x_t − mean − slack
+    and S_t = Σ_{j<=t} y_j, the recursive C_t = max(0, C_{t−1} + y_t)
+    equals S_t − min(0, min_{j<=t} S_j) — two ordinary window frames (prefix
+    sum + running min) over ONE per-user sort, no recursion, no UDF.
+
+    Exactness: values quantized to 1e-6 integer units before any fold; the
+    per-user mean uses the positive-numerator floor-division trick (offset
+    by 1e12 per row) so Spark's truncating ``div`` and DuckDB's flooring
+    ``//`` agree.  Alarm fires when C_t exceeds ``threshold_q``.
+
+    Scale: one shuffle on user_id; both windows run in the same sort; the
+    mean join is a per-user aggregate broadcast back by the same key —
+    Catalyst keeps it inside the window exchange."""
+    idiv = "div" if d == "spark" else "//"
+    off = 10**12
+    return f"""
+        with q as (
+            select user_id, event_id, ts,
+                   cast(floor(value * 1.0e6 + 0.5e0) as bigint) as xq
+            from {table}
+        ),
+        m as (
+            select user_id,
+                   cast((sum(xq + {off}) {idiv} count(*)) - {off} as bigint)
+                       as mean_q
+            from q group by user_id
+        ),
+        y as (
+            select q.user_id, q.event_id, q.ts,
+                   q.xq - m.mean_q - {int(slack_q)} as yq
+            from q join m using (user_id)
+        ),
+        s as (
+            select user_id, event_id, ts,
+                   cast(sum(yq) over w as bigint) as s_q
+            from y
+            window w as (partition by user_id order by ts asc, event_id asc
+                         rows between unbounded preceding and current row)
+        ),
+        r as (
+            select user_id, event_id, s_q,
+                   cast(min(s_q) over w2 as bigint) as smin_q
+            from s
+            window w2 as (partition by user_id order by ts asc, event_id asc
+                          rows between unbounded preceding and current row)
+        )
+        select user_id, event_id,
+               cast(s_q - least(smin_q, 0) as bigint) as cusum_q,
+               (s_q - least(smin_q, 0)) > {int(threshold_q)} as alarm
+        from r"""
+
+
+def cusum(spark, table: str = "events", slack_q: int = 50_000,
+          threshold_q: int = 2_000_000) -> DataFrame:
+    """Engine entry for cusum_sql (see there)."""
+    return spark.sql(cusum_sql("spark", table=table, slack_q=slack_q,
+                               threshold_q=threshold_q))

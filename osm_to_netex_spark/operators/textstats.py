@@ -606,3 +606,100 @@ def zipf_fit(docs: DataFrame, top_n: int = 200, text_col: str = "text") -> DataF
     spark = docs.sparkSession
     docs.createOrReplaceTempView("__zipf_docs")
     return spark.sql(zipf_fit_sql(SPARK, "__zipf_docs", top_n=top_n, text_col=text_col))
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence (word-association mining over a bounded vocabulary)
+# ---------------------------------------------------------------------------
+def pmi_cooc_sql(d: str, table: str = "documents", top_v: int = 40,
+                 min_pairs: int = 3) -> str:
+    """Pointwise mutual information over document-level co-occurrence of the
+    corpus's ``top_v`` most frequent terms:
+    PMI(a,b) = ln(N·c_ab / (c_a·c_b)) with N = #docs, c_x = #docs containing
+    x, c_ab = #docs containing both — quantized to bigint 1e-9 ln units (the
+    classify.py discipline) so the fold is order-free.
+
+    Scale: vocabulary is bounded (top_v, deterministic freq-desc/term-asc
+    cut), so the per-doc kept-term list is <= top_v and the within-doc pair
+    fan-out <= top_v²/2; corpus touched once for the vocab count and once
+    for the pair explode; both aggregates map-side combine.  The marginal
+    table is dimension-sized and joins back by term."""
+    toks = tx.tokens("text", d)
+    ex = (
+        f"select doc_id, explode({toks}) as w from {table}"
+        if d == SPARK
+        else f"select doc_id, unnest({toks}) as w from {table}"
+    )
+    lnq = "cast(floor(ln({x}) * 1000000000.0e0 + 0.5e0) as bigint)"
+    pmi = lnq.format(
+        x="cast(n.n as double) * cast(p.c_ab as double)"
+          " / (cast(ma.c as double) * cast(mb.c as double))"
+    )
+    return f"""
+        with tok as (select distinct doc_id, w from ({ex}) e),
+        freq as (select w, count(*) as c from tok group by w),
+        vocab as (
+            select w, c from (
+                select w, c, row_number() over (order by c desc, w asc) as rn
+                from freq
+            ) t where rn <= {int(top_v)}
+        ),
+        kept as (select tok.doc_id, tok.w from tok join vocab on vocab.w = tok.w),
+        n as (select count(distinct doc_id) as n from {table}),
+        p as (
+            select a.w as wa, b.w as wb, count(*) as c_ab
+            from kept a join kept b on a.doc_id = b.doc_id and a.w < b.w
+            group by a.w, b.w
+        )
+        select p.wa, p.wb, cast(p.c_ab as bigint) as c_ab,
+               {pmi} as pmi_q9
+        from p
+        join vocab ma on ma.w = p.wa
+        join vocab mb on mb.w = p.wb
+        cross join n
+        where p.c_ab >= {int(min_pairs)}"""
+
+
+# ---------------------------------------------------------------------------
+# BLEU-style clipped n-gram overlap scoring (pairwise)
+# ---------------------------------------------------------------------------
+def ngram_overlap_sql(d: str, table: str = "documents", n: int = 2) -> str:
+    """Clipped n-gram precision between consecutive documents (doc i scored
+    against doc i+1): matches = Σ_g min(count_a(g), count_b(g)) — the BLEU
+    numerator (Papineni et al. 2002), the standard near-duplicate /
+    eval-contamination overlap score.  Output is pure integers (matches,
+    total) plus a q9-quantized precision, so the gate is bit-exact.
+
+    Scale: n-grams count per doc (map-side combine), pairs join on
+    (doc_id, gram) after an id-shift equi-join — no cross product; the
+    pairing key generalizes to any candidate table (LSH buckets at corpus
+    scale)."""
+    toks = tx.tokens("text", d)
+    if d == SPARK:
+        grams = (
+            f"transform(sequence(1, size({toks}) - {n - 1}),"
+            f" i -> concat_ws(' ', slice({toks}, i, {n})))"
+        )
+        ex = f"select doc_id, explode({grams}) as g from {table} where size({toks}) >= {n}"
+    else:
+        grams = (
+            f"list_transform(generate_series(1, len({toks}) - {n - 1}),"
+            f" i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+        )
+        ex = f"select doc_id, unnest({grams}) as g from {table} where len({toks}) >= {n}"
+    prec = (
+        "cast(floor(cast(m as double) / cast(t as double)"
+        " * 1000000000.0e0 + 0.5e0) as bigint)"
+    )
+    return f"""
+        with gc as (select doc_id, g, count(*) as c from ({ex}) e group by doc_id, g),
+        tot as (select doc_id, cast(sum(c) as bigint) as t from gc group by doc_id),
+        m as (
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   cast(sum(least(a.c, b.c)) as bigint) as m
+            from gc a join gc b on b.doc_id = a.doc_id + 1 and b.g = a.g
+            group by a.doc_id, b.doc_id
+        )
+        select m.doc_a, m.doc_b, m.m as clipped_matches, tot.t as total_ngrams_a,
+               {prec} as precision_q9
+        from m join tot on tot.doc_id = m.doc_a"""

@@ -4997,6 +4997,152 @@ QUERIES["zipf_fit"] = (q_zipf_fit, q_zipf_fit_oracle)
 
 
 # ---------------------------------------------------------------------------
+# round-3 additions: graph structure, association mining, changepoints,
+# contrastive mining, privacy audit
+# ---------------------------------------------------------------------------
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (4 peel rounds, k=2) over the deterministic link
+    graph — the density filter community/graph-ML pipelines run before
+    expensive per-node work (operators.graph.k_core)."""
+    from ..operators import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return graph.k_core(spark, docs, k=2, n_rounds=4)
+
+
+def q_k_core_oracle() -> str:
+    from ..operators import graph
+
+    return graph.k_core_oracle_sql("documents", k=2, n_rounds=4)
+
+
+QUERIES["k_core"] = (q_k_core, q_k_core_oracle)
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities, 3 rounds, deterministic
+    count-desc/label-asc vote (operators.graph.label_propagation)."""
+    from ..operators import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return graph.label_propagation(spark, docs, n_rounds=3)
+
+
+def q_label_prop_oracle() -> str:
+    from ..operators import graph
+
+    return graph.label_propagation_oracle_sql("documents", n_rounds=3)
+
+
+QUERIES["label_prop"] = (q_label_prop, q_label_prop_oracle)
+
+
+def q_pmi_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI word-association mining over the top-40 vocabulary
+    (operators.textstats.pmi_cooc_sql)."""
+    from ..operators import textstats
+
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(textstats.pmi_cooc_sql(SPARK))
+
+
+def q_pmi_cooc_oracle() -> str:
+    from ..operators import textstats
+
+    return textstats.pmi_cooc_sql(DUCK)
+
+
+QUERIES["pmi_cooc"] = (q_pmi_cooc, q_pmi_cooc_oracle)
+
+
+def q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-style clipped bigram precision between consecutive documents
+    (operators.textstats.ngram_overlap_sql)."""
+    from ..operators import textstats
+
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(textstats.ngram_overlap_sql(SPARK))
+
+
+def q_ngram_overlap_oracle() -> str:
+    from ..operators import textstats
+
+    return textstats.ngram_overlap_sql(DUCK)
+
+
+QUERIES["ngram_overlap"] = (q_ngram_overlap, q_ngram_overlap_oracle)
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM changepoint detector over the event stream,
+    closed-form window formulation (operators.temporal.cusum_sql)."""
+    from ..operators import temporal
+
+    register_geometry_views(spark, sf_dir)
+    return temporal.cusum(spark)
+
+
+def q_cusum_oracle() -> str:
+    from ..operators import temporal
+
+    return temporal.cusum_sql(DUCK)
+
+
+QUERIES["cusum"] = (q_cusum, q_cusum_oracle)
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query vector, top-5 most
+    similar corpus vectors with a different label
+    (operators.similarity.hard_negatives)."""
+    from ..operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id % 50 = 0")
+    return similarity.hard_negatives(queries, emb, k=5)
+
+
+def q_hard_negatives_oracle() -> str:
+    cos = dedup.cosine_expr("q.embedding", "c.embedding", DUCK)
+    return f"""
+        with scored as (
+            select q.vec_id as query_id, c.vec_id as vec_id,
+                   round({cos}, 6) as cos
+            from embeddings q cross join embeddings c
+            where q.vec_id % 50 = 0 and c.label <> q.label
+        ),
+        ranked as (
+            select query_id, vec_id, cos,
+                   row_number() over (
+                       partition by query_id order by cos desc, vec_id asc
+                   ) as rn
+            from scored
+        )
+        select query_id, vec_id, cos, rn from ranked where rn <= 5"""
+
+
+QUERIES["hard_negatives"] = (q_hard_negatives, q_hard_negatives_oracle)
+
+
+def q_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-generalization k-anonymity audit over the customer
+    quasi-identifiers (operators.curation.kanon_ladder_sql)."""
+    from ..operators import curation
+
+    register_geometry_views(spark, sf_dir)
+    return curation.kanon_ladder(spark, k=5)
+
+
+def q_kanon_oracle() -> str:
+    from ..operators import curation
+
+    return curation.kanon_ladder_sql(DUCK, k=5)
+
+
+QUERIES["kanon"] = (q_kanon, q_kanon_oracle)
+
+
+# ---------------------------------------------------------------------------
 # registry ordering: rotate the driver-checked window
 # ---------------------------------------------------------------------------
 # The correctness driver hash-gates the FIRST 50 registry entries in insertion

@@ -1,0 +1,219 @@
+"""Round-3 operators vs exact Python replays: k-core peel, label
+propagation, CUSUM closed form vs the textbook recursion, PMI counts,
+clipped n-gram overlap, hard-negative mining, k-anonymity ladder."""
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from osm_to_netex_spark.functions.portable import SPARK
+from osm_to_netex_spark.operators import curation, graph, similarity, temporal, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _und_edges(spark, docs):
+    docs.select("doc_id").createOrReplaceTempView("__t_docs")
+    n_expr = "(select count(*) from __t_docs)"
+    rows = spark.sql(graph.undirected_edges_sql(SPARK, "__t_docs", n_expr)).collect()
+    adj = defaultdict(set)
+    for r in rows:
+        adj[int(r["u"])].add(int(r["w"]))
+    return adj
+
+
+def test_k_core_matches_python_peel_and_converges(spark, docs):
+    k, rounds = 2, 4
+    adj = _und_edges(spark, docs)
+    alive = {v for v, ns in adj.items() if len(ns) >= k}
+
+    def peel(alive):
+        return {v for v in alive if len(adj[v] & alive) >= k}
+
+    for _ in range(rounds):
+        alive = peel(alive)
+    # converged on the fixture graph → the R-round result IS the true k-core
+    assert peel(alive) == alive
+    want = {(v, len(adj[v] & alive)) for v in alive}
+    got = {
+        (int(r["doc_id"]), int(r["deg"]))
+        for r in graph.k_core(spark, docs, k=k, n_rounds=rounds).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_label_propagation_matches_python_replay(spark, docs):
+    rounds = 3
+    adj = _und_edges(spark, docs)
+    nodes = [int(r["doc_id"]) for r in docs.select("doc_id").collect()]
+    lbl = {v: v for v in nodes}
+    for _ in range(rounds):
+        new = {}
+        for v in nodes:
+            votes = Counter(lbl[w] for w in adj.get(v, ()))
+            if votes:
+                best = max(votes.items(), key=lambda t: (t[1], -t[0]))
+                new[v] = best[0]
+            else:
+                new[v] = lbl[v]
+        lbl = new
+    got = {
+        int(r["doc_id"]): int(r["community"])
+        for r in graph.label_propagation(spark, docs, n_rounds=rounds).collect()
+    }
+    assert got == lbl
+    # communities actually merged (not the identity labeling)
+    assert len(set(lbl.values())) < len(nodes)
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """S_t − min(0, min_j S_j) must equal the textbook recursive
+    C_t = max(0, C_{t−1} + y_t) on the real event table."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.createOrReplaceTempView("events")
+    got = {
+        (int(r["user_id"]), int(r["event_id"])): (int(r["cusum_q"]), bool(r["alarm"]))
+        for r in temporal.cusum(spark).collect()
+    }
+    rows = ev.select("user_id", "event_id", "ts", "value").collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[int(r["user_id"])].append(r)
+    off = 10**12
+    slack, h = 50_000, 2_000_000
+    n_alarm = 0
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        xq = [math.floor(float(r["value"]) * 1e6 + 0.5) for r in rs]
+        mean_q = (sum(x + off for x in xq)) // len(xq) - off
+        c = 0
+        for r, x in zip(rs, xq):
+            c = max(0, c + (x - mean_q - slack))
+            assert got[(uid, int(r["event_id"]))] == (c, c > h)
+            n_alarm += c > h
+    assert len(got) == len(rows)
+
+
+def test_pmi_counts_match_python(spark):
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta"),
+        (2, "alpha gamma delta"),
+        (3, "beta gamma"),
+        (4, "alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+    df.createOrReplaceTempView("documents")
+    got = {
+        (r["wa"], r["wb"]): (int(r["c_ab"]), int(r["pmi_q9"]))
+        for r in spark.sql(
+            textstats.pmi_cooc_sql(SPARK, top_v=4, min_pairs=2)
+        ).collect()
+    }
+    docsets = [set(t.split()) for _, t in rows]
+    n = len(rows)
+    cnt = Counter(w for s in docsets for w in s)
+    pairs = Counter()
+    for s in docsets:
+        ws = sorted(s)
+        for i, a in enumerate(ws):
+            for b in ws[i + 1 :]:
+                pairs[(a, b)] += 1
+    want = {}
+    for (a, b), c_ab in pairs.items():
+        if c_ab >= 2:
+            pmi = math.floor(
+                math.log(n * c_ab / (cnt[a] * cnt[b])) * 1e9 + 0.5
+            )
+            want[(a, b)] = (c_ab, pmi)
+    assert got == want and len(got) >= 3
+
+
+def test_ngram_overlap_clipped_precision(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on a rug"),
+        (2, "completely different words here"),
+        (3, "words here completely different"),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+    df.createOrReplaceTempView("documents")
+    out = {
+        (int(r["doc_a"]), int(r["doc_b"])): (
+            int(r["clipped_matches"]),
+            int(r["total_ngrams_a"]),
+        )
+        for r in spark.sql(textstats.ngram_overlap_sql(SPARK, n=2)).collect()
+    }
+
+    def bigrams(t):
+        toks = t.split()
+        return Counter(tuple(toks[i : i + 2]) for i in range(len(toks) - 1))
+
+    for a in range(3):
+        ga, gb = bigrams(rows[a][1]), bigrams(rows[a + 1][1])
+        m = sum(min(c, gb[g]) for g, c in ga.items())
+        if m > 0:
+            assert out[(a, a + 1)] == (m, sum(ga.values()))
+        else:
+            assert (a, a + 1) not in out
+    # "the cat"/"cat sat"/"sat on" shared between 0 and 1
+    assert out[(0, 1)][0] == 3
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where("vec_id % 50 = 0")
+    out = similarity.hard_negatives(queries, emb, k=5)
+    labels = {int(r["vec_id"]): int(r["label"]) for r in emb.collect()}
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert labels[int(r["query_id"])] != labels[int(r["vec_id"])]
+    # per query exactly k rows ranked 1..k
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[int(r["query_id"])].append(int(r["rn"]))
+    for q, rns in per_q.items():
+        assert sorted(rns) == list(range(1, 6))
+
+
+def test_kanon_ladder_minimal_level(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    cust.createOrReplaceTempView("customer")
+    k = 5
+    got = {
+        int(r["c_custkey"]): (int(r["anon_level"]), int(r["class_size"]))
+        for r in curation.kanon_ladder(spark, k=k).collect()
+    }
+    rows = cust.select("c_custkey", "c_nationkey", "c_acctbal").collect()
+    qs = [
+        (
+            int(r["c_custkey"]),
+            int(r["c_nationkey"]),
+            math.floor(float(r["c_acctbal"])),
+            math.floor(float(r["c_acctbal"]) / 100.0),
+            math.floor(float(r["c_acctbal"]) / 1000.0),
+        )
+        for r in rows
+    ]
+    for lvl_idx in range(4):
+        cnt = Counter()
+        for t in qs:
+            key = (t[1],) if lvl_idx == 3 else (t[1], t[2 + lvl_idx])
+            cnt[key] += 1
+        for t in qs:
+            key = (t[1],) if lvl_idx == 3 else (t[1], t[2 + lvl_idx])
+            lvl, size = got[t[0]]
+            if lvl == lvl_idx:
+                assert cnt[key] >= k and size == cnt[key]
+            elif lvl > lvl_idx:
+                assert cnt[key] < k  # smaller levels genuinely failed
+    assert len(got) == len(qs)
