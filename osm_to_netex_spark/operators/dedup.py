@@ -684,3 +684,52 @@ def semdedup_oracle_sql(
                (pruned.vid is null) as keep
         from v left join pruned on v.vid = pruned.vid
     """
+
+
+def keep_best_dedup(
+    docs: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware near-dup deduplication: (doc_id, grp, quality_q6, kept)
+    where grp is the near-duplicate component (singletons are their own
+    group) and ``kept`` marks exactly ONE survivor per group — the highest
+    quality, ties to the smallest id.  This is what production pipelines
+    actually do with duplicate groups: keep the best copy, not an arbitrary
+    one (min-id) nor all.
+
+    Quality is the gated textstats composite, half-up-quantized to bigint
+    1e-6 units so the ranking key is integer-exact cross-engine.
+
+    Scale: pairs/components from the banded-LSH + alternating-star
+    machinery (their bounds apply); the ranking window partitions by group
+    — group sizes are near-dup family sizes, never corpus-scale."""
+    from pyspark.sql import Window
+
+    from .textstats import quality_score_expr
+
+    pairs = minhash_lsh_pairs(
+        docs, n_perm=n_perm, bands=bands, jaccard_threshold=jaccard_threshold
+    )
+    comp = connected_components(pairs)
+    q = docs.selectExpr(
+        f"{id_col} as doc_id",
+        f"cast(floor(({quality_score_expr(text_col)}) * 1.0e6 + 0.5e0)"
+        " as bigint) as quality_q6",
+    )
+    lab = q.join(comp, "doc_id", "left").selectExpr(
+        "doc_id",
+        "cast(coalesce(component, doc_id) as bigint) as grp",
+        "quality_q6",
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("quality_q6").desc(), F.col("doc_id").asc()
+    )
+    out = (
+        lab.withColumn("rk", F.row_number().over(w))
+        .selectExpr("doc_id", "grp", "quality_q6", "(rk = 1) as kept")
+    )
+    return _attach_cached(out, [pairs])

@@ -5142,6 +5142,54 @@ def q_kanon_oracle() -> str:
 QUERIES["kanon"] = (q_kanon, q_kanon_oracle)
 
 
+def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup: one survivor per LSH component, the
+    highest-quality copy (operators.dedup.keep_best_dedup)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.keep_best_dedup(docs, n_perm=16, bands=4, jaccard_threshold=0.4)
+    dedup.unpersist_intermediates(out)
+    return out
+
+
+def q_keep_best_oracle() -> str:
+    from ..operators.textstats import quality_score_expr
+
+    pairs_sql = q_minhash_pairs_oracle()
+    qexpr = quality_score_expr("text", DUCK)
+    return f"""
+        with recursive pairs as (select doc_a, doc_b from ({pairs_sql}) tp),
+        edges as (
+            select doc_a as a, doc_b as b from pairs
+            union
+            select doc_b as a, doc_a as b from pairs
+        ),
+        reach(v, l) as (
+            select a, a from edges
+            union
+            select e.a, r.l from edges e join reach r on r.v = e.b
+        ),
+        comp as (select v as doc_id, min(l) as component from reach group by v),
+        q as (
+            select doc_id,
+                   cast(floor(({qexpr}) * 1.0e6 + 0.5e0) as bigint) as quality_q6
+            from documents
+        ),
+        lab as (
+            select q.doc_id,
+                   cast(coalesce(c.component, q.doc_id) as bigint) as grp,
+                   q.quality_q6
+            from q left join comp c on c.doc_id = q.doc_id
+        )
+        select doc_id, grp, quality_q6,
+               (row_number() over (
+                   partition by grp order by quality_q6 desc, doc_id asc
+               ) = 1) as kept
+        from lab"""
+
+
+QUERIES["keep_best"] = (q_keep_best, q_keep_best_oracle)
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: rotate the driver-checked window
 # ---------------------------------------------------------------------------

@@ -217,3 +217,24 @@ def test_kanon_ladder_minimal_level(spark):
             elif lvl > lvl_idx:
                 assert cnt[key] < k  # smaller levels genuinely failed
     assert len(got) == len(qs)
+
+
+def test_keep_best_one_survivor_per_group(spark):
+    from osm_to_netex_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup.keep_best_dedup(docs)
+    rows = out.collect()
+    dedup.unpersist_intermediates(out)
+    by_grp = defaultdict(list)
+    for r in rows:
+        by_grp[int(r["grp"])].append(r)
+    assert len(rows) == docs.count()
+    multi = 0
+    for grp, rs in by_grp.items():
+        kept = [r for r in rs if r["kept"]]
+        assert len(kept) == 1
+        best = max(rs, key=lambda r: (int(r["quality_q6"]), -int(r["doc_id"])))
+        assert int(kept[0]["doc_id"]) == int(best["doc_id"])
+        multi += len(rs) > 1
+    assert multi > 0  # the fixture corpus really has near-dup families
