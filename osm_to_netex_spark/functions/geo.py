@@ -676,3 +676,19 @@ def quad_boundary(cell: str, res: int, d: str) -> str:
         _flat_array(terms, d),
         d,
     )
+
+
+def quad_cell_center(cell: str, res: int, d: str) -> tuple[str, str]:
+    """(clat, clon) of a quad cell's center — the same arithmetic (and float
+    literal formatting) as quad_cell_classify's internal center, exposed for
+    consumers that need the center as a point (label-point search)."""
+    n = 2**res
+    cellw, cellh = 360.0 / n, 180.0 / n
+    lo = res * 2**QUAD_RES_BITS
+    ix = f"(({cell} - {lo}) % {2**QUAD_AXIS_BITS})"
+    iy = _intdiv(f"({cell} - {lo})", str(2**QUAD_AXIS_BITS), d)
+    cw = f"({ix} * {cellw!r}e0 - 180.0e0)"
+    cs = f"({iy} * {cellh!r}e0 - 90.0e0)"
+    clat = f"({cs} + {cellh / 2.0!r}e0)"
+    clon = f"({cw} + {cellw / 2.0!r}e0)"
+    return clat, clon

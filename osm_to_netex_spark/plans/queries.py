@@ -2433,6 +2433,169 @@ def q_anomaly_oracle() -> str:
 QUERIES["anomaly"] = (q_anomaly, q_anomaly_oracle)
 
 
+def _robust_anomaly_sql(d: str) -> str:
+    """Median/MAD (robust z-score) outlier detection per event type — the
+    Iglewicz-Hoaglin modified z with the 0.6745 consistency constant and the
+    3.5 flag threshold; immune to the outliers themselves (unlike the
+    3-sigma `anomaly` query, whose mean/stddev the outliers drag).
+
+    Exactness: values quantized to bigint 1e-6 first; both engines
+    interpolate percentiles identically over the integer domain (the
+    events_quantiles discipline), and the median/MAD are re-quantized
+    half-up before the z computation so the only float ops are one fixed
+    multiply/divide sequence on integer-derived doubles.
+
+    Scale: two per-type exact percentiles (type-keyed shuffles over the
+    quantized column) + one broadcast-sized stats join back; flags are a
+    scan-parallel projection."""
+    pct = (
+        (lambda x, p: f"percentile({x}, {p})")
+        if d == SPARK
+        else (lambda x, p: f"quantile_cont({x}, {p})")
+    )
+    zq = (
+        "cast(floor(0.6745e0 * cast(xq - medq as double)"
+        " / cast(madq as double) * 1.0e9 + 0.5e0) as bigint)"
+    )
+    return f"""
+        with q as (
+            select event_type, event_id,
+                   cast(floor(value * 1.0e6 + 0.5e0) as bigint) as xq
+            from events
+        ),
+        med as (
+            select event_type,
+                   cast(floor({pct('xq', '0.5e0')} + 0.5e0) as bigint) as medq
+            from q group by event_type
+        ),
+        dev as (
+            select q.event_type, q.event_id, q.xq, med.medq,
+                   abs(q.xq - med.medq) as adev
+            from q join med using (event_type)
+        ),
+        mad as (
+            select event_type,
+                   cast(floor({pct('adev', '0.5e0')} + 0.5e0) as bigint) as madq
+            from dev group by event_type
+        )
+        select dev.event_type, dev.event_id, dev.xq, dev.medq, mad.madq,
+               {zq} as robust_z_q9,
+               abs({zq}) > 3500000000 as outlier
+        from dev join mad using (event_type)
+        where mad.madq > 0"""
+
+
+def q_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection (see _robust_anomaly_sql)."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_robust_anomaly_sql(SPARK))
+
+
+def q_robust_anomaly_oracle() -> str:
+    return _robust_anomaly_sql(DUCK)
+
+
+QUERIES["robust_anomaly"] = (q_robust_anomaly, q_robust_anomaly_oracle)
+
+
+_LABEL_RES = 12
+
+
+def q_label_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon label point (pole-of-inaccessibility, grid form): per zone,
+    the cover cell at res 12 whose CENTER lies inside the polygon and
+    maximizes the minimum distance to the boundary — where map renderers
+    drop the zone's name so it never touches the outline (the polylabel
+    problem, discretized to the engine's own cell grid so it is exact and
+    value-hash-gateable rather than an iterative approximation).  Zones
+    finer than the grid emit no label point (raise the res for them — a
+    knob, not a redesign).
+
+    Shape: candidate centers from the exploded bbox cover + the gated
+    ray-cast, boundary segments from the packed ring; the distance join is
+    zone-keyed (cells × OWN segments only, never cross-zone), the min folds
+    map-side, the argmax is a per-zone window.  Integer mm via the snap
+    metric ⇒ deterministic ties (clearance desc, cell asc)."""
+    from ..operators.distjoin import _segments, seg_dist_m
+    from ..operators.tiling import cover_cells
+    from ..functions.portable import round_half
+
+    register_geometry_views(spark, sf_dir)
+    polys = spark.table("geo_polys")
+    cov = cover_cells(polys, "zone_id", _LABEL_RES, "quad", keep=("pos_list",))
+    clat, clon = geo.quad_cell_center("cell", _LABEL_RES, SPARK)
+    cent = cov.where(
+        F.expr(geo.point_in_polygon(clat, clon, "pos_list", SPARK))
+    ).selectExpr("zone_id", "cell", f"{clat} as clat", f"{clon} as clon")
+    segs = _segments(polys, "zone_id", "pos_list", "s")
+    dmm = round_half(
+        f"({seg_dist_m('clat', 'clon', 'sy1', 'sx1', 'sy2', 'sx2', SPARK)})"
+        " * 1000.0e0",
+        SPARK,
+    )
+    dist = (
+        cent.join(segs, cent.zone_id == segs.s_id)
+        .select("zone_id", "cell", F.expr(dmm).alias("dmm"))
+        .groupBy("zone_id", "cell")
+        .agg(F.min("dmm").alias("clearance_mm"))
+    )
+    w = Window.partitionBy("zone_id").orderBy(
+        F.col("clearance_mm").desc(), F.col("cell").asc()
+    )
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("zone_id", F.col("cell").alias("label_cell"), "clearance_mm")
+    )
+
+
+def q_label_point_oracle() -> str:
+    from ..operators.distjoin import seg_dist_m
+    from ..functions.portable import round_half
+
+    r = _LABEL_RES
+    clat, clon = geo.quad_cell_center("cell", r, DUCK)
+    dmm = round_half(
+        f"({seg_dist_m('c.clat', 'c.clon', 's.sy1', 's.sx1', 's.sy2', 's.sx2', DUCK)})"
+        " * 1000.0e0",
+        DUCK,
+    )
+    return f"""{duck_geometry_ctes()},
+        cov as (
+            select zone_id, pos_list,
+                   unnest({geo.quad_cover_bbox('pos_list', r, DUCK)}) as cell
+            from geo_polys
+        ),
+        cent as (
+            select zone_id, cell, {clat} as clat, {clon} as clon
+            from cov
+            where {geo.point_in_polygon(clat, clon, 'pos_list', DUCK)}
+        ),
+        segs as (
+            select zone_id,
+                   pos_list[2*t.i - 1] as sy1, pos_list[2*t.i] as sx1,
+                   pos_list[2*t.i + 1] as sy2, pos_list[2*t.i + 2] as sx2
+            from geo_polys,
+                 unnest(generate_series(1, len(pos_list) // 2 - 1)) t(i)
+        ),
+        d as (
+            select c.zone_id, c.cell, min({dmm}) as clearance_mm
+            from cent c join segs s on s.zone_id = c.zone_id
+            group by c.zone_id, c.cell
+        )
+        select zone_id, cell as label_cell, clearance_mm from (
+            select zone_id, cell, clearance_mm,
+                   row_number() over (
+                       partition by zone_id
+                       order by clearance_mm desc, cell asc
+                   ) as rn
+            from d
+        ) t where rn = 1"""
+
+
+QUERIES["label_point"] = (q_label_point, q_label_point_oracle)
+
+
 def _pii_docs_sql(d: str) -> str:
     """Documents with deterministic synthetic PII appended (the shared
     corpus carries none): an email, an IPv4 from the doc_id bytes, and a

@@ -238,3 +238,63 @@ def test_keep_best_one_survivor_per_group(spark):
         assert int(kept[0]["doc_id"]) == int(best["doc_id"])
         multi += len(rs) > 1
     assert multi > 0  # the fixture corpus really has near-dup families
+
+
+def test_robust_anomaly_matches_python_replay(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    out = {
+        (r["event_type"], int(r["event_id"])): (
+            int(r["robust_z_q9"]),
+            bool(r["outlier"]),
+        )
+        for r in Q.q_robust_anomaly(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r["event_type"]].append(
+            (int(r["event_id"]), math.floor(float(r["value"]) * 1e6 + 0.5))
+        )
+
+    def interp_median(vals):
+        s = sorted(vals)
+        n = len(s)
+        pos = (n - 1) * 0.5
+        lo, hi = s[int(pos)], s[min(int(pos) + 1, n - 1)]
+        return lo + (pos - int(pos)) * (hi - lo)
+
+    n_checked = 0
+    for et, rows in by_type.items():
+        xs = [x for _, x in rows]
+        medq = math.floor(interp_median(xs) + 0.5)
+        madq = math.floor(interp_median([abs(x - medq) for x in xs]) + 0.5)
+        if madq <= 0:
+            continue
+        for eid, x in rows:
+            z = math.floor(0.6745 * (x - medq) / madq * 1e9 + 0.5)
+            assert out[(et, eid)] == (z, abs(z) > 3_500_000_000)
+            n_checked += 1
+    assert n_checked > 0 and len(out) == n_checked
+
+
+def test_label_point_center_inside_and_positive_clearance(spark):
+    from osm_to_netex_spark.functions import geo
+    from osm_to_netex_spark.plans import queries as Q
+
+    out = Q.q_label_point(spark, SF)
+    rows = out.collect()
+    assert len(rows) == 10  # every sf0.001 zone gets a label point
+    clat, clon = geo.quad_cell_center("label_cell", Q._LABEL_RES, "spark")
+    joined = (
+        out.join(spark.table("geo_polys"), "zone_id")
+        .selectExpr(
+            "zone_id",
+            "clearance_mm",
+            f"({geo.point_in_polygon(clat, clon, 'pos_list', 'spark')}) as inside",
+        )
+        .collect()
+    )
+    for r in joined:
+        assert r["inside"], f"label center outside polygon for {r['zone_id']}"
+        assert int(r["clearance_mm"]) > 0
