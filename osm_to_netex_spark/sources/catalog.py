@@ -1142,6 +1142,27 @@ class SnapshotCatalog:
         return out.drop("__fp", "__ri")
 
     # -- read ---------------------------------------------------------------
+    def snapshot_as_of(self, table: str, ts_ms: int) -> dict:
+        """Iceberg time travel by TIMESTAMP: the latest COMMITTED snapshot
+        whose commit time is <= ts_ms (`FOR SYSTEM_TIME AS OF`).  Staged
+        (pre-publish) snapshots are never visible to time travel — only an
+        explicit snapshot-id pin reads a WAP candidate."""
+        cands = [
+            m
+            for m in self.snapshots(table)
+            if int(m.get("committed_at_ms", 0)) <= int(ts_ms)
+        ]
+        if not cands:
+            raise FileNotFoundError(
+                f"table {table!r} has no snapshot at or before {ts_ms}"
+            )
+        return max(cands, key=lambda m: (int(m["sequence"])))
+
+    def read_as_of(self, table: str, ts_ms: int) -> DataFrame:
+        """Read the table as of a wall-clock commit time (time travel by
+        timestamp — the audit/debug form of `read(snapshot_id=...)`)."""
+        return self._df_from_meta(self.snapshot_as_of(table, ts_ms))
+
     def read(self, table: str, snapshot_id: str | None = None) -> DataFrame:
         """Read the table pinned at a snapshot (default: current)."""
         if snapshot_id is None:
