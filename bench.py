@@ -423,6 +423,16 @@ def main():
         "cluster_cohesion",
         "linear_ref",
         "zipf_fit",
+        "k_core",
+        "label_prop",
+        "pmi_cooc",
+        "ngram_overlap",
+        "cusum",
+        "hard_negatives",
+        "kanon",
+        "keep_best",
+        "robust_anomaly",
+        "label_point",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 
