@@ -2596,6 +2596,114 @@ def q_label_point_oracle() -> str:
 QUERIES["label_point"] = (q_label_point, q_label_point_oracle)
 
 
+def q_pip_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-containing-zone assignment: where zones overlap, PIP yields
+    multiple bindings per point — downstream consumers (stop→zone mapping)
+    need exactly ONE.  Deterministic rule: the SMALLEST containing zone by
+    |shoelace cross-sum| (most specific wins, the GIS convention), ties to
+    zone_id asc.  Composes the gated cell-pruned PIP with the gated zonal
+    area arithmetic; the dedup is a per-point argmin window over the
+    (tiny) multi-match set."""
+    from ..operators import pip
+
+    register_geometry_views(spark, sf_dir)
+    pts = spark.table("geo_points")
+    polys = spark.table("geo_polys")
+    bound = pip.bind_points_to_polygons(pts, polys, res=12, scheme="quad")
+    area2 = polys.selectExpr(
+        "zone_id",
+        f"abs({geo.poly_cross_sum('pos_list', SPARK)}) as area2",
+    )
+    w = Window.partitionBy("point_id").orderBy(
+        F.col("area2").asc(), F.col("zone_id").asc()
+    )
+    return (
+        bound.join(F.broadcast(area2), "zone_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("point_id", "zone_id", F.round("area2", 9).alias("area2"))
+    )
+
+
+def q_pip_best_oracle() -> str:
+    pred = geo.point_in_polygon("p.lat", "p.lon", "z.pos_list", DUCK)
+    return f"""{duck_geometry_ctes()},
+        m as (
+            select p.point_id, z.zone_id,
+                   abs({geo.poly_cross_sum('pos_list', DUCK)}) as area2
+            from geo_points p cross join geo_polys z
+            where {pred}
+        )
+        select point_id, zone_id, round(area2, 9) as area2 from (
+            select point_id, zone_id, area2,
+                   row_number() over (
+                       partition by point_id order by area2 asc, zone_id asc
+                   ) as rn
+            from m
+        ) t where rn = 1"""
+
+
+QUERIES["pip_best"] = (q_pip_best, q_pip_best_oracle)
+
+
+def q_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-document structure profiler — the input_hint's span
+    invariants as an oracle-gated aggregate over the committed fixture
+    corpus: per doc the span-kind counts, offset monotonicity violations,
+    max offset gap, and the number of interleave RUNS (maximal same-kind
+    stretches in span order) — the text/media interleaving signal a
+    multimodal dataloader keys on."""
+    from .convert_queries import FIXTURE_CORPUS
+
+    spark.read.parquet(FIXTURE_CORPUS).createOrReplaceTempView("__span_docs")
+    return spark.sql(_span_profile_sql(SPARK))
+
+
+def _span_profile_sql(d: str) -> str:
+    if d == SPARK:
+        ex = (
+            "select doc_id, pos, s.kind as kind, s.offset as off from "
+            "(select doc_id, posexplode(spans) as (pos, s) from __span_docs) e"
+        )
+    else:
+        from .convert_queries import FIXTURE_CORPUS
+
+        ex = (
+            "select doc_id, pos, span.kind as kind, span.\"offset\" as off "
+            "from (select doc_id, generate_subscripts(spans, 1) - 1 as pos, "
+            f"unnest(spans) as span from read_parquet('{FIXTURE_CORPUS}')) e"
+        )
+    return f"""
+        with sp as ({ex}),
+        lagged as (
+            select doc_id, pos, kind, off,
+                   lag(kind) over w as prev_kind,
+                   lag(off) over w as prev_off
+            from sp
+            window w as (partition by doc_id order by pos asc)
+        )
+        select doc_id,
+               cast(count(*) as bigint) as n_spans,
+               cast(count(case when kind = 'text' then 1 end) as bigint) as n_text,
+               cast(count(case when kind = 'media' then 1 end) as bigint) as n_media,
+               cast(count(case when kind like 'osm%' then 1 end) as bigint) as n_osm,
+               cast(count(case when prev_off is not null and off < prev_off
+                          then 1 end) as bigint) as n_offset_inversions,
+               cast(coalesce(max(case when prev_off is not null
+                                 then off - prev_off end), 0) as bigint)
+                   as max_offset_gap,
+               cast(count(case when prev_kind is null or kind <> prev_kind
+                          then 1 end) as bigint) as n_runs
+        from lagged group by doc_id"""
+
+
+def q_span_profile_oracle() -> str:
+    return _span_profile_sql(DUCK)
+
+
+QUERIES["span_profile"] = (q_span_profile, q_span_profile_oracle)
+
+
 def _pii_docs_sql(d: str) -> str:
     """Documents with deterministic synthetic PII appended (the shared
     corpus carries none): an email, an IPv4 from the doc_id bytes, and a

@@ -298,3 +298,51 @@ def test_label_point_center_inside_and_positive_clearance(spark):
     for r in joined:
         assert r["inside"], f"label center outside polygon for {r['zone_id']}"
         assert int(r["clearance_mm"]) > 0
+
+
+def test_pip_best_single_smallest_zone(spark):
+    from osm_to_netex_spark.plans import queries as Q
+    from osm_to_netex_spark.functions import geo
+
+    best = {r["point_id"]: r["zone_id"] for r in Q.q_pip_best(spark, SF).collect()}
+    allm = Q.q_pip(spark, SF).collect()
+    areas = {
+        r["zone_id"]: abs(float(r["a2"]))
+        for r in spark.table("geo_polys")
+        .selectExpr("zone_id", f"{geo.poly_cross_sum('pos_list', 'spark')} as a2")
+        .collect()
+    }
+    by_pt = defaultdict(list)
+    for r in allm:
+        by_pt[r["point_id"]].append(r["zone_id"])
+    assert set(best) == set(by_pt)  # every bound point keeps exactly one zone
+    for pid, zones in by_pt.items():
+        want = min(zones, key=lambda z: (areas[z], z))
+        assert best[pid] == want
+
+
+def test_span_profile_counts_and_runs(spark):
+    from osm_to_netex_spark.plans import queries as Q
+    from osm_to_netex_spark.plans.convert_queries import FIXTURE_CORPUS
+
+    out = {r["doc_id"]: r for r in Q.q_span_profile(spark, SF).collect()}
+    docs = spark.read.parquet(FIXTURE_CORPUS).collect()
+    assert len(out) == len(docs) > 0
+    for d in docs:
+        spans = d["spans"]
+        r = out[d["doc_id"]]
+        assert int(r["n_spans"]) == len(spans)
+        assert int(r["n_text"]) == sum(1 for s in spans if s["kind"] == "text")
+        assert int(r["n_media"]) == sum(1 for s in spans if s["kind"] == "media")
+        runs = sum(
+            1
+            for i, s in enumerate(spans)
+            if i == 0 or s["kind"] != spans[i - 1]["kind"]
+        )
+        assert int(r["n_runs"]) == runs
+        inversions = sum(
+            1
+            for i in range(1, len(spans))
+            if spans[i]["offset"] < spans[i - 1]["offset"]
+        )
+        assert int(r["n_offset_inversions"]) == inversions
