@@ -2704,6 +2704,113 @@ def q_span_profile_oracle() -> str:
 QUERIES["span_profile"] = (q_span_profile, q_span_profile_oracle)
 
 
+def _decayed_density_sql(d: str, res: int = 12, halflife_s: int = 86400) -> str:
+    """Exponential time-decay heatmap: each event contributes
+    exp(−ln2·age/halflife) at its user's home cell, age measured from the
+    corpus's max event time — the 'recent activity' surface map tiles and
+    alerting read.  Per-row weights quantized to bigint 1e-9 BEFORE the
+    per-cell fold (order-free); cell from the same deterministic hash
+    location family as geo_points, so the whole query composes with every
+    cell consumer.
+
+    Scale: one corpus scan + one cell-keyed map-side-combined groupBy; the
+    max-ts anchor is a 1-row aggregate cross-joined (broadcast)."""
+    us = (
+        "cast(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) as bigint)"
+        if d == SPARK
+        else "cast(epoch_us(ts) as bigint)"
+    )
+    la = _pr(["'pt:lat:'", "user_id"], d)
+    lo = _pr(["'pt:lon:'", "user_id"], d)
+    lat = f"({flit(LAT_LO)} + {la} * {flit(DLAT)})"
+    lon = f"({flit(LON_LO)} + {lo} * {flit(DLON)})"
+    cell = geo.quad_cell(lat, lon, res, d)
+    lam = f"(0.6931471805599453e0 / {float(halflife_s)!r}e0)"  # ln2/halflife
+    age_s = "(cast(t.max_us - e.us as double) / 1.0e6)"
+    wq = f"cast(floor(exp(-({lam}) * {age_s}) * 1.0e9 + 0.5e0) as bigint)"
+    return f"""
+        with e as (
+            select user_id, {us} as us, {cell} as cell from events
+        ),
+        t as (select max(us) as max_us from e)
+        select e.cell,
+               cast(count(*) as bigint) as n_events,
+               cast(sum({wq}) as bigint) as decayed_q9
+        from e cross join t
+        group by e.cell"""
+
+
+def q_decayed_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_decayed_density_sql(SPARK))
+
+
+def q_decayed_density_oracle() -> str:
+    return _decayed_density_sql(DUCK)
+
+
+QUERIES["decayed_density"] = (q_decayed_density, q_decayed_density_oracle)
+
+
+def _ab_test_sql(d: str) -> str:
+    """Two-sample A/B analysis per event_type: users hash-split into arms
+    (the deterministic assignment an experimentation platform uses), Welch
+    z on the 1e-6-quantized outcome — exact integer moments (n, Σx, Σx²)
+    per arm, then ONE fixed float sequence for the z, quantized to 1e-9 so
+    the significance flag is a stable integer compare.
+
+    Scale: one scan + one (type, arm) map-side-combined aggregate; the
+    pivot to arm columns is a 2-row-per-type self-join on the dimension."""
+    arm_key = concat_str(["'ab:'", "cast(user_id as string)"], d)
+    arm = f"({phash60(arm_key, d)}) % 2"
+    xq = "cast(floor(value * 1.0e6 + 0.5e0) as bigint)"
+    mean = "(cast(sx as double) / cast(n as double))"
+    var = (
+        "((cast(sxx as double) - cast(sx as double) * cast(sx as double)"
+        " / cast(n as double)) / cast(n - 1 as double))"
+    )
+    z = (
+        "((a.mean_x - b.mean_x) / sqrt(a.var_x / cast(a.n as double)"
+        " + b.var_x / cast(b.n as double)))"
+    )
+    zq = f"cast(floor({z} * 1.0e9 + 0.5e0) as bigint)"
+    return f"""
+        with q as (
+            select event_type, {arm} as arm, {xq} as xq from events
+        ),
+        s as (
+            select event_type, arm,
+                   cast(count(*) as bigint) as n,
+                   cast(sum(xq) as bigint) as sx,
+                   cast(sum(xq * xq) as bigint) as sxx
+            from q group by event_type, arm
+        ),
+        m as (
+            select event_type, arm, n, {mean} as mean_x, {var} as var_x
+            from s
+        )
+        select a.event_type,
+               a.n as n_a, b.n as n_b,
+               round(a.mean_x / 1.0e6, 9) as mean_a,
+               round(b.mean_x / 1.0e6, 9) as mean_b,
+               {zq} as welch_z_q9,
+               abs({zq}) > 1959963985 as significant
+        from m a join m b on a.event_type = b.event_type
+        where a.arm = 0 and b.arm = 1"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_ab_test_sql(SPARK))
+
+
+def q_ab_test_oracle() -> str:
+    return _ab_test_sql(DUCK)
+
+
+QUERIES["ab_test"] = (q_ab_test, q_ab_test_oracle)
+
+
 def _pii_docs_sql(d: str) -> str:
     """Documents with deterministic synthetic PII appended (the shared
     corpus carries none): an email, an IPv4 from the doc_id bytes, and a

@@ -346,3 +346,65 @@ def test_span_profile_counts_and_runs(spark):
             if spans[i]["offset"] < spans[i - 1]["offset"]
         )
         assert int(r["n_offset_inversions"]) == inversions
+
+
+def test_decayed_density_python_replay(spark):
+    import hashlib
+
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        int(r["cell"]): (int(r["n_events"]), int(r["decayed_q9"]))
+        for r in Q.q_decayed_density(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    # replay: hash location -> res-12 quad cell, ln2/86400 decay from max ts
+    LAT_LO, LAT_HI, LON_LO, LON_HI = Q.BBOX
+
+    def pr(key):
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        return h / float(1 << 60)
+
+    us = {int(r["event_id"]): int(r["ts"].timestamp() * 1e6) for r in ev}
+    # Spark NTZ epoch: re-derive identically via the query's own path is
+    # overkill; use the relative ages (max - t), which cancel any epoch shift
+    mx = max(us.values())
+    want = defaultdict(lambda: [0, 0])
+    n = 2**12
+    for r in ev:
+        uid = int(r["user_id"])
+        lat = LAT_LO + pr(f"pt:lat:{uid}") * (LAT_HI - LAT_LO)
+        lon = LON_LO + pr(f"pt:lon:{uid}") * (LON_HI - LON_LO)
+        ix = int((lon + 180.0) / 360.0 * n)
+        iy = int((lat + 90.0) / 180.0 * n)
+        cell = 12 * 2**58 + iy * 2**29 + ix
+        age_s = (mx - us[int(r["event_id"])]) / 1e6
+        w = math.floor(math.exp(-(0.6931471805599453 / 86400.0) * age_s) * 1e9 + 0.5)
+        want[cell][0] += 1
+        want[cell][1] += w
+    assert got == {c: (a, b) for c, (a, b) in want.items()}
+
+
+def test_ab_test_welch_replay(spark):
+    import hashlib
+
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {r["event_type"]: r for r in Q.q_ab_test(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    arms = defaultdict(lambda: ([], []))
+    for r in ev:
+        h = int(hashlib.md5(f"ab:{int(r['user_id'])}".encode()).hexdigest()[:15], 16)
+        arm = (h % (1 << 60)) % 2
+        arms[r["event_type"]][arm].append(
+            math.floor(float(r["value"]) * 1e6 + 0.5)
+        )
+    for et, (a, b) in arms.items():
+        r = got[et]
+        assert (int(r["n_a"]), int(r["n_b"])) == (len(a), len(b))
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        va = (sum(x * x for x in a) - sum(a) ** 2 / len(a)) / (len(a) - 1)
+        vb = (sum(x * x for x in b) - sum(b) ** 2 / len(b)) / (len(b) - 1)
+        z = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+        assert int(r["welch_z_q9"]) == math.floor(z * 1e9 + 0.5)
+        assert bool(r["significant"]) == (abs(math.floor(z * 1e9 + 0.5)) > 1959963985)
