@@ -446,3 +446,146 @@ def label_propagation_oracle_sql(table: str = "documents", n_rounds: int = 3) ->
         "with " + ", ".join(ctes)
         + f" select v as doc_id, cast(lbl as bigint) as community from l{n_rounds}"
     )
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient
+# ---------------------------------------------------------------------------
+def clustering_coeff_sql(d: str, table: str = "documents") -> str:
+    """Per-node local clustering coefficient cc = 2·T(v) / (deg·(deg−1)) —
+    how tightly a node's neighborhood closes into triangles, the standard
+    local graph-structure feature.  Triangle counts via the ordered-wedge
+    enumeration (triangles_sql); cc quantized to bigint 1e-9 (one double
+    division on exact integer operands).  Shared dialect text."""
+    base = edges_sql(d, table)
+    return f"""
+        with raw as ({base}),
+        und as (
+            select least(src, dst) as a, greatest(src, dst) as b
+            from raw where src <> dst
+            group by 1, 2
+        ),
+        deg as (
+            select v, count(*) as deg from (
+                select a as v from und union all select b as v from und
+            ) t group by v
+        ),
+        wedge as (
+            select e1.a as a, e1.b as b, e2.b as c
+            from und e1 join und e2 on e1.b = e2.a
+        ),
+        tri as (
+            select w.a, w.b, w.c
+            from wedge w join und e3 on w.a = e3.a and w.c = e3.b
+        ),
+        pernode as (
+            select v, count(*) as n_tri from (
+                select a as v from tri
+                union all select b as v from tri
+                union all select c as v from tri
+            ) t group by v
+        )
+        select deg.v as doc_id,
+               cast(coalesce(p.n_tri, 0) as bigint) as n_triangles,
+               cast(deg.deg as bigint) as degree,
+               cast(case when deg.deg >= 2 then floor(
+                        2.0e0 * cast(coalesce(p.n_tri, 0) as double)
+                        / cast(deg.deg * (deg.deg - 1) as double)
+                        * 1.0e9 + 0.5e0)
+                    else 0 end as bigint) as cc_q9
+        from deg left join pernode p on p.v = deg.v"""
+
+
+# ---------------------------------------------------------------------------
+# HyperANF — HLL-sketched k-hop neighborhood function (Boldi & Vigna 2011)
+# ---------------------------------------------------------------------------
+def _hanf_term(d: str) -> str:
+    return (
+        "shiftleft(cast(1 as bigint), 53 - m)"
+        if d == SPARK
+        else "(cast(1 as bigint) << (53 - m))"
+    )
+
+
+def _hanf_round_sql(adj: str, prev: str) -> str:
+    """One synchronous HyperANF round: each node max-merges its neighbors'
+    register sets into its own — HLL union IS per-register max, so the
+    merge is an ordinary map-side-combinable aggregate.  Shared dialect."""
+    return f"""
+        select v, j, max(m) as m from (
+            select e.u as v, r.j, r.m from {adj} e join {prev} r on r.v = e.w
+            union all
+            select v, j, m from {prev}
+        ) x group by v, j"""
+
+
+def _hanf_est_sql(regs: str, depth: int, d: str) -> str:
+    from ..functions import sketch
+
+    numer = sketch.ALPHA_256 * sketch.M_REGISTERS * sketch.M_REGISTERS * float(2**53)
+    return f"""
+        select v as doc_id, {depth} as depth,
+               cast(count(*) as bigint) as n_registers_hit,
+               round({numer!r} / cast(sum({_hanf_term(d)})
+                   + ({sketch.M_REGISTERS} - count(*)) * cast({2**53} as bigint)
+                   as double), 6) as reach_estimate
+        from {regs} group by v"""
+
+
+def hyperanf(
+    spark: SparkSession, docs: DataFrame, n_rounds: int = 2
+) -> DataFrame:
+    """(doc_id, depth, n_registers_hit, reach_estimate) for depths
+    0..n_rounds: the HLL-sketched count of nodes within k hops — the
+    neighborhood function HyperANF computes on billion-node graphs where
+    exact BFS per node is impossible.  Registers-as-rows (the sketch.py
+    algebra): union = per-register max ⇒ every round is one
+    map-side-combined groupBy after a node-keyed join; the integer dyadic
+    harmonic sum keeps the estimate order-free and bit-exact cross-engine.
+
+    Scale: per-node register state bounded by m=256 rows; rounds are K
+    small constants; no driver state; skewed hubs are the AQE case."""
+    from ..functions import sketch
+
+    docs.select("doc_id").createOrReplaceTempView("__ha_docs")
+    n_expr = "(select count(*) from __ha_docs)"
+    spark.sql(
+        undirected_edges_sql(SPARK, "__ha_docs", n_expr)
+    ).localCheckpoint(eager=False).createOrReplaceTempView("__ha_adj")
+    reg = sketch.hll_register("doc_id", SPARK, salt="anf")
+    rho = sketch.hll_rho("doc_id", SPARK, salt="anf")
+    cur = spark.sql(
+        f"select doc_id as v, {reg} as j, {rho} as m from __ha_docs"
+    )
+    ests = []
+    for t in range(n_rounds + 1):
+        cur.localCheckpoint(eager=False).createOrReplaceTempView(f"__ha_r{t}")
+        ests.append(spark.sql(_hanf_est_sql(f"__ha_r{t}", t, SPARK)))
+        if t < n_rounds:
+            cur = spark.sql(_hanf_round_sql("__ha_adj", f"__ha_r{t}"))
+    out = ests[0]
+    for e in ests[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+def hyperanf_oracle_sql(table: str = "documents", n_rounds: int = 2) -> str:
+    from ..functions import sketch
+
+    n_expr = "(select count(*) from d0)"
+    reg = sketch.hll_register("doc_id", DUCK, salt="anf")
+    rho = sketch.hll_rho("doc_id", DUCK, salt="anf")
+    ctes = [
+        f"d0 as (select doc_id from {table})",
+        f"adj as ({undirected_edges_sql(DUCK, 'd0', n_expr)})",
+        f"r0 as (select doc_id as v, {reg} as j, {rho} as m from d0)",
+    ]
+    for t in range(n_rounds):
+        ctes.append(f"r{t + 1} as ({_hanf_round_sql('adj', f'r{t}')})")
+    selects = [
+        f"({_hanf_est_sql(f'r{t}', t, DUCK)})" for t in range(n_rounds + 1)
+    ]
+    return (
+        "with " + ", ".join(ctes)
+        + " select * from " + " union all select * from ".join(selects)
+    )

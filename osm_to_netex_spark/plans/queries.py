@@ -2811,6 +2811,42 @@ def q_ab_test_oracle() -> str:
 QUERIES["ab_test"] = (q_ab_test, q_ab_test_oracle)
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node over the link graph
+    (operators.graph.clustering_coeff_sql)."""
+    from ..operators import graph
+
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(graph.clustering_coeff_sql(SPARK))
+
+
+def q_clustering_coeff_oracle() -> str:
+    from ..operators import graph
+
+    return graph.clustering_coeff_sql(DUCK)
+
+
+QUERIES["clustering_coeff"] = (q_clustering_coeff, q_clustering_coeff_oracle)
+
+
+def q_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF neighborhood function, depths 0-2
+    (operators.graph.hyperanf)."""
+    from ..operators import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return graph.hyperanf(spark, docs, n_rounds=2)
+
+
+def q_hyperanf_oracle() -> str:
+    from ..operators import graph
+
+    return graph.hyperanf_oracle_sql("documents", n_rounds=2)
+
+
+QUERIES["hyperanf"] = (q_hyperanf, q_hyperanf_oracle)
+
+
 def _pii_docs_sql(d: str) -> str:
     """Documents with deterministic synthetic PII appended (the shared
     corpus carries none): an email, an IPv4 from the doc_id bytes, and a

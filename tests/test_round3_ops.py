@@ -408,3 +408,45 @@ def test_ab_test_welch_replay(spark):
         z = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
         assert int(r["welch_z_q9"]) == math.floor(z * 1e9 + 0.5)
         assert bool(r["significant"]) == (abs(math.floor(z * 1e9 + 0.5)) > 1959963985)
+
+
+def test_clustering_coeff_python_replay(spark, docs):
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        int(r["doc_id"]): (int(r["n_triangles"]), int(r["degree"]), int(r["cc_q9"]))
+        for r in Q.q_clustering_coeff(spark, SF).collect()
+    }
+    adj = _und_edges(spark, docs)
+    for v, ns in adj.items():
+        deg = len(ns)
+        tri = sum(1 for a in ns for b in ns if a < b and b in adj[a]) if deg >= 2 else 0
+        cc = math.floor(2.0 * tri / (deg * (deg - 1)) * 1e9 + 0.5) if deg >= 2 else 0
+        assert got[v] == (tri, deg, cc)
+    assert any(t > 0 for t, _, _ in got.values())
+
+
+def test_hyperanf_monotone_and_depth0_is_one(spark, docs):
+    from osm_to_netex_spark.operators import graph
+
+    out = graph.hyperanf(spark, docs, n_rounds=2).collect()
+    by_node = defaultdict(dict)
+    for r in out:
+        by_node[int(r["doc_id"])][int(r["depth"])] = float(r["reach_estimate"])
+    adj = _und_edges(spark, docs)
+    for v, depths in by_node.items():
+        assert set(depths) == {0, 1, 2}
+        # registers only max-merge -> estimates are monotone in depth
+        assert depths[0] <= depths[1] + 1e-9 and depths[1] <= depths[2] + 1e-9
+    # depth-0 estimates a single element: every node has exactly 1 register hit
+    d0_hits = {int(r["doc_id"]): int(r["n_registers_hit"]) for r in out if r["depth"] == 0}
+    assert all(h == 1 for h in d0_hits.values())
+    # depth-1 register count = |HLL registers of the closed neighborhood|
+    import hashlib
+
+    for v in list(adj)[:20]:
+        regs = set()
+        for w in adj[v] | {v}:
+            regs.add(hashlib.md5(f"anf:{w}".encode()).hexdigest()[:2])
+        hits = [int(r["n_registers_hit"]) for r in out if int(r["doc_id"]) == v and r["depth"] == 1]
+        assert hits == [len(regs)]
