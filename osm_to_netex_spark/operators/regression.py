@@ -112,3 +112,81 @@ def ridge_fit_sql(
             from {table} group by {group}
         ) mom
     """
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression — K data-parallel gradient-descent rounds
+# ---------------------------------------------------------------------------
+def logreg_gd_sql(
+    d: str,
+    table: str = "embeddings",
+    n_features: int = 4,
+    n_rounds: int = 3,
+    lr: float = 0.5,
+) -> str:
+    """Binary logistic regression (y = label % 2 on the first
+    ``n_features`` embedding dims) trained with ``n_rounds`` synchronous
+    full-batch gradient steps — the data-parallel SGD shape every
+    distributed trainer reduces to: per-row gradient contributions fold
+    into ONE map-side-combined aggregate per round, the (d+1)-value weight
+    state crosses rounds as a 1-row broadcast.
+
+    Exactness: weights live as bigint 1e-9 between rounds; within a round
+    the dot product unrolls in fixed feature order, the sigmoid is one
+    exp(), and each row's gradient terms are quantized to bigint BEFORE
+    the sum (order-free).  The step applies one fixed float sequence then
+    re-quantizes — the gravity-IPF state discipline.
+
+    Output: one row (n, w0..wk as doubles, bias, n_correct) — n_correct
+    evaluated at the final weights via the sign of the exact dot."""
+    from ..functions.portable import element_at
+
+    j_range = range(1, n_features + 1)
+    x = {j: f"cast({element_at('embedding', str(j), d)} as double)" for j in j_range}
+    cols = ", ".join(
+        [f"{x[j]} as x{j}" for j in j_range]
+        + ["cast(label % 2 as double) as y"]
+    )
+    ctes = [
+        f"data as (select {cols} from {table})",
+        "w0 as (select "
+        + ", ".join(f"cast(0 as bigint) as wq{j}" for j in j_range)
+        + ", cast(0 as bigint) as bq)",
+    ]
+    dot = lambda w: "(" + " + ".join(  # noqa: E731
+        [f"cast({w}.wq{j} as double) / 1.0e9 * x{j}" for j in j_range]
+        + [f"cast({w}.bq as double) / 1.0e9"]
+    ) + ")"
+    for t in range(n_rounds):
+        sig = f"(1.0e0 / (1.0e0 + exp(-({dot(f'w{t}')}))))"
+        gq = lambda term: (  # noqa: E731
+            f"cast(floor((y - {sig}) * {term} * 1.0e9 + 0.5e0) as bigint)"
+        )
+        ctes.append(
+            f"g{t} as (select cast(count(*) as bigint) as n, "
+            + ", ".join(f"cast(sum({gq(f'x{j}')}) as bigint) as sg{j}" for j in j_range)
+            + f", cast(sum({gq('1.0e0')}) as bigint) as sgb"
+            f" from data cross join w{t})"
+        )
+        upd = lambda s: (  # noqa: E731
+            f"cast(floor({lr!r}e0 * cast({s} as double) / cast(g{t}.n as double)"
+            " + 0.5e0) as bigint)"
+        )
+        ctes.append(
+            f"w{t + 1} as (select "
+            + ", ".join(
+                f"w{t}.wq{j} + {upd(f'g{t}.sg{j}')} as wq{j}" for j in j_range
+            )
+            + f", w{t}.bq + {upd(f'g{t}.sgb')} as bq"
+            f" from w{t} cross join g{t})"
+        )
+    wf = f"w{n_rounds}"
+    pred = f"(case when ({dot(wf)}) > 0.0e0 then 1.0e0 else 0.0e0 end)"
+    return (
+        "with " + ", ".join(ctes) + f"""
+        select cast(count(*) as bigint) as n,
+               {", ".join(f"round(max({wf}.wq{j}) / 1.0e9, 9) as w{j}" for j in j_range)},
+               round(max({wf}.bq) / 1.0e9, 9) as bias,
+               cast(count(case when {pred} = y then 1 end) as bigint) as n_correct
+        from data cross join {wf}"""
+    )

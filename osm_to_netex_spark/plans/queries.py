@@ -2847,6 +2847,71 @@ def q_hyperanf_oracle() -> str:
 QUERIES["hyperanf"] = (q_hyperanf, q_hyperanf_oracle)
 
 
+def q_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch logistic regression, 3 synchronous GD rounds over the
+    embedding features (operators.regression.logreg_gd_sql)."""
+    from ..operators import regression
+
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(regression.logreg_gd_sql(SPARK))
+
+
+def q_logreg_oracle() -> str:
+    from ..operators import regression
+
+    return regression.logreg_gd_sql(DUCK)
+
+
+QUERIES["logreg"] = (q_logreg, q_logreg_oracle)
+
+
+def _target_encode_sql(d: str, m: float = 10.0) -> str:
+    """Smoothed target (mean) encoding of a categorical column — the
+    leakage-resistant categorical feature every tabular/ranking pipeline
+    ships: enc(cat) = (Σy_cat + m·prior) / (n_cat + m) with the global
+    mean as prior (m = pseudo-count).  Integer target sums; one fixed
+    float sequence per category quantized to 1e-9.
+
+    Scale: one dimension-sized groupBy + the 1-row global prior broadcast;
+    the per-row join-back is by category (broadcast at any real
+    cardinality)."""
+    return f"""
+        with g as (
+            select cast(sum(n_chars) as bigint) as sy,
+                   cast(count(*) as bigint) as n
+            from documents
+        ),
+        c as (
+            select source,
+                   cast(sum(n_chars) as bigint) as sy,
+                   cast(count(*) as bigint) as n
+            from documents group by source
+        ),
+        enc as (
+            select c.source,
+                   c.n as n_cat,
+                   cast(floor((cast(c.sy as double)
+                        + {m!r}e0 * (cast(g.sy as double) / cast(g.n as double)))
+                        / (cast(c.n as double) + {m!r}e0)
+                        * 1.0e9 + 0.5e0) as bigint) as enc_q9
+            from c cross join g
+        )
+        select d.doc_id, d.source, e.n_cat, e.enc_q9
+        from documents d join enc e on e.source = d.source"""
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_target_encode_sql(SPARK))
+
+
+def q_target_encode_oracle() -> str:
+    return _target_encode_sql(DUCK)
+
+
+QUERIES["target_encode"] = (q_target_encode, q_target_encode_oracle)
+
+
 def _pii_docs_sql(d: str) -> str:
     """Documents with deterministic synthetic PII appended (the shared
     corpus carries none): an email, an IPv4 from the doc_id bytes, and a

@@ -450,3 +450,56 @@ def test_hyperanf_monotone_and_depth0_is_one(spark, docs):
             regs.add(hashlib.md5(f"anf:{w}".encode()).hexdigest()[:2])
         hits = [int(r["n_registers_hit"]) for r in out if int(r["doc_id"]) == v and r["depth"] == 1]
         assert hits == [len(regs)]
+
+
+def test_logreg_gd_python_replay(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    r = Q.q_logreg(spark, SF).collect()[0]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    data = [
+        ([float(e["embedding"][j]) for j in range(4)], float(int(e["label"]) % 2))
+        for e in emb
+    ]
+    n = len(data)
+    wq = [0, 0, 0, 0, 0]  # w1..w4, bias (1e-9 units)
+    for _ in range(3):
+        sg = [0, 0, 0, 0, 0]
+        for x, y in data:
+            dot = sum(wq[j] / 1e9 * x[j] for j in range(4)) + wq[4] / 1e9
+            sig = 1.0 / (1.0 + math.exp(-dot))
+            for j in range(4):
+                sg[j] += math.floor((y - sig) * x[j] * 1e9 + 0.5)
+            sg[4] += math.floor((y - sig) * 1.0 * 1e9 + 0.5)
+        for j in range(5):
+            wq[j] += math.floor(0.5 * sg[j] / n + 0.5)
+    for j in range(4):
+        assert float(r[f"w{j + 1}"]) == round(wq[j] / 1e9, 9)
+    assert float(r["bias"]) == round(wq[4] / 1e9, 9)
+    n_correct = sum(
+        1
+        for x, y in data
+        if (sum(wq[j] / 1e9 * x[j] for j in range(4)) + wq[4] / 1e9 > 0.0) == (y == 1.0)
+    )
+    assert int(r["n_correct"]) == n_correct and int(r["n"]) == n
+    # the model actually learned something beyond the majority class
+    base = max(sum(1 for _, y in data if y == 1.0), sum(1 for _, y in data if y == 0.0))
+    assert n_correct >= base - n // 10
+
+
+def test_target_encode_smoothing(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    rows = Q.q_target_encode(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    g_sy = sum(int(d["n_chars"]) for d in docs)
+    g_n = len(docs)
+    by_cat = defaultdict(lambda: [0, 0])
+    for d in docs:
+        by_cat[d["source"]][0] += int(d["n_chars"])
+        by_cat[d["source"]][1] += 1
+    for r in rows:
+        sy, n = by_cat[r["source"]]
+        want = math.floor((sy + 10.0 * (g_sy / g_n)) / (n + 10.0) * 1e9 + 0.5)
+        assert int(r["enc_q9"]) == want and int(r["n_cat"]) == n
+    assert len(rows) == g_n
