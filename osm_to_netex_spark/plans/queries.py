@@ -5378,6 +5378,86 @@ def q_tpch_q12_oracle() -> str:
 QUERIES["tpch_q12"] = (q_tpch_q12, q_tpch_q12_oracle)
 
 
+def _tpch_q7_sql(d: str) -> str:
+    """TPC-H Q7 shape (volume shipping between nation pairs by year): the
+    two-dimension-chain fact join — lineitem→orders→customer→nation crossed
+    with lineitem→supplier→nation — revenue quantized per row to int 1e-4
+    BEFORE the sum, grouped by (supp_nation, cust_nation, year)."""
+    yr = (
+        "year(l_shipdate)" if d == SPARK
+        else "cast(date_part('year', l_shipdate) as bigint)"
+    )
+    rev = (
+        "cast(floor(l_extendedprice * (1.0e0 - l_discount) * 1.0e4 + 0.5e0)"
+        " as bigint)"
+    )
+    return f"""
+        select n1.n_name as supp_nation, n2.n_name as cust_nation,
+               cast({yr} as bigint) as l_year,
+               count(*) as n_lines,
+               cast(sum({rev}) as bigint) as revenue_q4
+        from lineitem
+        join supplier on s_suppkey   = l_suppkey
+        join orders   on o_orderkey  = l_orderkey
+        join customer on c_custkey   = o_custkey
+        join nation n1 on n1.n_nationkey = s_nationkey
+        join nation n2 on n2.n_nationkey = c_nationkey
+        where n1.n_nationkey <> n2.n_nationkey
+        group by n1.n_name, n2.n_name, {yr}"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: fact-sized hash joins to both dimension chains (broadcast
+    snowflake dims), map-side-combined aggregate on the pair-year key."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_tpch_q7_sql(SPARK))
+
+
+def q_tpch_q7_oracle() -> str:
+    return _tpch_q7_sql(DUCK)
+
+
+QUERIES["tpch_q7"] = (q_tpch_q7, q_tpch_q7_oracle)
+
+
+def _tpch_q10_sql(d: str) -> str:
+    """TPC-H Q10 shape (returned-item revenue ranking): customers ranked by
+    revenue lost to returns in a quarter — fact join + group by customer +
+    deterministic global top-20 on the integer (revenue, custkey) pair."""
+    rev = (
+        "cast(floor(l_extendedprice * (1.0e0 - l_discount) * 1.0e4 + 0.5e0)"
+        " as bigint)"
+    )
+    return f"""
+        select c_custkey, c_name, n_name,
+               count(*) as n_lines,
+               cast(sum({rev}) as bigint) as revenue_q4
+        from lineitem
+        join orders   on o_orderkey  = l_orderkey
+        join customer on c_custkey   = o_custkey
+        join nation   on n_nationkey = c_nationkey
+        where l_returnflag = 'R'
+          and o_orderdate >= timestamp '1998-01-01 00:00:00'
+          and o_orderdate <  timestamp '1998-07-01 00:00:00'
+        group by c_custkey, c_name, n_name
+        order by revenue_q4 desc, c_custkey asc
+        limit 20"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: pushed returnflag+date filters, broadcast dims, top-20 via
+    TakeOrderedAndProject on an integer key."""
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_tpch_q10_sql(SPARK))
+
+
+def q_tpch_q10_oracle() -> str:
+    return _tpch_q10_sql(DUCK)
+
+
+QUERIES["tpch_q10"] = (q_tpch_q10, q_tpch_q10_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report
