@@ -1034,3 +1034,71 @@ def gravity_ipf(spark: SparkSession, res: int = 10, rounds: int = 2,
                 traj_table: str = "geo_traj") -> DataFrame:
     """Engine entry for gravity_ipf_sql (see there)."""
     return spark.sql(gravity_ipf_sql(SPARK, res=res, rounds=rounds, traj_table=traj_table))
+
+
+# ---------------------------------------------------------------------------
+# turn-point detection (heading-change corners, trig-free)
+# ---------------------------------------------------------------------------
+def turn_points_sql(
+    d: str,
+    events_table: str = "events",
+    bbox: tuple[float, float, float, float] = (59.4, 9.6, 60.2, 10.6),
+    coslat: float = 0.5225,
+) -> str:
+    """Corners in each user's track: points where the heading change
+    between the incoming and outgoing leg exceeds 45° — the maneuver /
+    route-decision extractor map-matching and compression both feed on.
+
+    Trig-free and integer-exact (the flow_rose discipline): coordinates
+    project to equirectangular integer 1e-4-degree units (~11 m), legs are
+    integer vectors, and the 45° test is the integer comparison
+    ``dot < 0 OR 2·dot² < |a|²·|b|²`` — no acos, no floats, immune to
+    engine libm differences.  Degenerate (zero-length) legs are excluded.
+    Magnitude bound: |delta| ≤ ~1.3e4 units inside the bbox ⇒ dot² ≤ 1.2e17
+    < 2^63.
+
+    Scale: one window (lag/lead) over ONE per-user sort — the sessionize
+    shape; the corner test is a scan-parallel projection."""
+    lat_lo, lon_lo, lat_hi, lon_hi = bbox
+    plat = prand(concat_str(["'tr:lat:'", "event_id"], d), d)
+    plon = prand(concat_str(["'tr:lon:'", "event_id"], d), d)
+    xq = f"cast(floor((lon * {coslat!r}e0) * 1.0e4 + 0.5e0) as bigint)"
+    yq = "cast(floor(lat * 1.0e4 + 0.5e0) as bigint)"
+    return f"""
+        with pts as (
+            select user_id, event_id, ts,
+                   {flit(lat_lo)} + {plat} * {flit(lat_hi - lat_lo)} as lat,
+                   {flit(lon_lo)} + {plon} * {flit(lon_hi - lon_lo)} as lon
+            from {events_table}
+        ),
+        q as (
+            select user_id, event_id, ts, {xq} as x, {yq} as y from pts
+        ),
+        legs as (
+            select user_id, event_id,
+                   x - (lag(x) over w) as ax, y - (lag(y) over w) as ay,
+                   (lead(x) over w) - x as bx, (lead(y) over w) - y as by
+            from q
+            window w as (partition by user_id order by ts asc, event_id asc)
+        ),
+        corners as (
+            select user_id, event_id,
+                   ax * bx + ay * by as dotq,
+                   ax * ax + ay * ay as a2,
+                   bx * bx + by * by as b2
+            from legs
+            where ax is not null and bx is not null
+        )
+        select user_id, event_id,
+               cast(dotq as bigint) as dot_q,
+               cast(a2 as bigint) as a2,
+               cast(b2 as bigint) as b2
+        from corners
+        where a2 > 0 and b2 > 0
+          and (dotq < 0 or 2 * dotq * dotq < a2 * b2)"""
+
+
+def turn_points(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Engine entry for turn_points_sql (see there)."""
+    events.createOrReplaceTempView("__turn_events")
+    return spark.sql(turn_points_sql(SPARK, "__turn_events"))

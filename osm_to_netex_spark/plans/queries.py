@@ -5458,6 +5458,127 @@ def q_tpch_q10_oracle() -> str:
 QUERIES["tpch_q10"] = (q_tpch_q10, q_tpch_q10_oracle)
 
 
+def q_turn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-change corners (>45°) per user track, trig-free integer test
+    (operators.trajectory.turn_points_sql)."""
+    from ..operators import trajectory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trajectory.turn_points(spark, ev)
+
+
+def q_turn_points_oracle() -> str:
+    from ..operators import trajectory
+
+    return trajectory.turn_points_sql(DUCK, "events")
+
+
+QUERIES["turn_points"] = (q_turn_points, q_turn_points_oracle)
+
+
+def _return_gaps_sql(d: str) -> str:
+    """Inter-session return-time analytics: per user the number of
+    sessions, returns (session → next session), and exact integer-micros
+    min/max/total return gap — the churn/retention signal product teams
+    track next to the session table.  Same break rule as events_sessionize;
+    everything after the per-user sort is integer.
+
+    Scale: the sessionize window + one dimension-sized session table window
+    + a per-user aggregate — all on the same user key, one shuffle."""
+    us = (
+        "cast(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) as bigint)"
+        if d == SPARK
+        else "cast(epoch_us(ts) as bigint)"
+    )
+    return f"""
+        with q as (
+            select user_id, event_id, {us} as us from events
+        ),
+        flagged as (
+            select user_id, us,
+                   case when lag(us) over w is null
+                             or us - lag(us) over w > 1800000000
+                        then 1 else 0 end as brk
+            from q
+            window w as (partition by user_id order by us asc, event_id asc)
+        ),
+        sessioned as (
+            select user_id, us,
+                   cast(sum(brk) over (partition by user_id order by us asc
+                                       rows between unbounded preceding
+                                       and current row) as bigint) as sidx
+            from flagged
+        ),
+        sess as (
+            select user_id, sidx,
+                   min(us) as s_us, max(us) as e_us
+            from sessioned group by user_id, sidx
+        ),
+        gaps as (
+            select user_id,
+                   lead(s_us) over (partition by user_id order by sidx) - e_us
+                       as gap_us
+            from sess
+        )
+        select user_id,
+               cast(count(*) as bigint) as n_sessions,
+               cast(count(gap_us) as bigint) as n_returns,
+               cast(min(gap_us) as bigint) as min_gap_us,
+               cast(max(gap_us) as bigint) as max_gap_us,
+               cast(coalesce(sum(gap_us), 0) as bigint) as total_gap_us
+        from gaps group by user_id"""
+
+
+def q_return_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_return_gaps_sql(SPARK))
+
+
+def q_return_gaps_oracle() -> str:
+    return _return_gaps_sql(DUCK)
+
+
+QUERIES["return_gaps"] = (q_return_gaps, q_return_gaps_oracle)
+
+
+def _quantile_rank_sql(d: str) -> str:
+    """Per-group quantile-rank transform (the rank-gauss/quantile-uniform
+    feature): qrank = (rn − 1)/(n − 1) with a fully deterministic order
+    (value, event_id), quantized 1e-9 — the monotone feature map tabular
+    models use to kill scale/outlier effects.
+
+    Scale: one window + one count over the same group key — one shuffle."""
+    return """
+        with q as (
+            select event_type, event_id,
+                   cast(floor(value * 1.0e6 + 0.5e0) as bigint) as xq
+            from events
+        ),
+        r as (
+            select event_type, event_id, xq,
+                   row_number() over (partition by event_type
+                                      order by xq asc, event_id asc) as rn,
+                   count(*) over (partition by event_type) as n
+            from q
+        )
+        select event_type, event_id, xq,
+               cast(floor(cast(rn - 1 as double) / cast(n - 1 as double)
+                    * 1.0e9 + 0.5e0) as bigint) as qrank_q9
+        from r where n > 1"""
+
+
+def q_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_quantile_rank_sql(SPARK))
+
+
+def q_quantile_rank_oracle() -> str:
+    return _quantile_rank_sql(DUCK)
+
+
+QUERIES["quantile_rank"] = (q_quantile_rank, q_quantile_rank_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

@@ -503,3 +503,69 @@ def test_target_encode_smoothing(spark):
         want = math.floor((sy + 10.0 * (g_sy / g_n)) / (n + 10.0) * 1e9 + 0.5)
         assert int(r["enc_q9"]) == want and int(r["n_cat"]) == n
     assert len(rows) == g_n
+
+
+def test_turn_points_angle_threshold(spark):
+    """Every reported corner must exceed 45 deg by the exact integer test,
+    replayed in Python from the same hash coordinates."""
+    import hashlib
+
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        (int(r["user_id"]), int(r["event_id"])): (int(r["dot_q"]), int(r["a2"]), int(r["b2"]))
+        for r in Q.q_turn_points(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+
+    def pr(key):
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) / float(1 << 60)
+
+    tracks = defaultdict(list)
+    for r in ev:
+        eid = int(r["event_id"])
+        lat = 59.4 + pr(f"tr:lat:{eid}") * 0.8
+        lon = 9.6 + pr(f"tr:lon:{eid}") * 1.0
+        x = math.floor(lon * 0.5225 * 1e4 + 0.5)
+        y = math.floor(lat * 1e4 + 0.5)
+        tracks[int(r["user_id"])].append((r["ts"], eid, x, y))
+    want = {}
+    for uid, pts in tracks.items():
+        pts.sort(key=lambda t: (t[0], t[1]))
+        for i in range(1, len(pts) - 1):
+            ax, ay = pts[i][2] - pts[i - 1][2], pts[i][3] - pts[i - 1][3]
+            bx, by = pts[i + 1][2] - pts[i][2], pts[i + 1][3] - pts[i][3]
+            dot = ax * bx + ay * by
+            a2, b2 = ax * ax + ay * ay, bx * bx + by * by
+            if a2 > 0 and b2 > 0 and (dot < 0 or 2 * dot * dot < a2 * b2):
+                want[(uid, pts[i][1])] = (dot, a2, b2)
+    assert got == want and len(got) > 0
+
+
+def test_return_gaps_vs_sessionize(spark):
+    """n_sessions must agree with the gated sessionize query; gaps must be
+    positive and bounded below by the 30-min break rule."""
+    from osm_to_netex_spark.plans import queries as Q
+
+    rg = {int(r["user_id"]): r for r in Q.q_return_gaps(spark, SF).collect()}
+    sess = Q.q_events_sessionize(spark, SF).collect()
+    n_sess = Counter(int(r["user_id"]) for r in sess)
+    for uid, r in rg.items():
+        assert int(r["n_sessions"]) == n_sess[uid]
+        assert int(r["n_returns"]) == int(r["n_sessions"]) - 1
+        if int(r["n_returns"]) > 0:
+            assert int(r["min_gap_us"]) > 1800000000  # > 30 min by the rule
+    assert set(rg) == set(n_sess)
+
+
+def test_quantile_rank_uniform(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    rows = Q.q_quantile_rank(spark, SF).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(int(r["qrank_q9"]))
+    for et, qs in by_type.items():
+        qs.sort()
+        assert qs[0] == 0 and qs[-1] == 1_000_000_000
+        assert len(set(qs)) == len(qs)  # deterministic total order, no ties
