@@ -5579,6 +5579,90 @@ def q_quantile_rank_oracle() -> str:
 QUERIES["quantile_rank"] = (q_quantile_rank, q_quantile_rank_oracle)
 
 
+def _locate_along_sql(d: str) -> str:
+    """Linear referencing INVERSE (NeTEx PointOnLink / dynamic segmentation):
+    for each zone ring and fraction f ∈ {¼, ½, ¾}, the interpolated point
+    at f·total_length along the ring — how schedules place stops at
+    chainages.  Same integer-mm prefix table as linear_ref (order-free
+    cumsum); the owning segment is the one whose [prefix, prefix+len)
+    half-open interval contains the target (exact integer compare), the
+    interpolation one fixed float sequence rounded 9.
+
+    Scale: segments explode lines-sized; the per-(zone, f) segment pick is
+    a keyed filter (no window over the corpus); everything joins on
+    zone_id."""
+    from ..operators.distjoin import seg_dist_m  # noqa: F401  (doc pointer)
+    from ..functions.portable import haversine_m, round_half
+
+    if d == SPARK:
+        seg_src = (
+            "select zone_id, i, "
+            "element_at(pos_list, cast(2*i - 1 as int)) as sy1, "
+            "element_at(pos_list, cast(2*i as int)) as sx1, "
+            "element_at(pos_list, cast(2*i + 1 as int)) as sy2, "
+            "element_at(pos_list, cast(2*i + 2 as int)) as sx2 "
+            "from (select zone_id, pos_list, "
+            "explode(sequence(1, size(pos_list) div 2 - 1)) as i from geo_polys)"
+        )
+        fracs = "select explode(array(0.25e0, 0.5e0, 0.75e0)) as f"
+    else:
+        seg_src = (
+            "select zone_id, t.i as i, "
+            "pos_list[2*t.i - 1] as sy1, pos_list[2*t.i] as sx1, "
+            "pos_list[2*t.i + 1] as sy2, pos_list[2*t.i + 2] as sx2 "
+            "from geo_polys, "
+            "unnest(generate_series(1, len(pos_list) // 2 - 1)) t(i)"
+        )
+        fracs = "select unnest([0.25e0, 0.5e0, 0.75e0]) as f"
+    seg_len = round_half(
+        f"({haversine_m('sy1', 'sx1', 'sy2', 'sx2', d)}) * 1000.0e0", d
+    )
+    t = "(cast(g.target_mm - s.prefix_mm as double) / cast(s.seg_len_mm as double))"
+    return f"""
+        with segs as ({seg_src}),
+        seg_tab as (
+            select zone_id, i, sy1, sx1, sy2, sx2,
+                   {seg_len} as seg_len_mm,
+                   cast(coalesce(sum({seg_len}) over (
+                       partition by zone_id order by i
+                       rows between unbounded preceding and 1 preceding), 0)
+                       as bigint) as prefix_mm
+            from segs
+        ),
+        tot as (
+            select zone_id, cast(sum(seg_len_mm) as bigint) as total_mm
+            from seg_tab group by zone_id
+        ),
+        goals as (
+            select tot.zone_id, fr.f,
+                   cast(floor(fr.f * cast(tot.total_mm as double)) as bigint)
+                       as target_mm
+            from tot cross join ({fracs}) fr
+        )
+        select g.zone_id, g.f,
+               g.target_mm,
+               cast(s.i as bigint) as seg_idx,
+               round(s.sy1 + {t} * (s.sy2 - s.sy1), 9) as lat,
+               round(s.sx1 + {t} * (s.sx2 - s.sx1), 9) as lon
+        from goals g
+        join seg_tab s
+          on s.zone_id = g.zone_id
+         and s.prefix_mm <= g.target_mm
+         and g.target_mm < s.prefix_mm + s.seg_len_mm"""
+
+
+def q_locate_along(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_locate_along_sql(SPARK))
+
+
+def q_locate_along_oracle() -> str:
+    return f"{duck_geometry_ctes()}, x as ({_locate_along_sql(DUCK)}) select * from x"
+
+
+QUERIES["locate_along"] = (q_locate_along, q_locate_along_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

@@ -569,3 +569,29 @@ def test_quantile_rank_uniform(spark):
         qs.sort()
         assert qs[0] == 0 and qs[-1] == 1_000_000_000
         assert len(set(qs)) == len(qs)  # deterministic total order, no ties
+
+
+def test_locate_along_endpoints_and_monotone(spark):
+    """The located point must sit ON its segment (convex combination), the
+    chainage targets must be ordered with f, and f=0.5 of a 2-point ring
+    degenerates to the midpoint."""
+    from osm_to_netex_spark.plans import queries as Q
+
+    rows = Q.q_locate_along(spark, SF).collect()
+    assert len(rows) == 30  # 10 zones x 3 fractions
+    polys = {r["zone_id"]: list(r["pos_list"]) for r in spark.table("geo_polys").collect()}
+    by_zone = defaultdict(dict)
+    for r in rows:
+        by_zone[r["zone_id"]][float(r["f"])] = r
+    for zid, d in by_zone.items():
+        assert set(d) == {0.25, 0.5, 0.75}
+        t25, t50, t75 = (int(d[f]["target_mm"]) for f in (0.25, 0.5, 0.75))
+        assert t25 <= t50 <= t75
+        for f, r in d.items():
+            i = int(r["seg_idx"])
+            pl = polys[zid]
+            ay, ax = pl[2 * i - 2], pl[2 * i - 1]
+            by_, bx = pl[2 * i], pl[2 * i + 1]
+            lat, lon = float(r["lat"]), float(r["lon"])
+            assert min(ay, by_) - 1e-9 <= lat <= max(ay, by_) + 1e-9
+            assert min(ax, bx) - 1e-9 <= lon <= max(ax, bx) + 1e-9
