@@ -14,6 +14,16 @@ from osm_to_netex_spark.operators import curation, graph, similarity, temporal, 
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _fresh_views(spark):
+    """Some tests here replace the memoized `documents`/`events` temp views
+    with tiny synthetic tables; reset register_geometry_views' memo so every
+    test (in any order) re-registers the real sf tables."""
+    spark._graft_geo_views = None
+    yield
+    spark._graft_geo_views = None
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet")
