@@ -1187,3 +1187,97 @@ def service_area_oracle_sql(
         "with " + ", ".join(ctes)
         + f" select ix, iy, dist from s{n_rounds}{where}"
     )
+
+
+def g_function(
+    points: DataFrame,
+    radii: list[float],
+    res: int = 13,
+    id_col: str = "point_id",
+) -> DataFrame:
+    """Nearest-neighbor distance distribution (the G-function, Ripley's K's
+    sibling): G(r) = fraction of points whose NEAREST neighbor lies within
+    r — (r_m, n_points, n_within, g_hat) per radius.  Clustered patterns
+    rise early, inhibited/regular patterns late; together with K it
+    separates aggregation from inhibition.
+
+    Exactness: NN distances are mins over the EXACT cell-pruned radius
+    join at max(radii) (provably equal to brute), quantized to integer µm
+    before the min fold; points with no neighbor within r_max simply never
+    enter a bucket (they count in the denominator — the censored tail the
+    naive estimator has).  Conditional counts for every r come from ONE
+    aggregate over the NN table.
+
+    Scale: one radius_join at r_max + one point-keyed min + a 1-row
+    aggregate; adding radii is free."""
+    from .distjoin import radius_join
+
+    rmax = float(max(radii))
+    pairs = radius_join(
+        points, points, rmax, res=res, left_id=id_col, right_id=id_col
+    ).where(f"{id_col}_a <> {id_col}_b")
+    nn = pairs.groupBy(f"{id_col}_a").agg(
+        F.min(F.expr("cast(floor(dist_m * 1.0e6 + 0.5e0) as bigint)")).alias(
+            "nn_um"
+        )
+    )
+    csums = [
+        F.sum(
+            F.expr(f"case when nn_um <= {int(round(r * 1e6))} then 1 else 0 end")
+        ).alias(f"c{i}")
+        for i, r in enumerate(radii)
+    ]
+    cnt = nn.agg(*csums)
+    n = points.agg(F.count("*").alias("n"))
+    arr = ", ".join(
+        f"named_struct('r_m', {r!r}e0, 'n_within', cast(coalesce(c{i}, 0) as bigint))"
+        for i, r in enumerate(radii)
+    )
+    return (
+        cnt.crossJoin(n)
+        .selectExpr(f"cast(n as bigint) as n_points", f"explode(array({arr})) as rc")
+        .selectExpr(
+            "rc.r_m as r_m",
+            "n_points",
+            "rc.n_within as n_within",
+            "round(cast(rc.n_within as double) / cast(n_points as double), 9) as g_hat",
+        )
+    )
+
+
+def g_function_oracle_sql(
+    points_sql_text: str,
+    radii: list[float],
+    id_col: str = "point_id",
+) -> str:
+    """Brute replay: NN distance from the full cross join, same µm
+    quantization, same conditional sums."""
+    from ..functions.portable import DUCK, haversine_m
+
+    dist = haversine_m("a.lat", "a.lon", "b.lat", "b.lon", DUCK)
+    sums = ", ".join(
+        f"sum(case when nn_um <= {int(round(r * 1e6))} then 1 else 0 end) as c{i}"
+        for i, r in enumerate(radii)
+    )
+    arr = ", ".join(
+        f"struct_pack(r_m := {r!r}e0, n_within := cast(coalesce(c{i}, 0) as bigint))"
+        for i, r in enumerate(radii)
+    )
+    return f"""
+        with pts as ({points_sql_text}),
+        nn as (
+            select a.{id_col} as pid,
+                   min(cast(floor(round({dist}, 6) * 1.0e6 + 0.5e0) as bigint))
+                       as nn_um
+            from pts a join pts b on a.{id_col} <> b.{id_col}
+            group by a.{id_col}
+        ),
+        cnt as (select {sums} from nn),
+        n as (select count(*) as n from pts),
+        staged as (
+            select cast(n.n as bigint) as n_points, unnest([{arr}]) as rc
+            from cnt cross join n)
+        select (rc).r_m as r_m, n_points, (rc).n_within as n_within,
+               round(cast((rc).n_within as double) / cast(n_points as double), 9)
+                   as g_hat
+        from staged"""

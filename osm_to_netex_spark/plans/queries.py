@@ -5663,6 +5663,198 @@ def q_locate_along_oracle() -> str:
 QUERIES["locate_along"] = (q_locate_along, q_locate_along_oracle)
 
 
+_G_RADII = [250.0, 500.0, 1000.0, 2000.0]
+
+
+def q_g_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor distance distribution G(r) at four radii
+    (operators.tiling.g_function) — Ripley's K's sibling separating
+    aggregation from inhibition."""
+    from ..operators import tiling
+
+    register_geometry_views(spark, sf_dir)
+    return tiling.g_function(spark.table("geo_points"), _G_RADII, res=13)
+
+
+def q_g_function_oracle() -> str:
+    from ..operators import tiling
+
+    return (
+        f"{duck_geometry_ctes()}, __g as ("
+        + tiling.g_function_oracle_sql("select * from geo_points", _G_RADII)
+        + ") select * from __g"
+    )
+
+
+QUERIES["g_function"] = (q_g_function, q_g_function_oracle)
+
+
+def _benford_sql(d: str) -> str:
+    """Benford's-law first-digit audit of the price column — the classic
+    numeric-forensics screen.  The first significant digit comes from the
+    INTEGER cent representation's decimal string (integers format
+    identically in both engines — no log10/pow float path), expected
+    probabilities log10(1+1/k) ride as 9 literals, and each digit's chi²
+    term is quantized to bigint 1e-9 so the audit is bit-exact.
+
+    Scale: one scan, one 9-key map-side-combined groupBy."""
+    import math as _m
+
+    probs = {k: _m.log10(1.0 + 1.0 / k) for k in range(1, 10)}
+    pcase = " ".join(
+        f"when d = '{k}' then {probs[k]!r}e0" for k in range(1, 10)
+    )
+    chi = (
+        "cast(floor((cast(obs as double) - exp_n) * (cast(obs as double) - exp_n)"
+        " / exp_n * 1.0e9 + 0.5e0) as bigint)"
+    )
+    return f"""
+        with q as (
+            select substring(cast(cast(floor(l_extendedprice * 100.0e0 + 0.5e0)
+                   as bigint) as {'string' if d == SPARK else 'varchar'}), 1, 1) as d
+            from lineitem where l_extendedprice > 0.01e0
+        ),
+        c as (select d, count(*) as obs from q group by d),
+        n as (select sum(obs) as n from c),
+        staged as (
+            select c.d as first_digit, cast(c.obs as bigint) as obs,
+                   (case {pcase} end) * cast(n.n as double) as exp_n
+            from c cross join n
+        )
+        select first_digit, obs,
+               round(exp_n, 6) as expected,
+               {chi} as chi2_term_q9
+        from staged"""
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_benford_sql(SPARK))
+
+
+def q_benford_oracle() -> str:
+    return _benford_sql(DUCK)
+
+
+QUERIES["benford"] = (q_benford, q_benford_oracle)
+
+
+def _sn_blocking_sql(d: str, w: int = 3) -> str:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the OTHER
+    classic entity-resolution candidate generator next to the engine's
+    LSH/bucket blocking: sort the corpus by a normalized key and pair each
+    record with its ``w`` successors.  Candidate count is exactly n·w-ish,
+    independent of key-collision skew — the property that makes it the
+    fallback when bucket keys are degenerate.
+
+    The global sort is inherent to the method (ONE range-partitioned sort
+    at scale; documented cost); pairs come from an offsets explode +
+    integer equi-join on the rank — no range join, no window over pairs."""
+    key = (
+        "substring(regexp_replace(lower(text), '[^a-z]', ''), 1, 12)"
+        if d == SPARK
+        else "substring(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, 12)"
+    )
+    offs = (
+        f"explode(sequence(1, {w}))" if d == SPARK
+        else f"unnest(generate_series(1, {w}))"
+    )
+    return f"""
+        with k as (
+            select doc_id, {key} as blk_key from documents
+        ),
+        r as (
+            select doc_id, blk_key,
+                   cast(row_number() over (order by blk_key asc, doc_id asc)
+                        as bigint) as rn
+            from k
+        ),
+        offs as (select rn, doc_id, blk_key, {offs} as o from r)
+        select a.doc_id as doc_a, b.doc_id as doc_b,
+               cast(a.o as int) as window_dist,
+               (a.blk_key = b.blk_key) as same_key
+        from offs a join r b on b.rn = a.rn + a.o"""
+
+
+def q_sn_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_sn_blocking_sql(SPARK))
+
+
+def q_sn_blocking_oracle() -> str:
+    return _sn_blocking_sql(DUCK)
+
+
+QUERIES["sn_blocking"] = (q_sn_blocking, q_sn_blocking_oracle)
+
+
+def _haar_energy_sql(d: str) -> str:
+    """3-level Haar wavelet energy of each user's activity series — the
+    multi-resolution signal feature (burstiness at 1/2/4-slot scales):
+    the user's time span splits into 8 equal slots, slot sums are exact
+    1e-3-quantized integers (one groupBy with 8 conditional sums — no
+    dense-fill join), and the Haar transform unrolls as pure integer
+    arithmetic: level-1/2/3 detail energies are sums of squared
+    differences.  |slot sum| ≤ ~1e7 ⇒ d² ≤ ~4e14, safely inside int64.
+
+    Scale: ONE user-keyed window (span) + ONE groupBy — two passes over
+    the same shuffle key."""
+    us = (
+        "cast(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) as bigint)"
+        if d == SPARK
+        else "cast(epoch_us(ts) as bigint)"
+    )
+    idiv = "div" if d == SPARK else "//"
+    slot = f"least(7, ((us - min_us) * 8) {idiv} (max_us - min_us + 1))"
+    s = ", ".join(
+        f"cast(coalesce(sum(case when slot = {k} then vq end), 0) as bigint) as s{k}"
+        for k in range(8)
+    )
+    # Haar: a1_i = s2i + s2i+1, d1_i = s2i - s2i+1; levels chain on sums
+    d1 = ["(s0 - s1)", "(s2 - s3)", "(s4 - s5)", "(s6 - s7)"]
+    a1 = ["(s0 + s1)", "(s2 + s3)", "(s4 + s5)", "(s6 + s7)"]
+    d2 = [f"({a1[0]} - {a1[1]})", f"({a1[2]} - {a1[3]})"]
+    a2 = [f"({a1[0]} + {a1[1]})", f"({a1[2]} + {a1[3]})"]
+    d3 = [f"({a2[0]} - {a2[1]})"]
+    e = lambda ds: " + ".join(f"{x} * {x}" for x in ds)  # noqa: E731
+    return f"""
+        with q as (
+            select user_id, {us} as us,
+                   cast(floor(value * 1.0e3 + 0.5e0) as bigint) as vq
+            from events
+        ),
+        spans as (
+            select user_id, us, vq,
+                   min(us) over (partition by user_id) as min_us,
+                   max(us) over (partition by user_id) as max_us
+            from q
+        ),
+        slotted as (
+            select user_id, vq, cast({slot} as int) as slot from spans
+        ),
+        sums as (
+            select user_id, {s} from slotted group by user_id
+        )
+        select user_id,
+               cast({e(d1)} as bigint) as energy_l1,
+               cast({e(d2)} as bigint) as energy_l2,
+               cast({e(d3)} as bigint) as energy_l3,
+               cast((s0+s1+s2+s3+s4+s5+s6+s7) as bigint) as total_q3
+        from sums"""
+
+
+def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_haar_energy_sql(SPARK))
+
+
+def q_haar_energy_oracle() -> str:
+    return _haar_energy_sql(DUCK)
+
+
+QUERIES["haar_energy"] = (q_haar_energy, q_haar_energy_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

@@ -605,3 +605,99 @@ def test_locate_along_endpoints_and_monotone(spark):
             lat, lon = float(r["lat"]), float(r["lon"])
             assert min(ay, by_) - 1e-9 <= lat <= max(ay, by_) + 1e-9
             assert min(ax, bx) - 1e-9 <= lon <= max(ax, bx) + 1e-9
+
+
+def test_g_function_vs_brute_python(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {float(r["r_m"]): (int(r["n_points"]), int(r["n_within"])) for r in Q.q_g_function(spark, SF).collect()}
+    pts = [(int(r["point_id"]), float(r["lat"]), float(r["lon"])) for r in spark.table("geo_points").collect()]
+
+    def hav(a, b):
+        R = 6371008.8
+        p1, p2 = math.radians(a[1]), math.radians(b[1])
+        dp, dl = p2 - p1, math.radians(b[2] - a[2])
+        h = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * R * math.asin(math.sqrt(h))
+
+    nn = {}
+    for i, a in enumerate(pts):
+        best = min(round(hav(a, b), 6) for j, b in enumerate(pts) if j != i)
+        nn[a[0]] = math.floor(best * 1e6 + 0.5)
+    for r, (n, w) in got.items():
+        assert n == len(pts)
+        assert w == sum(1 for v in nn.values() if v <= int(round(r * 1e6)))
+    # G must be nondecreasing in r
+    ws = [got[r][1] for r in sorted(got)]
+    assert ws == sorted(ws)
+
+
+def test_benford_digits_partition(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    rows = Q.q_benford(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    want = Counter(
+        str(math.floor(float(r["l_extendedprice"]) * 100 + 0.5))[0]
+        for r in li
+        if float(r["l_extendedprice"]) > 0.01
+    )
+    got = {r["first_digit"]: int(r["obs"]) for r in rows}
+    assert got == dict(want)
+    assert sum(got.values()) == sum(want.values())
+    # Benford shape: digit 1 most common on real-ish price data
+    assert got["1"] == max(got.values())
+
+
+def test_sn_blocking_window_property(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    rows = Q.q_sn_blocking(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    import re as _re
+
+    keyed = sorted(
+        ((_re.sub(r"[^a-z]", "", d["text"].lower())[:12], int(d["doc_id"])) for d in docs)
+    )
+    n = len(keyed)
+    want = set()
+    for i in range(n):
+        for o in range(1, 4):
+            if i + o < n:
+                want.add((keyed[i][1], keyed[i + o][1], o))
+    got = {(int(r["doc_a"]), int(r["doc_b"]), int(r["window_dist"])) for r in rows}
+    assert got == want
+    assert len(got) == 3 * n - 6
+
+
+def test_haar_energy_python_replay(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        int(r["user_id"]): (int(r["energy_l1"]), int(r["energy_l2"]), int(r["energy_l3"]), int(r["total_q3"]))
+        for r in Q.q_haar_energy(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[int(r["user_id"])].append(
+            (int(r["ts"].timestamp() * 1e6), math.floor(float(r["value"]) * 1e3 + 0.5))
+        )
+    for uid, rows_ in by_user.items():
+        mn = min(t for t, _ in rows_)
+        mx = max(t for t, _ in rows_)
+        s = [0] * 8
+        for t, v in rows_:
+            s[min(7, (t - mn) * 8 // (mx - mn + 1))] += v
+        d1 = [s[0] - s[1], s[2] - s[3], s[4] - s[5], s[6] - s[7]]
+        a1 = [s[0] + s[1], s[2] + s[3], s[4] + s[5], s[6] + s[7]]
+        d2 = [a1[0] - a1[1], a1[2] - a1[3]]
+        a2 = [a1[0] + a1[1], a1[2] + a1[3]]
+        d3 = [a2[0] - a2[1]]
+        want = (
+            sum(x * x for x in d1),
+            sum(x * x for x in d2),
+            sum(x * x for x in d3),
+            sum(s),
+        )
+        assert got[uid] == want
