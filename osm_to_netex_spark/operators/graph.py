@@ -433,17 +433,23 @@ def label_propagation(
     return cur.selectExpr("v as doc_id", "cast(lbl as bigint) as community")
 
 
-def label_propagation_oracle_sql(table: str = "documents", n_rounds: int = 3) -> str:
+def _lpa_ctes(d: str, table: str, n_rounds: int) -> str:
+    """The d0/adj/l0..lN CTE chain of the unrolled LPA, dialect-selectable
+    (shared by the LPA oracle and the modularity composition)."""
     n_expr = "(select count(*) from d0)"
     ctes = [
         f"d0 as (select doc_id from {table})",
-        f"adj as ({undirected_edges_sql(DUCK, 'd0', n_expr)})",
+        f"adj as ({undirected_edges_sql(d, 'd0', n_expr)})",
         "l0 as (select doc_id as v, doc_id as lbl from d0)",
     ]
     for t in range(n_rounds):
         ctes.append(f"l{t + 1} as ({_lpa_round_sql('adj', f'l{t}')})")
+    return ", ".join(ctes)
+
+
+def label_propagation_oracle_sql(table: str = "documents", n_rounds: int = 3) -> str:
     return (
-        "with " + ", ".join(ctes)
+        "with " + _lpa_ctes(DUCK, table, n_rounds)
         + f" select v as doc_id, cast(lbl as bigint) as community from l{n_rounds}"
     )
 
@@ -589,3 +595,51 @@ def hyperanf_oracle_sql(table: str = "documents", n_rounds: int = 2) -> str:
         "with " + ", ".join(ctes)
         + " select * from " + " union all select * from ".join(selects)
     )
+
+
+# ---------------------------------------------------------------------------
+# community modularity (quality of a partition)
+# ---------------------------------------------------------------------------
+def modularity_sql(d: str, table: str = "documents", n_rounds: int = 3) -> str:
+    """Newman modularity terms for the label-propagation partition: per
+    community (n_nodes, intra_edges e_c, degree_sum d_c, m_edges, and the
+    exact integer numerator term 4·m·e_c − d_c²) — global Q = Σ terms /
+    (4m²), one division away, so the gate never touches floats.
+
+    Composes the gated LPA (same unrolled rounds); edge/degree counts come
+    from the same canonical undirected edge set.  Magnitudes: m ≤ |E|,
+    4·m·e_c and d_c² ≤ 4m² ≪ 2^63 for any graph this engine's int64 ids
+    fit."""
+    return f"""
+        with {_lpa_ctes(d, table, n_rounds)},
+        lab as (select v as doc_id, cast(lbl as bigint) as community from l{n_rounds}),
+        ue as (
+            select distinct least(u, w) as a, greatest(u, w) as b from adj
+        ),
+        m as (select cast(count(*) as bigint) as m from ue),
+        e_in as (
+            select la.community, cast(count(*) as bigint) as e_c
+            from ue
+            join lab la on la.doc_id = ue.a
+            join lab lb on lb.doc_id = ue.b
+            where la.community = lb.community
+            group by la.community
+        ),
+        degs as (
+            select lab.community,
+                   cast(count(*) as bigint) as n_nodes,
+                   cast(sum(dg.deg) as bigint) as d_c
+            from lab
+            join (select u as v, count(*) as deg from adj group by u) dg
+              on dg.v = lab.doc_id
+            group by lab.community
+        )
+        select degs.community, degs.n_nodes,
+               cast(coalesce(e_in.e_c, 0) as bigint) as intra_edges,
+               degs.d_c as degree_sum,
+               m.m as m_edges,
+               cast(4 * m.m * coalesce(e_in.e_c, 0) - degs.d_c * degs.d_c
+                    as bigint) as num_term
+        from degs
+        left join e_in on e_in.community = degs.community
+        cross join m"""

@@ -148,3 +148,85 @@ def cosine_pairs_oracle_sql(
         join norm y on y.doc_id = doc_b
         where {q2} * dot * dot >= {p2} * x.na2 * y.na2
     """
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_p: int = 1,
+    threshold_q: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric set-containment join: every ORDERED pair (a, b) with
+    |A∩B| / |A| >= p/q over distinct token sets — the near-SUPERSET
+    detector symmetric Jaccard misses (a short doc embedded in a long one
+    scores high containment but low Jaccard); the dedup rule for quote
+    farms / wrapper pages.
+
+    Integer predicate q·inter >= p·|A| — never a float.  Same Θ(Σ df²)
+    postings self-join as cosine_pairs, with the same ``max_df``
+    standalone guardrail (default off) and the same recommended role: the
+    exact verifier under LSH shards.  Returns (doc_a, doc_b, inter,
+    size_a, containment_q9)."""
+    p, q = int(threshold_p), int(threshold_q)
+    toks = tx.tokens(text_col, SPARK)
+    sets = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(toks)).alias("term"))
+        .distinct()
+    )
+    if max_df is not None:
+        keep = (
+            sets.groupBy("term").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= int(max_df)).select("term")
+        )
+        sets = sets.join(keep, "term")
+    sets = sets.persist()
+    size = sets.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta = sets.selectExpr("doc_id as doc_a", "term")
+    tb = sets.selectExpr("doc_id as doc_b", "term")
+    inter = (
+        ta.join(tb, "term")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(size.selectExpr("doc_id as doc_a", "sz as size_a"), "doc_a")
+        .where(F.expr(f"{q} * inter >= {p} * size_a"))
+        .selectExpr(
+            "doc_a", "doc_b",
+            "cast(inter as bigint) as inter",
+            "cast(size_a as bigint) as size_a",
+            "cast(floor(cast(inter as double) / cast(size_a as double)"
+            " * 1.0e9 + 0.5e0) as bigint) as containment_q9",
+        )
+    )
+    return _attach_cached(out, [sets])
+
+
+def containment_pairs_oracle_sql(
+    threshold_p: int = 1, threshold_q: int = 2, table: str = "documents"
+) -> str:
+    """Brute DuckDB replay over distinct token sets, same integer predicate."""
+    p, q = int(threshold_p), int(threshold_q)
+    toks = tx.tokens("text", "duck")
+    return f"""
+        with s as (
+            select distinct doc_id, term from (
+                select doc_id, unnest({toks}) as term from {table}
+            ) e
+        ),
+        size as (select doc_id, count(*) as sz from s group by doc_id),
+        inter as (
+            select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
+            from s a join s b on a.term = b.term and a.doc_id <> b.doc_id
+            group by a.doc_id, b.doc_id
+        )
+        select i.doc_a, i.doc_b,
+               cast(i.inter as bigint) as inter,
+               cast(z.sz as bigint) as size_a,
+               cast(floor(cast(i.inter as double) / cast(z.sz as double)
+               * 1.0e9 + 0.5e0) as bigint) as containment_q9
+        from inter i join size z on z.doc_id = i.doc_a
+        where {q} * i.inter >= {p} * z.sz"""

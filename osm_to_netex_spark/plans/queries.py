@@ -5855,6 +5855,43 @@ def q_haar_energy_oracle() -> str:
 QUERIES["haar_energy"] = (q_haar_energy, q_haar_energy_oracle)
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity terms of the LPA partition — integer numerators,
+    global Q one division away (operators.graph.modularity_sql)."""
+    from ..operators import graph
+
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(graph.modularity_sql(SPARK))
+
+
+def q_modularity_oracle() -> str:
+    from ..operators import graph
+
+    return graph.modularity_sql(DUCK)
+
+
+QUERIES["modularity"] = (q_modularity, q_modularity_oracle)
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set-containment pairs >= 9/10 — the near-superset dedup
+    rule symmetric Jaccard misses (operators.simjoin.containment_pairs)."""
+    from ..operators import simjoin
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # caches attached via _attach_cached; the harness releases them post-collect
+    return simjoin.containment_pairs(docs, threshold_p=9, threshold_q=10)
+
+
+def q_containment_oracle() -> str:
+    from ..operators import simjoin
+
+    return simjoin.containment_pairs_oracle_sql(threshold_p=9, threshold_q=10)
+
+
+QUERIES["containment"] = (q_containment, q_containment_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

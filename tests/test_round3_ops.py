@@ -701,3 +701,68 @@ def test_haar_energy_python_replay(spark):
             sum(s),
         )
         assert got[uid] == want
+
+
+def test_modularity_python_replay(spark, docs):
+    from osm_to_netex_spark.operators import graph
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        int(r["community"]): (
+            int(r["n_nodes"]), int(r["intra_edges"]),
+            int(r["degree_sum"]), int(r["m_edges"]), int(r["num_term"]),
+        )
+        for r in Q.q_modularity(spark, SF).collect()
+    }
+    lbl = {
+        int(r["doc_id"]): int(r["community"])
+        for r in graph.label_propagation(spark, docs, n_rounds=3).collect()
+    }
+    adj = _und_edges(spark, docs)
+    edges = {(min(a, b), max(a, b)) for a, ns in adj.items() for b in ns}
+    m = len(edges)
+    e_c, d_c, n_c = Counter(), Counter(), Counter()
+    for v, c in lbl.items():
+        n_c[c] += 1
+        d_c[c] += len(adj.get(v, ()))
+    for a, b in edges:
+        if lbl[a] == lbl[b]:
+            e_c[lbl[a]] += 1
+    want = {
+        c: (n_c[c], e_c[c], d_c[c], m, 4 * m * e_c[c] - d_c[c] ** 2)
+        for c in n_c
+    }
+    assert got == want
+    # global modularity from the integer numerators is a sane partition score
+    q = sum(t[4] for t in want.values()) / (4.0 * m * m)
+    assert -1.0 <= q <= 1.0
+
+
+def test_containment_asymmetric_brute(spark):
+    from osm_to_netex_spark.operators import simjoin
+    from pyspark.sql import Row
+    import re as _re
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota"),  # 9/11 < 0.9
+        (2, "alpha beta"),
+        (3, "completely different vocabulary here entirely"),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+    out = simjoin.containment_pairs(df, threshold_p=9, threshold_q=10)
+    got = {(int(r["doc_a"]), int(r["doc_b"])): (int(r["inter"]), int(r["size_a"])) for r in out.collect()}
+    from osm_to_netex_spark.operators.dedup import unpersist_intermediates
+    unpersist_intermediates(out)
+    sets = {i: set(_re.split(r"[^a-z0-9]+", t.lower())) - {""} for i, t in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a != b:
+                inter = len(sets[a] & sets[b])
+                if 10 * inter >= 9 * len(sets[a]):
+                    want[(a, b)] = (inter, len(sets[a]))
+    assert got == want
+    # asymmetry: doc1 ⊂ doc0 gives (1,0) but NOT (0,1) at 9/10
+    assert (1, 0) in got and (0, 1) not in got
+    assert (2, 0) in got  # tiny subset scores high containment
