@@ -5892,6 +5892,59 @@ def q_containment_oracle() -> str:
 QUERIES["containment"] = (q_containment, q_containment_oracle)
 
 
+def q_streaming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window (2h window / 1h slide) value histogram over a replayed
+    event stream — every event lands in TWO overlapping windows; complete
+    mode + availableNow makes the emitted set arrival-order-independent, so
+    a batch hopping re-derivation is an exact oracle.  Timestamps compare
+    as fractional epoch seconds (the streaming_sessions convention)."""
+    import tempfile
+
+    from ..streaming import stream as st
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="graft_shist_")
+    ev.repartition(5).write.mode("overwrite").parquet(f"{tmp}/src")
+    stream_df = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/src")
+    )
+    hist = st.streaming_hopping_hist(stream_df)
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("q_shist")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_shist").selectExpr(
+        "round(unix_micros(window_start) / 1.0e6, 6) as window_start",
+        "bucket",
+        "cast(n as bigint) as n",
+    )
+
+
+def q_streaming_hist_oracle() -> str:
+    # hopping replay: each event belongs to the two 2h windows starting at
+    # date_trunc(hour) and date_trunc(hour) - 1h
+    return """
+        with e as (
+            select value,
+                   date_trunc('hour', ts) - to_hours(o.o) as w_start
+            from events, unnest([0, 1]) o(o)
+        )
+        select round(epoch(w_start), 6) as window_start,
+               cast(least(7, greatest(0, cast(floor(value / 25.0e0) as int)))
+                    as int) as bucket,
+               cast(count(*) as bigint) as n
+        from e group by 1, 2"""
+
+
+QUERIES["streaming_hist"] = (q_streaming_hist, q_streaming_hist_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

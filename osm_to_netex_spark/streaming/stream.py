@@ -262,3 +262,38 @@ def dropped_by_watermark(progresses) -> int:
         for op in (p.get("stateOperators") or []):
             total += int(op.get("numRowsDroppedByWatermark", 0) or 0)
     return total
+
+
+def streaming_hopping_hist(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "365 days",
+    bucket_w: float = 25.0,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Hopping-window value histogram: overlapping windows (each event lands
+    in window/slide of them) × clamped value buckets — the sliding
+    dashboard aggregate (p95 trend panels, rate heatmaps).  Works
+    identically on a batch frame; with availableNow + complete mode the
+    emitted window set is arrival-order-independent, so a batch hopping
+    re-derivation is an exact oracle."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    bucket = (
+        f"least({n_buckets - 1}, greatest(0, "
+        f"cast(floor(value / {bucket_w!r}e0) as int)))"
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window, slide).alias("w"),
+            F.expr(bucket).alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("bucket"),
+            F.col("n"),
+        )
+    )

@@ -336,3 +336,32 @@ def test_stream_upsert_to_catalog(spark, tmp_path):
     run()
     assert len(cat.snapshots("t")) == n_snapshots
     assert {r.k: r.v for r in cat.read("t").collect()} == got
+
+
+def test_streaming_hopping_hist_matches_batch(spark, tmp_path):
+    """Hopping windows: the streamed (window, bucket, n) set must equal the
+    same aggregation run as one batch job, and each event must contribute
+    to exactly TWO overlapping windows."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "hist_src")
+    ev.repartition(5).write.mode("overwrite").parquet(src)
+    st = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    q = (
+        stream.streaming_hopping_hist(st)
+        .writeStream.format("memory")
+        .queryName("hist_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (str(r.window_start), int(r.bucket), int(r.n))
+        for r in spark.table("hist_test").collect()
+    }
+    batch = stream.streaming_hopping_hist(spark.read.parquet(src))
+    want = {
+        (str(r.window_start), int(r.bucket), int(r.n)) for r in batch.collect()
+    }
+    assert got == want and len(got) > 100
+    assert sum(n for _, _, n in got) == 2 * ev.count()
