@@ -5945,6 +5945,108 @@ def q_streaming_hist_oracle() -> str:
 QUERIES["streaming_hist"] = (q_streaming_hist, q_streaming_hist_oracle)
 
 
+def _zorder_ranges_sql(d: str, res: int = 9) -> str:
+    """Z-order RANGE PLANNER: per zone, the minimal set of contiguous
+    Morton-key ranges covering its cells at ``res`` — the index-pruning
+    primitive that turns a spatial predicate into file/row-group skip
+    ranges over a Z-ordered layout (the read-side complement of
+    write_zordered).  Pure integers: cover cells → morton keys → islands
+    of consecutive keys (key − row_number is constant within an island).
+
+    Scale: cover explode (bounded fan-out) + ONE per-zone window + a
+    per-(zone, island) groupBy — no corpus involvement at all; ranges are
+    what the scan planner broadcasts."""
+    from ..sources import layout
+
+    cover = geo.quad_cover_bbox("pos_list", res, d)
+    ex = (
+        f"select zone_id, explode({cover}) as cell from geo_polys"
+        if d == SPARK
+        else f"select zone_id, unnest({cover}) as cell from geo_polys"
+    )
+    ix, iy = geo.quad_unpack("cell", res, d)
+    z = layout.morton_key(f"({ix})", f"({iy})", d)
+    return f"""
+        with cov as ({ex}),
+        keyed as (
+            select zone_id, cast({z} as bigint) as zkey from cov
+        ),
+        ranked as (
+            select zone_id, zkey,
+                   zkey - row_number() over (
+                       partition by zone_id order by zkey asc) as island
+            from keyed
+        )
+        select zone_id,
+               cast(min(zkey) as bigint) as z_lo,
+               cast(max(zkey) as bigint) as z_hi,
+               cast(count(*) as bigint) as n_cells
+        from ranked group by zone_id, island"""
+
+
+def q_zorder_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_zorder_ranges_sql(SPARK))
+
+
+def q_zorder_ranges_oracle() -> str:
+    return f"{duck_geometry_ctes()}, __zr as ({_zorder_ranges_sql(DUCK)}) select * from __zr"
+
+
+QUERIES["zorder_ranges"] = (q_zorder_ranges, q_zorder_ranges_oracle)
+
+
+def _churn_labels_sql(d: str, horizon_days: int = 14, feat_days: int = 7) -> str:
+    """Supervised-dataset builder for churn prediction: per (user, event)
+    the LABEL — no activity within the next ``horizon_days`` — plus leakage
+    -safe features computed strictly from the past (events in the prior
+    ``feat_days``, micros since previous event).  The window/label
+    discipline every behavioral-ML pipeline needs and most get subtly
+    wrong (future leakage); here the feature frame ends at the current row
+    and the label frame is derived from lead() only.
+
+    All integer micros; one user-keyed sort serves the lead, the lag, and
+    the RANGE frame."""
+    us = (
+        "cast(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) as bigint)"
+        if d == SPARK
+        else "cast(epoch_us(ts) as bigint)"
+    )
+    h_us = horizon_days * 86400000000
+    f_us = feat_days * 86400000000
+    return f"""
+        with q as (
+            select user_id, event_id, {us} as us from events
+        ),
+        w as (
+            select user_id, event_id, us,
+                   lead(us) over win as next_us,
+                   lag(us) over win as prev_us,
+                   count(*) over (partition by user_id order by us
+                                  range between {f_us} preceding and current row)
+                       as n_prior_{feat_days}d
+            from q
+            window win as (partition by user_id order by us asc, event_id asc)
+        )
+        select user_id, event_id,
+               cast(n_prior_{feat_days}d as bigint) as n_prior_{feat_days}d,
+               cast(coalesce(us - prev_us, -1) as bigint) as us_since_prev,
+               (next_us is null or next_us - us > {h_us}) as churned
+        from w"""
+
+
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_churn_labels_sql(SPARK))
+
+
+def q_churn_labels_oracle() -> str:
+    return _churn_labels_sql(DUCK)
+
+
+QUERIES["churn_labels"] = (q_churn_labels, q_churn_labels_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

@@ -766,3 +766,70 @@ def test_containment_asymmetric_brute(spark):
     # asymmetry: doc1 ⊂ doc0 gives (1,0) but NOT (0,1) at 9/10
     assert (1, 0) in got and (0, 1) not in got
     assert (2, 0) in got  # tiny subset scores high containment
+
+
+def test_zorder_ranges_cover_exactly(spark):
+    """The merged ranges must partition each zone's morton key set exactly:
+    total cells preserved, ranges disjoint, and keys inside a range are
+    wall-to-wall consecutive."""
+    from osm_to_netex_spark.plans import queries as Q
+    from osm_to_netex_spark.functions import geo
+    from osm_to_netex_spark.sources import layout
+
+    ranges = defaultdict(list)
+    for r in Q.q_zorder_ranges(spark, SF).collect():
+        ranges[r["zone_id"]].append((int(r["z_lo"]), int(r["z_hi"]), int(r["n_cells"])))
+    ix, iy = geo.quad_unpack("cell", 9, "spark")
+    keys = defaultdict(set)
+    for r in (
+        spark.sql(
+            "select zone_id, explode("
+            + geo.quad_cover_bbox("pos_list", 9, "spark")
+            + ") as cell from geo_polys"
+        )
+        .selectExpr("zone_id", layout.morton_key(f"({ix})", f"({iy})", "spark") + " as z")
+        .collect()
+    ):
+        keys[r["zone_id"]].add(int(r["z"]))
+    assert set(ranges) == set(keys)
+    for zid, rs in ranges.items():
+        rs.sort()
+        covered = set()
+        for lo, hi, n in rs:
+            assert hi - lo + 1 == n  # wall-to-wall consecutive
+            covered |= set(range(lo, hi + 1))
+        assert covered == keys[zid]
+        for (l1, h1, _), (l2, _, _) in zip(rs, rs[1:]):
+            assert h1 + 1 < l2  # maximal merge: no adjacent ranges remain
+
+
+def test_churn_labels_no_future_leakage(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    rows = Q.q_churn_labels(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[int(r["user_id"])].append(
+            (int(r["ts"].timestamp() * 1e6), int(r["event_id"]))
+        )
+    got = {
+        (int(r["user_id"]), int(r["event_id"])): (
+            int(r["n_prior_7d"]), int(r["us_since_prev"]), bool(r["churned"])
+        )
+        for r in rows
+    }
+    H, FD = 14 * 86400000000, 7 * 86400000000
+    for uid, pts in by_user.items():
+        pts.sort()
+        for i, (us, eid) in enumerate(pts):
+            nxt = pts[i + 1][0] if i + 1 < len(pts) else None
+            prev = pts[i - 1][0] if i > 0 else None
+            n_prior = sum(1 for t, _ in pts if us - FD <= t <= us)
+            want = (
+                n_prior,
+                us - prev if prev is not None else -1,
+                nxt is None or nxt - us > H,
+            )
+            assert got[(uid, eid)] == want
+    assert len(got) == len(ev)
