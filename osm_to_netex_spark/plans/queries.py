@@ -6047,6 +6047,150 @@ def q_churn_labels_oracle() -> str:
 QUERIES["churn_labels"] = (q_churn_labels, q_churn_labels_oracle)
 
 
+_MATRYOSHKA_DIMS = (16, 32)
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncation evaluation: recall@5 of cosine top-k computed
+    on the first 16/32 embedding dims vs the full-dim exact ranking — the
+    measurement behind 'can we serve the short prefix of the embedding?'
+    (MRL-style deployments).  Both rankings are deterministic ⇒ the metric
+    is bit-exact, per (dim, query)."""
+    from ..operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id % 50 = 0")
+    full = similarity.topk_cosine_brute(queries, emb, k=5).select(
+        "query_id", "vec_id"
+    )
+    out = None
+    for dim in _MATRYOSHKA_DIMS:
+        tq = queries.selectExpr(
+            "vec_id", f"slice(embedding, 1, {dim}) as embedding"
+        )
+        tc = emb.selectExpr("vec_id", f"slice(embedding, 1, {dim}) as embedding")
+        trunc = similarity.topk_cosine_brute(tq, tc, k=5).select(
+            "query_id", F.col("vec_id").alias("t_vec")
+        )
+        joined = full.join(
+            trunc,
+            (full["query_id"] == trunc["query_id"])
+            & (full["vec_id"] == trunc["t_vec"]),
+            "left",
+        ).select(full["query_id"], full["vec_id"], trunc["t_vec"])
+        per_q = joined.groupBy("query_id").agg(
+            F.lit(dim).cast("int").alias("trunc_dim"),
+            F.count("*").cast("long").alias("n_full"),
+            F.count("t_vec").cast("long").alias("n_hit"),
+            (F.count("t_vec").cast("double") / F.count("*").cast("double")).alias(
+                "recall"
+            ),
+        ).select("trunc_dim", "query_id", "n_full", "n_hit", "recall")
+        out = per_q if out is None else out.unionByName(per_q)
+    return out
+
+
+def _embed_topk_sliced_oracle(dim: int) -> str:
+    cos = dedup.cosine_expr(
+        f"list_slice(q.embedding, 1, {dim})", f"list_slice(c.embedding, 1, {dim})", DUCK
+    )
+    return f"""
+        select query_id, vec_id from (
+            select q.vec_id as query_id, c.vec_id as vec_id,
+                   row_number() over (
+                       partition by q.vec_id
+                       order by round({cos}, 6) desc, c.vec_id asc) as rn
+            from embeddings q cross join embeddings c
+            where q.vec_id % 50 = 0 and c.vec_id <> q.vec_id
+        ) t where rn <= 5"""
+
+
+def q_matryoshka_recall_oracle() -> str:
+    parts = []
+    for dim in _MATRYOSHKA_DIMS:
+        parts.append(f"""
+        select cast({dim} as int) as trunc_dim, b.query_id as query_id,
+               cast(count(*) as bigint) as n_full,
+               cast(count(t.vec_id) as bigint) as n_hit,
+               (cast(count(t.vec_id) as double) / cast(count(*) as double))
+                   as recall
+        from (select query_id, vec_id from ({q_embed_topk_oracle()})) b
+        left join ({_embed_topk_sliced_oracle(dim)}) t
+          on t.query_id = b.query_id and t.vec_id = b.vec_id
+        group by b.query_id""")
+    return " union all ".join(parts)
+
+
+QUERIES["matryoshka_recall"] = (q_matryoshka_recall, q_matryoshka_recall_oracle)
+
+
+def _ndcg_sql(d: str, k: int = 15) -> str:
+    """NDCG@k of the BM25 ranking with graded relevance = query-term hit
+    count capped at 3 — the ranking-quality metric every retrieval system
+    reports.  Each rank's gain term (2^rel − 1)/log2(rank+1) is quantized
+    to bigint 1e-9 BEFORE the fold (order-free); IDCG re-ranks the same
+    relevance grades descending; NDCG is one final division."""
+    from ..operators import retrieval
+
+    bm = retrieval.bm25_topk_oracle_sql(_BM25_TERMS, k=k) if d == DUCK else None
+    toks = tx.tokens("text", d)
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    if d == SPARK:
+        relx = (
+            f"least(3, size(filter({toks}, t -> array_contains(array({terms}), t))))"
+        )
+    else:
+        relx = (
+            f"least(3, len(list_filter({toks}, t -> list_contains([{terms}], t))))"
+        )
+    gain = (
+        "cast(floor((pow(2.0e0, cast(rel as double)) - 1.0e0)"
+        " / (ln(cast(rnk + 1 as double)) / ln(2.0e0))"
+        " * 1.0e9 + 0.5e0) as bigint)"
+    )
+    bm_src = "__ndcg_bm" if d == SPARK else f"({bm})"
+    return f"""
+        with ranked as (
+            select doc_id, score,
+                   cast(row_number() over (order by score desc, doc_id asc)
+                        as bigint) as rnk
+            from {bm_src}
+        ),
+        graded as (
+            select r.rnk, {relx} as rel
+            from ranked r join documents dd on dd.doc_id = r.doc_id
+        ),
+        ideal as (
+            select cast(row_number() over (order by rel desc) as bigint) as rnk,
+                   rel
+            from graded
+        ),
+        dcg as (select cast(sum({gain}) as bigint) as dcg_q9 from graded),
+        idcg as (select cast(sum({gain}) as bigint) as idcg_q9 from ideal)
+        select cast({k} as int) as k, dcg.dcg_q9, idcg.idcg_q9,
+               round(cast(dcg.dcg_q9 as double) / cast(idcg.idcg_q9 as double), 9)
+                   as ndcg
+        from dcg cross join idcg"""
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    register_geometry_views(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    retrieval.bm25_topk(docs, _BM25_TERMS, k=15).createOrReplaceTempView(
+        "__ndcg_bm"
+    )
+    return spark.sql(_ndcg_sql(SPARK))
+
+
+def q_ndcg_oracle() -> str:
+    return _ndcg_sql(DUCK)
+
+
+QUERIES["ndcg"] = (q_ndcg, q_ndcg_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

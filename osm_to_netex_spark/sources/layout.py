@@ -134,6 +134,25 @@ def files_overlapping_box(
     return hit
 
 
+def files_overlapping_zranges(
+    stats: list[dict], zranges: list[tuple[int, int]], zcol: str = "zkey"
+) -> list[dict]:
+    """Files whose [zkey_min, zkey_max] stat interval intersects ANY of the
+    planner's contiguous Z ranges — the read-side consumer of
+    ``zorder_ranges``: a polygon predicate becomes z-ranges becomes a file
+    skip list, all from footer metadata (no data pages).  Files without
+    stats must be read (cannot prune)."""
+    hit = []
+    for s in stats:
+        lo, hi = s.get(f"{zcol}_min"), s.get(f"{zcol}_max")
+        if lo is None or hi is None:
+            hit.append(s)
+            continue
+        if any(not (hi < a or lo > b) for a, b in zranges):
+            hit.append(s)
+    return hit
+
+
 GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 

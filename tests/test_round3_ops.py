@@ -833,3 +833,46 @@ def test_churn_labels_no_future_leakage(spark):
             )
             assert got[(uid, eid)] == want
     assert len(got) == len(ev)
+
+
+def test_matryoshka_recall_degrades_with_truncation(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    rows = Q.q_matryoshka_recall(spark, SF).collect()
+    by_dim = defaultdict(list)
+    for r in rows:
+        assert 0.0 <= float(r["recall"]) <= 1.0
+        assert int(r["n_hit"]) <= int(r["n_full"]) == 5
+        by_dim[int(r["trunc_dim"])].append(float(r["recall"]))
+    assert set(by_dim) == {16, 32}
+    # mean recall should not IMPROVE when truncating harder
+    m16 = sum(by_dim[16]) / len(by_dim[16])
+    m32 = sum(by_dim[32]) / len(by_dim[32])
+    assert m16 <= m32 + 1e-9
+
+
+def test_ndcg_python_replay(spark):
+    from osm_to_netex_spark.plans import queries as Q
+    from osm_to_netex_spark.operators import retrieval
+
+    r = Q.q_ndcg(spark, SF).collect()[0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bm = retrieval.bm25_topk(docs, Q._BM25_TERMS, k=15).collect()
+    texts = {int(d["doc_id"]): d["text"] for d in docs.collect()}
+    import re as _re
+
+    ranked = sorted(bm, key=lambda x: (-float(x["score"]), int(x["doc_id"])))
+    rels = []
+    for d in ranked:
+        toks = [t for t in _re.split(r"[^a-z0-9]+", texts[int(d["doc_id"])].lower()) if t]
+        rels.append(min(3, sum(1 for t in toks if t in Q._BM25_TERMS)))
+
+    def dcg(rs):
+        return sum(
+            math.floor((2.0 ** rel - 1.0) / (math.log(i + 2) / math.log(2.0)) * 1e9 + 0.5)
+            for i, rel in enumerate(rs)
+        )
+
+    assert int(r["dcg_q9"]) == dcg(rels)
+    assert int(r["idcg_q9"]) == dcg(sorted(rels, reverse=True))
+    assert 0.0 < float(r["ndcg"]) <= 1.0
