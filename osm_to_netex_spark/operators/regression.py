@@ -190,3 +190,53 @@ def logreg_gd_sql(
                cast(count(case when {pred} = y then 1 end) as bigint) as n_correct
         from data cross join {wf}"""
     )
+
+
+def logreg_calibration_sql(
+    d: str,
+    table: str = "embeddings",
+    n_features: int = 4,
+    n_rounds: int = 3,
+    lr: float = 0.5,
+    n_bins: int = 5,
+) -> str:
+    """Reliability diagram of the trained logreg: rows bucketed by
+    predicted probability (equal-width bins), per bin the exact count,
+    quantized mean prediction, and positive rate — the calibration check
+    that decides whether scores are usable as probabilities.  Reuses the
+    EXACT same unrolled GD chain as logreg_gd_sql (same weights bit for
+    bit), then one scan to score + one n_bins-key aggregate."""
+    from ..functions.portable import element_at
+
+    j_range = range(1, n_features + 1)
+    # rebuild the training chain verbatim (same literals => same weights)
+    train = logreg_gd_sql(d, table, n_features, n_rounds, lr)
+    body = train[len("with "):train.rindex("\n        select ")]
+    wf = f"w{n_rounds}"
+    dot = "(" + " + ".join(
+        [f"cast({wf}.wq{j} as double) / 1.0e9 * x{j}" for j in j_range]
+        + [f"cast({wf}.bq as double) / 1.0e9"]
+    ) + ")"
+    sig = f"(1.0e0 / (1.0e0 + exp(-({dot}))))"
+    pq = f"cast(floor({sig} * 1.0e9 + 0.5e0) as bigint)"
+    idiv = "div" if d == "spark" else "//"
+    # bins over the OBSERVED prediction range (weakly-separated models
+    # cluster near 0.5 — absolute-width bins would collapse to one)
+    bin_ = (
+        f"least({n_bins - 1}, cast(((p_q9 - rng.pmin) * {n_bins})"
+        f" {idiv} (rng.pmax - rng.pmin + 1) as int))"
+    )
+    return (
+        "with " + body + f""",
+        scored as (
+            select {pq} as p_q9, y
+            from data cross join {wf}
+        ),
+        rng as (select min(p_q9) as pmin, max(p_q9) as pmax from scored)
+        select {bin_} as bin,
+               cast(count(*) as bigint) as n,
+               cast(sum(p_q9) as bigint) as sum_pred_q9,
+               cast(sum(cast(y as bigint)) as bigint) as n_pos
+        from scored cross join rng
+        group by 1"""
+    )

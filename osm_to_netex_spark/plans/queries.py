@@ -6191,6 +6191,95 @@ def q_ndcg_oracle() -> str:
 QUERIES["ndcg"] = (q_ndcg, q_ndcg_oracle)
 
 
+def _autocorr_sql(d: str, lags_h: tuple[int, ...] = (24, 48)) -> str:
+    """Periodicity detection: Pearson autocorrelation of each user's HOURLY
+    event-count series at daily lags — the rhythm detector (daily
+    commuters spike at lag 24h) behind demand forecasting.  Exact integer
+    moments (n, Σx, Σy, Σxy, Σx², Σy²) from a self-join of the hourly
+    count table on (user, hour+lag); r is ONE fixed float sequence
+    quantized 1e-9.  Pairs exist only where BOTH hours have events — the
+    sparse-series convention, documented; users need ≥ 3 overlapping
+    hour pairs to emit.
+
+    Scale: the hourly table is users × active-hours (dimension-sized next
+    to the corpus); the lag join is keyed on (user, hour)."""
+    us = (
+        "cast(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) as bigint)"
+        if d == SPARK
+        else "cast(epoch_us(ts) as bigint)"
+    )
+    idiv = "div" if d == SPARK else "//"
+    lags_vals = ", ".join(str(h) for h in lags_h)
+    lags = (
+        f"explode(array({lags_vals}))" if d == SPARK
+        else f"unnest([{lags_vals}])"
+    )
+    num = "(cast(n * sxy - sx * sy as double))"
+    den = (
+        "sqrt(cast(n * sxx - sx * sx as double))"
+        " * sqrt(cast(n * syy - sy * sy as double))"
+    )
+    rq = f"cast(floor({num} / nullif({den}, 0.0e0) * 1.0e9 + 0.5e0) as bigint)"
+    return f"""
+        with h as (
+            select user_id, ({us}) {idiv} 3600000000 as hour,
+                   cast(count(*) as bigint) as c
+            from events group by 1, 2
+        ),
+        lagged as (
+            select a.user_id, l.lag_h, a.c as x, b.c as y
+            from h a
+            cross join (select {lags} as lag_h) l
+            join h b on b.user_id = a.user_id and b.hour = a.hour + l.lag_h
+        ),
+        m as (
+            select user_id, lag_h,
+                   cast(count(*) as bigint) as n,
+                   cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+                   cast(sum(x * y) as bigint) as sxy,
+                   cast(sum(x * x) as bigint) as sxx,
+                   cast(sum(y * y) as bigint) as syy
+            from lagged group by user_id, lag_h
+        )
+        select user_id, cast(lag_h as int) as lag_h, n,
+               {rq} as autocorr_q9
+        from m
+        where n >= 3
+          and n * sxx - sx * sx > 0
+          and n * syy - sy * sy > 0"""
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_autocorr_sql(SPARK))
+
+
+def q_autocorr_oracle() -> str:
+    return _autocorr_sql(DUCK)
+
+
+QUERIES["autocorr"] = (q_autocorr, q_autocorr_oracle)
+
+
+def q_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the gated logreg — same unrolled GD chain,
+    observed-range probability bins
+    (operators.regression.logreg_calibration_sql)."""
+    from ..operators import regression
+
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(regression.logreg_calibration_sql(SPARK))
+
+
+def q_logreg_calibration_oracle() -> str:
+    from ..operators import regression
+
+    return regression.logreg_calibration_sql(DUCK)
+
+
+QUERIES["logreg_calibration"] = (q_logreg_calibration, q_logreg_calibration_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

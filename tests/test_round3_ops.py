@@ -876,3 +876,51 @@ def test_ndcg_python_replay(spark):
     assert int(r["dcg_q9"]) == dcg(rels)
     assert int(r["idcg_q9"]) == dcg(sorted(rels, reverse=True))
     assert 0.0 < float(r["ndcg"]) <= 1.0
+
+
+def test_autocorr_python_replay(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        (int(r["user_id"]), int(r["lag_h"])): (int(r["n"]), int(r["autocorr_q9"]))
+        for r in Q.q_autocorr(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    hourly = Counter()
+    for r in ev:
+        hourly[(int(r["user_id"]), int(r["ts"].timestamp() * 1e6) // 3600000000)] += 1
+    for lag in (24, 48):
+        per_user = defaultdict(list)
+        for (uid, h), c in hourly.items():
+            if (uid, h + lag) in hourly:
+                per_user[uid].append((c, hourly[(uid, h + lag)]))
+        for uid, pairs in per_user.items():
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+            if n < 3 or n * sxx - sx * sx <= 0 or n * syy - sy * sy <= 0:
+                assert (uid, lag) not in got
+                continue
+            den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+            r_ = math.floor((n * sxy - sx * sy) / den * 1e9 + 0.5)
+            assert got[(uid, lag)] == (n, r_)
+
+
+def test_logreg_calibration_consistency(spark):
+    """Bins partition the corpus; positive rates and mean predictions are
+    internally consistent with the gated logreg accuracy row."""
+    from osm_to_netex_spark.plans import queries as Q
+
+    bins = Q.q_logreg_calibration(spark, SF).collect()
+    total = sum(int(r["n"]) for r in bins)
+    logreg = Q.q_logreg(spark, SF).collect()[0]
+    assert total == int(logreg["n"])
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_pos = emb.where("label % 2 = 1").count()
+    assert sum(int(r["n_pos"]) for r in bins) == n_pos
+    for r in bins:
+        assert 0 <= int(r["n_pos"]) <= int(r["n"])
+        mean_pred = int(r["sum_pred_q9"]) / int(r["n"]) / 1e9
+        assert 0.0 < mean_pred < 1.0
+    assert len(bins) >= 3  # observed-range binning actually spreads
