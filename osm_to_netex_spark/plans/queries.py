@@ -6280,6 +6280,111 @@ def q_logreg_calibration_oracle() -> str:
 QUERIES["logreg_calibration"] = (q_logreg_calibration, q_logreg_calibration_oracle)
 
 
+def _weighted_median_sql(d: str) -> str:
+    """Exact weighted median of order value per returnflag, weighted by
+    quantity — the fair-aggregation primitive (a 50-unit line counts 50×):
+    lower weighted median = the smallest value whose cumulative weight
+    reaches half the total.  Pure integers: quantized values, integer
+    weights, ONE cumulative window over the per-group sort + one argmin —
+    no approximation, no percentile interpolation ambiguity.
+
+    Scale: one shuffle on the group key; the cumulative frame runs in the
+    same sort; ties on value merge before the window (groupBy) so the
+    window input is value-distinct per group."""
+    v = "cast(floor(l_extendedprice * 1.0e2 + 0.5e0) as bigint)"
+    w = "cast(floor(l_quantity + 0.5e0) as bigint)"
+    return f"""
+        with q as (
+            select l_returnflag as grp, {v} as vq, sum({w}) as wq
+            from lineitem group by l_returnflag, {v}
+        ),
+        c as (
+            select grp, vq, wq,
+                   cast(sum(wq) over (partition by grp order by vq asc
+                                      rows between unbounded preceding
+                                      and current row) as bigint) as cw,
+                   cast(sum(wq) over (partition by grp) as bigint) as tw
+            from q
+        )
+        select grp as l_returnflag,
+               cast(min(case when 2 * cw >= tw then vq end) as bigint)
+                   as wmedian_q2,
+               cast(max(tw) as bigint) as total_weight
+        from c group by grp"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_weighted_median_sql(SPARK))
+
+
+def q_weighted_median_oracle() -> str:
+    return _weighted_median_sql(DUCK)
+
+
+QUERIES["weighted_median"] = (q_weighted_median, q_weighted_median_oracle)
+
+
+def _theil_sen_sql(d: str) -> str:
+    """Theil–Sen robust trend per user: the MEDIAN of all pairwise slopes
+    (value change per hour) — breakdown point 29%, the robust sibling of
+    the OLS trend_fit and the rank-based mk_trend.  Slopes are quantized
+    to bigint 1e-6 per pair (one float division each, fixed operand
+    order); the median is the lower median over the per-user slope
+    multiset via the same cumulative-window argmin as weighted_median.
+
+    Scale: O(n²) pairs per GROUP by problem statement (n = events/user,
+    bounded); pairs join on the user key only — never cross-user."""
+    us = (
+        "cast(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) as bigint)"
+        if d == SPARK
+        else "cast(epoch_us(ts) as bigint)"
+    )
+    slope = (
+        "cast(floor((b.xq - a.xq) * 3600.0e0 / cast(b.us - a.us as double)"
+        " + 0.5e0) as bigint)"
+    )
+    return f"""
+        with q as (
+            select user_id, event_id, {us} as us,
+                   cast(floor(value * 1.0e6 + 0.5e0) as bigint) as xq
+            from events
+        ),
+        slopes as (
+            select a.user_id, {slope} as s
+            from q a join q b
+              on b.user_id = a.user_id
+             and (b.us > a.us or (b.us = a.us and b.event_id > a.event_id))
+            where b.us <> a.us
+        ),
+        g as (select user_id, s, count(*) as c from slopes group by user_id, s),
+        c as (
+            select user_id, s, c,
+                   cast(sum(c) over (partition by user_id order by s asc
+                                     rows between unbounded preceding
+                                     and current row) as bigint) as cc,
+                   cast(sum(c) over (partition by user_id) as bigint) as tc
+            from g
+        )
+        select user_id,
+               cast(min(case when 2 * cc >= tc then s end) as bigint)
+                   as ts_slope_q6_per_h,
+               cast(max(tc) as bigint) as n_slopes
+        from c group by user_id"""
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_theil_sen_sql(SPARK))
+
+
+def q_theil_sen_oracle() -> str:
+    return _theil_sen_sql(DUCK)
+
+
+QUERIES["theil_sen"] = (q_theil_sen, q_theil_sen_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

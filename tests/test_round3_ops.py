@@ -924,3 +924,59 @@ def test_logreg_calibration_consistency(spark):
         mean_pred = int(r["sum_pred_q9"]) / int(r["n"]) / 1e9
         assert 0.0 < mean_pred < 1.0
     assert len(bins) >= 3  # observed-range binning actually spreads
+
+
+def test_weighted_median_python_replay(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        r["l_returnflag"]: (int(r["wmedian_q2"]), int(r["total_weight"]))
+        for r in Q.q_weighted_median(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    by_flag = defaultdict(Counter)
+    for r in li:
+        v = math.floor(float(r["l_extendedprice"]) * 100 + 0.5)
+        w = math.floor(float(r["l_quantity"]) + 0.5)
+        by_flag[r["l_returnflag"]][v] += w
+    for flag, cnt in by_flag.items():
+        tw = sum(cnt.values())
+        cum = 0
+        med = None
+        for v in sorted(cnt):
+            cum += cnt[v]
+            if 2 * cum >= tw:
+                med = v
+                break
+        assert got[flag] == (med, tw)
+    assert set(got) == set(by_flag)
+
+
+def test_theil_sen_python_replay(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        int(r["user_id"]): (int(r["ts_slope_q6_per_h"]), int(r["n_slopes"]))
+        for r in Q.q_theil_sen(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[int(r["user_id"])].append(
+            (int(r["ts"].timestamp() * 1e6), int(r["event_id"]),
+             math.floor(float(r["value"]) * 1e6 + 0.5))
+        )
+    for uid, pts in by_user.items():
+        slopes = Counter()
+        for i, a in enumerate(pts):
+            for b in pts:
+                if (b[0] > a[0] or (b[0] == a[0] and b[1] > a[1])) and b[0] != a[0]:
+                    slopes[math.floor((b[2] - a[2]) * 3600.0 / (b[0] - a[0]) + 0.5)] += 1
+        tc = sum(slopes.values())
+        cum, med = 0, None
+        for s in sorted(slopes):
+            cum += slopes[s]
+            if 2 * cum >= tc:
+                med = s
+                break
+        assert got[uid] == (med, tc)
