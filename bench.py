@@ -433,6 +433,31 @@ def main():
         "keep_best",
         "robust_anomaly",
         "label_point",
+        "pip_best",
+        "span_profile",
+        "decayed_density",
+        "ab_test",
+        "clustering_coeff",
+        "hyperanf",
+        "logreg",
+        "target_encode",
+        "tpch_q7",
+        "tpch_q10",
+        "locate_along",
+        "g_function",
+        "benford",
+        "sn_blocking",
+        "haar_energy",
+        "modularity",
+        "containment",
+        "zorder_ranges",
+        "churn_labels",
+        "matryoshka_recall",
+        "ndcg",
+        "autocorr",
+        "logreg_calibration",
+        "weighted_median",
+        "theil_sen",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 
