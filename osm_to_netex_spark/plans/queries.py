@@ -6385,6 +6385,93 @@ def q_theil_sen_oracle() -> str:
 QUERIES["theil_sen"] = (q_theil_sen, q_theil_sen_oracle)
 
 
+def _stump_sql(d: str, n_features: int = 2) -> str:
+    """Decision-stump learner: per embedding feature the THRESHOLD that
+    maximizes information gain for y = label % 2 — the weak learner
+    boosting stacks, and the single most interpretable split-quality
+    report.  Candidate splits are the observed distinct values; prefix
+    positive/total counts come from ONE cumulative window per feature over
+    the value sort; each candidate's IG is a fixed float sequence over
+    those exact integers, quantized to 1e-9 BEFORE the per-feature argmax
+    (ties → smaller threshold).  Zero-entropy guards use the exact counts.
+
+    Scale: one (feature)-keyed window over the distinct-value table + a
+    per-feature argmax — feature count × distinct values, corpus touched
+    once."""
+    from ..functions.portable import element_at
+
+    cols = ", ".join(
+        f"cast({element_at('embedding', str(j), d)} as double) as x{j}"
+        for j in range(1, n_features + 1)
+    )
+    stack = " union all ".join(
+        f"select {j} as feat, cast(floor(x{j} * 1.0e6 + 0.5e0) as bigint) as vq, y from base"
+        for j in range(1, n_features + 1)
+    )
+    # entropy helper over (pos, n): −p·ln(p) − (1−p)·ln(1−p), 0 when pure
+    def ent(pos: str, n: str) -> str:
+        p = f"(cast({pos} as double) / cast({n} as double))"
+        return (
+            f"(case when {pos} = 0 or {pos} = {n} then 0.0e0 else "
+            f"-({p}) * ln({p}) - (1.0e0 - {p}) * ln(1.0e0 - {p}) end)"
+        )
+
+    h_all = ent("tp", "tn")
+    h_l = ent("lp", "ln_")
+    h_r = ent("tp - lp", "tn - ln_")
+    ig = (
+        f"({h_all} - (cast(ln_ as double) / cast(tn as double)) * {h_l}"
+        f" - (cast(tn - ln_ as double) / cast(tn as double)) * {h_r})"
+    )
+    igq = f"cast(floor({ig} * 1.0e9 + 0.5e0) as bigint)"
+    return f"""
+        with base as (
+            select {cols}, cast(label % 2 as bigint) as y from embeddings
+        ),
+        stacked as ({stack}),
+        vals as (
+            select feat, vq,
+                   cast(count(*) as bigint) as n,
+                   cast(sum(y) as bigint) as pos
+            from stacked group by feat, vq
+        ),
+        pref as (
+            select feat, vq,
+                   cast(sum(n) over w as bigint) as ln_,
+                   cast(sum(pos) over w as bigint) as lp,
+                   cast(sum(n) over (partition by feat) as bigint) as tn,
+                   cast(sum(pos) over (partition by feat) as bigint) as tp
+            from vals
+            window w as (partition by feat order by vq asc
+                         rows between unbounded preceding and current row)
+        ),
+        scored as (
+            select feat, vq, ln_, tn, {igq} as ig_q9
+            from pref where ln_ < tn
+        )
+        select cast(feat as int) as feature_idx,
+               vq as threshold_q6, ig_q9,
+               ln_ as n_left, tn - ln_ as n_right
+        from (
+            select feat, vq, ln_, tn, ig_q9,
+                   row_number() over (
+                       partition by feat order by ig_q9 desc, vq asc) as rn
+            from scored
+        ) t where rn = 1"""
+
+
+def q_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_stump_sql(SPARK))
+
+
+def q_stump_oracle() -> str:
+    return _stump_sql(DUCK)
+
+
+QUERIES["stump"] = (q_stump, q_stump_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

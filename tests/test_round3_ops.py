@@ -980,3 +980,53 @@ def test_theil_sen_python_replay(spark):
                 med = s
                 break
         assert got[uid] == (med, tc)
+
+
+def test_stump_python_replay(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        int(r["feature_idx"]): (
+            int(r["threshold_q6"]), int(r["ig_q9"]),
+            int(r["n_left"]), int(r["n_right"]),
+        )
+        for r in Q.q_stump(spark, SF).collect()
+    }
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+
+    def H(pos, n):
+        if pos == 0 or pos == n:
+            return 0.0
+        p = pos / n
+        return -p * math.log(p) - (1 - p) * math.log(1 - p)
+
+    for j in (1, 2):
+        data = sorted(
+            (math.floor(float(e["embedding"][j - 1]) * 1e6 + 0.5), int(e["label"]) % 2)
+            for e in emb
+        )
+        n = len(data)
+        tp = sum(y for _, y in data)
+        # distinct-value candidates with prefix counts
+        best = None
+        cum_n = cum_p = 0
+        i = 0
+        while i < n:
+            v = data[i][0]
+            while i < n and data[i][0] == v:
+                cum_n += 1
+                cum_p += data[i][1]
+                i += 1
+            if cum_n == n:
+                break
+            ig = (
+                H(tp, n)
+                - cum_n / n * H(cum_p, cum_n)
+                - (n - cum_n) / n * H(tp - cum_p, n - cum_n)
+            )
+            igq = math.floor(ig * 1e9 + 0.5)
+            cand = (igq, -v, cum_n)
+            if best is None or cand > best:
+                best = cand
+        igq, negv, nl = best
+        assert got[j] == (-negv, igq, nl, n - nl)
