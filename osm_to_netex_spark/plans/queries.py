@@ -6472,6 +6472,128 @@ def q_stump_oracle() -> str:
 QUERIES["stump"] = (q_stump, q_stump_oracle)
 
 
+def _kaplan_meier_sql(d: str) -> str:
+    """Kaplan–Meier survival estimate of user lifetime: duration = hours
+    between a user's first and last event; users still active in the final
+    12 hours of the corpus are CENSORED (lifetime only known to exceed
+    their duration) — the estimator that handles censoring correctly where
+    a naive mean dies.  S(t) = Π over event times (1 − d_i/n_i), computed
+    order-free as exp(Σ quantized ln terms): each time step's ln(1−d/n)
+    quantized to bigint 1e-9, the cumulative sum one ordered window, the
+    exp at the end.
+
+    Scale: per-user spans are one groupBy; the KM table is event-time-
+    sized (≤ users), windows run over THAT dimension table only."""
+    us = (
+        "cast(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) as bigint)"
+        if d == SPARK
+        else "cast(epoch_us(ts) as bigint)"
+    )
+    h12 = 12 * 3600000000
+    lnq = "cast(floor(ln({x}) * 1000000000.0e0 + 0.5e0) as bigint)"
+    term = lnq.format(
+        x="1.0e0 - cast(d_events as double) / cast(n_risk as double)"
+    )
+    return f"""
+        with spans as (
+            select user_id, min({us}) as first_us, max({us}) as last_us
+            from events group by user_id
+        ),
+        horizon as (select max(last_us) as h from spans),
+        lif as (
+            select user_id,
+                   (last_us - first_us) {'div' if d == SPARK else '//'} 3600000000
+                       as dur_h,
+                   (last_us < horizon.h - {h12}) as event
+            from spans cross join horizon
+        ),
+        steps as (
+            select dur_h,
+                   cast(count(*) as bigint) as n_at,
+                   cast(sum(case when event then 1 else 0 end) as bigint)
+                       as d_events
+            from lif group by dur_h
+        ),
+        risk as (
+            select dur_h, d_events,
+                   cast(sum(n_at) over (order by dur_h desc
+                                        rows between unbounded preceding
+                                        and current row) as bigint) as n_risk
+            from steps
+        ),
+        km as (
+            select dur_h, d_events, n_risk,
+                   cast(sum(case when d_events > 0 then {term} else 0 end)
+                        over (order by dur_h asc
+                              rows between unbounded preceding and current row)
+                        as bigint) as cum_ln_q9
+            from risk
+        )
+        select cast(dur_h as bigint) as dur_h, d_events, n_risk,
+               round(exp(cast(cum_ln_q9 as double) / 1.0e9), 9) as survival
+        from km where d_events > 0"""
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_kaplan_meier_sql(SPARK))
+
+
+def q_kaplan_meier_oracle() -> str:
+    return _kaplan_meier_sql(DUCK)
+
+
+QUERIES["kaplan_meier"] = (q_kaplan_meier, q_kaplan_meier_oracle)
+
+
+def _gini_sql(d: str) -> str:
+    """Gini coefficient + Lorenz curve of user activity concentration —
+    'do 20% of users generate 80% of events?': exact closed form
+    G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) over ranked activity counts
+    — pure integer numerator/denominator (one ranked window), ONE division
+    at the end; Lorenz points are exact integer cumulative shares.
+
+    Scale: the ranked window runs over the USER table (dimension-sized),
+    corpus touched once for the counts."""
+    return """
+        with act as (
+            select user_id, cast(count(*) as bigint) as x
+            from events group by user_id
+        ),
+        ranked as (
+            select x,
+                   cast(row_number() over (order by x asc, user_id asc)
+                        as bigint) as i,
+                   cast(count(*) over () as bigint) as n,
+                   cast(sum(x) over () as bigint) as sx,
+                   cast(sum(x) over (order by x asc, user_id asc
+                                     rows between unbounded preceding
+                                     and current row) as bigint) as cumx
+            from act
+        )
+        select i as rank, x as n_events,
+               cast(cumx as bigint) as cum_events,
+               round(cast(cumx as double) / cast(sx as double), 9)
+                   as lorenz_share,
+               round(cast(2 * sum(i * x) over () - (max(n) over () + 1)
+                          * max(sx) over () as double)
+                     / cast(max(n) over () * max(sx) over () as double), 9)
+                   as gini
+        from ranked"""
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_gini_sql(SPARK))
+
+
+def q_gini_oracle() -> str:
+    return _gini_sql(DUCK)
+
+
+QUERIES["gini"] = (q_gini, q_gini_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

@@ -1030,3 +1030,57 @@ def test_stump_python_replay(spark):
                 best = cand
         igq, negv, nl = best
         assert got[j] == (-negv, igq, nl, n - nl)
+
+
+def test_kaplan_meier_python_replay(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        int(r["dur_h"]): (int(r["d_events"]), int(r["n_risk"]), float(r["survival"]))
+        for r in Q.q_kaplan_meier(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    spans = defaultdict(lambda: [None, None])
+    for r in ev:
+        us = int(r["ts"].timestamp() * 1e6)
+        s = spans[int(r["user_id"])]
+        s[0] = us if s[0] is None else min(s[0], us)
+        s[1] = us if s[1] is None else max(s[1], us)
+    horizon = max(s[1] for s in spans.values())
+    lif = [
+        ((s[1] - s[0]) // 3600000000, s[1] < horizon - 12 * 3600000000)
+        for s in spans.values()
+    ]
+    times = sorted({t for t, _ in lif})
+    cum = 0
+    surv = {}
+    for t in times:
+        n_risk = sum(1 for d, _ in lif if d >= t)
+        d_ev = sum(1 for d, e in lif if d == t and e)
+        if d_ev > 0:
+            cum += math.floor(math.log(1.0 - d_ev / n_risk) * 1e9 + 0.5)
+            surv[t] = (d_ev, n_risk, round(math.exp(cum / 1e9), 9))
+    assert got == surv and len(got) > 0
+    # survival is nonincreasing
+    ss = [surv[t][2] for t in sorted(surv)]
+    assert ss == sorted(ss, reverse=True)
+
+
+def test_gini_python_replay(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    rows = Q.q_gini(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    cnt = Counter(int(r["user_id"]) for r in ev)
+    xs = [c for _, c in sorted(cnt.items(), key=lambda t: (t[1], t[0]))]
+    n, sx = len(xs), sum(xs)
+    gini = (2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * sx) / (n * sx)
+    assert len(rows) == n
+    for r in rows:
+        assert float(r["gini"]) == round(gini, 9)
+    by_rank = sorted((int(r["rank"]), int(r["cum_events"])) for r in rows)
+    cum = 0
+    for (rk, ce), x in zip(by_rank, xs):
+        cum += x
+        assert ce == cum
+    assert 0.0 <= gini < 1.0
