@@ -6594,6 +6594,81 @@ def q_gini_oracle() -> str:
 QUERIES["gini"] = (q_gini, q_gini_oracle)
 
 
+_BOOT_B = 20
+
+
+def _poisson_bootstrap_sql(d: str, n_reps: int = _BOOT_B) -> str:
+    """Poisson bootstrap of the mean event value per type — THE resampling
+    technique that works on data too large to index (each row draws an
+    independent Poisson(1) replicate weight instead of multinomial counts;
+    Chamandy et al. 2012): B replicate means from ONE scan, no row ids, no
+    global state.  Weights come from the portable hash via the inverse
+    Poisson(1) CDF as a CASE ladder (deterministic ⇒ value-hash-gateable);
+    replicate means are exact integer ratios quantized at the end; the
+    summary row per type reports the replicate spread (min/max/mean of
+    means) — the CI ingredients.
+
+    Scale: one scan × B-way explode (B constant), one (type, rep)
+    map-side-combined aggregate, one tiny summary agg."""
+    # cumulative Poisson(1): P(0)=.3679 P(<=1)=.7358 P(<=2)=.9197 P(<=3)=.9810
+    # P(<=4)=.9963 P(<=5)=.9994  (1e9-scaled integer thresholds on the hash)
+    u = phash60(concat_str(["'boot:'", "cast(event_id as string)", "':'",
+                            "cast(rep as string)"], d), d)
+    reps = (
+        f"explode(sequence(0, {n_reps - 1}))" if d == SPARK
+        else f"unnest(generate_series(0, {n_reps - 1}))"
+    )
+    w = f"""(case
+        when u < 424136118829305344 then 0
+        when u < 848272237658610688 then 1
+        when u < 1060340297073263360 then 2
+        when u < 1131029650211480960 then 3
+        when u < 1148701988496035328 then 4
+        else 5 end)"""
+    mean_q = (
+        "cast(floor(cast(sxw as double) / cast(sw as double) + 0.5e0) as bigint)"
+    )
+    return f"""
+        with q as (
+            select event_type, event_id,
+                   cast(floor(value * 1.0e6 + 0.5e0) as bigint) as xq
+            from events
+        ),
+        r as (select q.*, {reps} as rep from q),
+        wtd as (
+            select event_type, rep, xq, ({u}) as u from r
+        ),
+        reps as (
+            select event_type, rep,
+                   cast(sum({w} * xq) as bigint) as sxw,
+                   cast(sum({w}) as bigint) as sw
+            from wtd group by event_type, rep
+        ),
+        means as (
+            select event_type, rep, {mean_q} as mean_q6
+            from reps where sw > 0
+        )
+        select event_type,
+               cast(count(*) as bigint) as n_reps,
+               cast(min(mean_q6) as bigint) as boot_min_q6,
+               cast(max(mean_q6) as bigint) as boot_max_q6,
+               cast(floor(avg(cast(mean_q6 as double)) + 0.5e0) as bigint)
+                   as boot_mean_q6
+        from means group by event_type"""
+
+
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_poisson_bootstrap_sql(SPARK))
+
+
+def q_poisson_bootstrap_oracle() -> str:
+    return _poisson_bootstrap_sql(DUCK)
+
+
+QUERIES["poisson_bootstrap"] = (q_poisson_bootstrap, q_poisson_bootstrap_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

@@ -1084,3 +1084,48 @@ def test_gini_python_replay(spark):
         cum += x
         assert ce == cum
     assert 0.0 <= gini < 1.0
+
+
+def test_poisson_bootstrap_python_replay(spark):
+    import hashlib
+
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        r["event_type"]: (
+            int(r["n_reps"]), int(r["boot_min_q6"]),
+            int(r["boot_max_q6"]), int(r["boot_mean_q6"]),
+        )
+        for r in Q.q_poisson_bootstrap(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    THS = [424136118829305344, 848272237658610688, 1060340297073263360,
+           1131029650211480960, 1148701988496035328]
+
+    def w(eid, rep):
+        h = int(hashlib.md5(f"boot:{eid}:{rep}".encode()).hexdigest()[:15], 16) % (1 << 60)
+        for k, t in enumerate(THS):
+            if h < t:
+                return k
+        return 5
+
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r["event_type"]].append(
+            (int(r["event_id"]), math.floor(float(r["value"]) * 1e6 + 0.5))
+        )
+    for et, rows_ in by_type.items():
+        means = []
+        for rep in range(20):
+            sxw = sum(w(eid, rep) * x for eid, x in rows_)
+            sw = sum(w(eid, rep) for eid, _ in rows_)
+            if sw > 0:
+                means.append(math.floor(sxw / sw + 0.5))
+        want = (
+            len(means), min(means), max(means),
+            math.floor(sum(means) / len(means) + 0.5),
+        )
+        assert got[et] == want
+        # replicate spread brackets the plain mean
+        plain = math.floor(sum(x for _, x in rows_) / len(rows_) + 0.5)
+        assert want[1] <= plain <= want[2]
