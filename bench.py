@@ -458,6 +458,10 @@ def main():
         "logreg_calibration",
         "weighted_median",
         "theil_sen",
+        "stump",
+        "kaplan_meier",
+        "gini",
+        "poisson_bootstrap",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 
