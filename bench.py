@@ -462,6 +462,7 @@ def main():
         "kaplan_meier",
         "gini",
         "poisson_bootstrap",
+        "stationary",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

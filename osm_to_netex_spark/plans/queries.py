@@ -6669,6 +6669,70 @@ def q_poisson_bootstrap_oracle() -> str:
 QUERIES["poisson_bootstrap"] = (q_poisson_bootstrap, q_poisson_bootstrap_oracle)
 
 
+_STAT_ROUNDS = 4
+
+
+def _stationary_sql(d: str, n_rounds: int = _STAT_ROUNDS) -> str:
+    """Stationary distribution of the event-type Markov chain: π·Pⁿ from a
+    uniform start over the gated transition counts — 'where does the user
+    journey settle'.  The chain is DIMENSION-sized (types × types), so the
+    power iteration unrolls as chained CTEs over tiny tables; each round's
+    π entries quantize to bigint 1e-9 BEFORE the per-column sum (the
+    pagerank state discipline), so the result is bit-exact at any
+    partitioning.  Rows with no outgoing transition cannot occur (every
+    prev_type has successors by construction of the bigram set).
+
+    Scale: the corpus is touched ONCE (the bigram count); all rounds run
+    over the |types|² matrix."""
+    term = (
+        "cast(floor(cast(p.pi_q as double) / 1.0e9"
+        " * (cast(t.n as double) / cast(r.tot as double))"
+        " * 1.0e9 + 0.5e0) as bigint)"
+    )
+    ctes = [
+        f"t as ({_transitions_sql(d)})",
+        "types as (select prev_type as et from t union"
+        " select next_type as et from t)",
+        "nt as (select count(*) as k from types)",
+        "r as (select prev_type, cast(sum(n) as bigint) as tot"
+        " from t group by prev_type)",
+        # uniform start, integer split of 1e9 (remainder to the first type)
+        """p0 as (
+            select et,
+                   cast(1000000000 {idiv} k
+                        + case when rn = 1 then 1000000000 % k else 0 end
+                        as bigint) as pi_q
+            from (select et, row_number() over (order by et) as rn
+                  from types) x cross join nt
+        )""".format(idiv="div" if d == SPARK else "//"),
+    ]
+    for i in range(n_rounds):
+        ctes.append(f"""p{i + 1} as (
+            select t.next_type as et, cast(sum({term.replace('p.', f'p{i}.')})
+                as bigint) as pi_q
+            from t
+            join p{i} on p{i}.et = t.prev_type
+            join r on r.prev_type = t.prev_type
+            group by t.next_type
+        )""")
+    return (
+        "with " + ", ".join(ctes)
+        + f" select et as event_type, pi_q as stationary_q9 from p{n_rounds}"
+    )
+
+
+def q_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_stationary_sql(SPARK))
+
+
+def q_stationary_oracle() -> str:
+    return _stationary_sql(DUCK)
+
+
+QUERIES["stationary"] = (q_stationary, q_stationary_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

@@ -1129,3 +1129,35 @@ def test_poisson_bootstrap_python_replay(spark):
         # replicate spread brackets the plain mean
         plain = math.floor(sum(x for _, x in rows_) / len(rows_) + 0.5)
         assert want[1] <= plain <= want[2]
+
+
+def test_stationary_python_replay(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        r["event_type"]: int(r["stationary_q9"])
+        for r in Q.q_stationary(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[int(r["user_id"])].append((r["ts"], int(r["event_id"]), r["event_type"]))
+    trans = Counter()
+    for rows_ in by_user.values():
+        rows_.sort()
+        for a, b in zip(rows_, rows_[1:]):
+            trans[(a[2], b[2])] += 1
+    types = sorted({a for a, _ in trans} | {b for _, b in trans})
+    k = len(types)
+    tot = Counter()
+    for (a, _), n in trans.items():
+        tot[a] += n
+    pi = {t: 10**9 // k + (10**9 % k if i == 0 else 0) for i, t in enumerate(types)}
+    for _ in range(4):
+        new = defaultdict(int)
+        for (a, b), n in trans.items():
+            new[b] += math.floor(pi[a] / 1e9 * (n / tot[a]) * 1e9 + 0.5)
+        pi = dict(new)
+    assert got == pi
+    # distribution normalizes to ~1 (quantization drift only)
+    assert abs(sum(got.values()) - 10**9) < 1000
