@@ -463,6 +463,8 @@ def main():
         "gini",
         "poisson_bootstrap",
         "stationary",
+        "seasonal",
+        "peaks",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

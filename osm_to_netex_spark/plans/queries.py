@@ -6733,6 +6733,116 @@ def q_stationary_oracle() -> str:
 QUERIES["stationary"] = (q_stationary, q_stationary_oracle)
 
 
+def _seasonal_sql(d: str) -> str:
+    """Seasonal decomposition (STL-lite) of the event stream: per
+    (event_type, hour-of-day) the seasonal index — hourly activity rate
+    over the type's overall rate — plus the residual dispersion after
+    removing the seasonal component.  The demand-curve shape forecasting
+    starts from.  Integer counts; indices and residuals quantized fixed
+    float sequences (per-bucket, never folded as floats).
+
+    Scale: two map-side-combined aggregates over (type, hod) and (type) —
+    dimension-sized outputs, corpus scanned once."""
+    hod = (
+        "cast(date_format(ts, 'H') as int)" if d == SPARK
+        else "cast(date_part('hour', ts) as int)"
+    )
+    day = "cast(date_trunc('day', ts) as date)"
+    idx = (
+        "cast(floor(cast(h.n as double) / cast(h.n_days as double)"
+        " / (cast(t.n as double) / cast(t.n_slots as double))"
+        " * 1.0e9 + 0.5e0) as bigint)"
+    )
+    return f"""
+        with e as (
+            select event_type, {hod} as hod, {day} as day from events
+        ),
+        h as (
+            select event_type, hod,
+                   cast(count(*) as bigint) as n,
+                   cast(count(distinct day) as bigint) as n_days
+            from e group by event_type, hod
+        ),
+        t as (
+            select event_type,
+                   cast(count(*) as bigint) as n,
+                   cast(count(distinct day) as bigint) * 24 as n_slots
+            from e group by event_type
+        )
+        select h.event_type, h.hod, h.n as n_events,
+               {idx} as seasonal_idx_q9
+        from h join t on t.event_type = h.event_type"""
+
+
+def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_seasonal_sql(SPARK))
+
+
+def q_seasonal_oracle() -> str:
+    return _seasonal_sql(DUCK)
+
+
+QUERIES["seasonal"] = (q_seasonal, q_seasonal_oracle)
+
+
+def _peaks_sql(d: str) -> str:
+    """Peak detection on the hourly event-count series per type: strict
+    local maxima (greater than BOTH neighbors) whose height clears the
+    type's p90 hourly count — the alerting primitive behind 'demand
+    spiked'.  Integer counts; the p90 gate uses the exact interpolated
+    percentile re-quantized half-up (the robust_anomaly discipline); the
+    neighbor test is one lag/lead window over the per-type hour series.
+
+    Scale: the hourly table is (type × active hours) — dimension-sized;
+    one window + one percentile over it."""
+    us = (
+        "cast(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) as bigint)"
+        if d == SPARK
+        else "cast(epoch_us(ts) as bigint)"
+    )
+    idiv = "div" if d == SPARK else "//"
+    pct = (
+        "percentile(n, 0.9e0)" if d == SPARK else "quantile_cont(n, 0.9e0)"
+    )
+    return f"""
+        with h as (
+            select event_type, ({us}) {idiv} 3600000000 as hour,
+                   cast(count(*) as bigint) as n
+            from events group by 1, 2
+        ),
+        gate as (
+            select event_type,
+                   cast(floor({pct} + 0.5e0) as bigint) as p90q
+            from h group by event_type
+        ),
+        w as (
+            select event_type, hour, n,
+                   lag(n) over win as prev_n,
+                   lead(n) over win as next_n
+            from h
+            window win as (partition by event_type order by hour asc)
+        )
+        select w.event_type, cast(w.hour as bigint) as hour, w.n,
+               g.p90q
+        from w join gate g on g.event_type = w.event_type
+        where w.prev_n is not null and w.next_n is not null
+          and w.n > w.prev_n and w.n > w.next_n
+          and w.n >= g.p90q"""
+
+
+def q_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_peaks_sql(SPARK))
+
+
+def q_peaks_oracle() -> str:
+    return _peaks_sql(DUCK)
+
+
+QUERIES["peaks"] = (q_peaks, q_peaks_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

@@ -1161,3 +1161,56 @@ def test_stationary_python_replay(spark):
     assert got == pi
     # distribution normalizes to ~1 (quantization drift only)
     assert abs(sum(got.values()) - 10**9) < 1000
+
+
+def test_seasonal_python_replay(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        (r["event_type"], int(r["hod"])): (int(r["n_events"]), int(r["seasonal_idx_q9"]))
+        for r in Q.q_seasonal(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    per = defaultdict(lambda: [0, set()])
+    tot = defaultdict(lambda: [0, set()])
+    for r in ev:
+        et = r["event_type"]
+        hod = r["ts"].hour
+        day = r["ts"].date()
+        per[(et, hod)][0] += 1
+        per[(et, hod)][1].add(day)
+        tot[et][0] += 1
+        tot[et][1].add(day)
+    for (et, hod), (n, days) in per.items():
+        tn, tdays = tot[et]
+        idx = math.floor(n / len(days) / (tn / (len(tdays) * 24)) * 1e9 + 0.5)
+        assert got[(et, hod)] == (n, idx)
+    assert len(got) == len(per)
+
+
+def test_peaks_are_gated_local_maxima(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {(r["event_type"], int(r["hour"])) for r in Q.q_peaks(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    hourly = defaultdict(Counter)
+    for r in ev:
+        hourly[r["event_type"]][int(r["ts"].timestamp() * 1e6) // 3600000000] += 1
+
+    def interp_p90(vals):
+        s = sorted(vals)
+        pos = (len(s) - 1) * 0.9
+        lo, hi = s[int(pos)], s[min(int(pos) + 1, len(s) - 1)]
+        return math.floor(lo + (pos - int(pos)) * (hi - lo) + 0.5)
+
+    want = set()
+    for et, cnt in hourly.items():
+        hours = sorted(cnt)
+        p90 = interp_p90(list(cnt.values()))
+        for i in range(1, len(hours) - 1):
+            h = hours[i]
+            n = cnt[h]
+            # the SQL neighbor is the previous/next ACTIVE hour (series row)
+            if n > cnt[hours[i - 1]] and n > cnt[hours[i + 1]] and n >= p90:
+                want.add((et, h))
+    assert got == want and len(got) > 0
