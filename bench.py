@@ -465,6 +465,7 @@ def main():
         "stationary",
         "seasonal",
         "peaks",
+        "cell_entropy",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -6843,6 +6843,65 @@ def q_peaks_oracle() -> str:
 QUERIES["peaks"] = (q_peaks, q_peaks_oracle)
 
 
+def _cell_entropy_sql(d: str, res: int = 11) -> str:
+    """Spatial diversity index: per res-11 cell the Shannon entropy of its
+    event-type mix (and the effective number of types e^H) — the
+    segregation/mixing metric urban analytics reads off a map (H = 0:
+    single-use cell; ln k: perfectly mixed).  Cells from the same
+    deterministic user-home mapping as decayed_density; entropy terms
+    −(n_i/n)·ln(n_i/n) quantized to bigint 1e-9 PER TYPE before the fold
+    (order-free), e^H one final exp.
+
+    Scale: one corpus scan → (cell, type) counts with map-side combine →
+    cell-keyed fold; outputs are cell-table-sized."""
+    la = _pr(["'pt:lat:'", "user_id"], d)
+    lo = _pr(["'pt:lon:'", "user_id"], d)
+    lat = f"({flit(LAT_LO)} + {la} * {flit(DLAT)})"
+    lon = f"({flit(LON_LO)} + {lo} * {flit(DLON)})"
+    cell = geo.quad_cell(lat, lon, res, d)
+    hterm = (
+        "cast(floor(-(cast(c as double) / cast(tot as double))"
+        " * ln(cast(c as double) / cast(tot as double))"
+        " * 1.0e9 + 0.5e0) as bigint)"
+    )
+    return f"""
+        with e as (
+            select {cell} as cell, event_type from events
+        ),
+        ct as (
+            select cell, event_type, cast(count(*) as bigint) as c
+            from e group by cell, event_type
+        ),
+        tc as (
+            select cell, cast(sum(c) as bigint) as tot,
+                   cast(count(*) as bigint) as k
+            from ct group by cell
+        ),
+        h as (
+            select ct.cell,
+                   cast(sum(case when ct.c = tc.tot then 0
+                            else {hterm} end) as bigint) as h_q9,
+                   max(tc.tot) as n_events, max(tc.k) as n_types
+            from ct join tc on tc.cell = ct.cell
+            group by ct.cell
+        )
+        select cell, n_events, n_types, h_q9,
+               round(exp(cast(h_q9 as double) / 1.0e9), 9) as effective_types
+        from h"""
+
+
+def q_cell_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_cell_entropy_sql(SPARK))
+
+
+def q_cell_entropy_oracle() -> str:
+    return _cell_entropy_sql(DUCK)
+
+
+QUERIES["cell_entropy"] = (q_cell_entropy, q_cell_entropy_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

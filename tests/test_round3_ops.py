@@ -1214,3 +1214,40 @@ def test_peaks_are_gated_local_maxima(spark):
             if n > cnt[hours[i - 1]] and n > cnt[hours[i + 1]] and n >= p90:
                 want.add((et, h))
     assert got == want and len(got) > 0
+
+
+def test_cell_entropy_python_replay(spark):
+    import hashlib
+
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        int(r["cell"]): (int(r["n_events"]), int(r["n_types"]), int(r["h_q9"]))
+        for r in Q.q_cell_entropy(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    LAT_LO, LAT_HI, LON_LO, LON_HI = Q.BBOX
+
+    def pr(key):
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) / float(1 << 60)
+
+    n = 2**11
+    mix = defaultdict(Counter)
+    for r in ev:
+        uid = int(r["user_id"])
+        lat = LAT_LO + pr(f"pt:lat:{uid}") * (LAT_HI - LAT_LO)
+        lon = LON_LO + pr(f"pt:lon:{uid}") * (LON_HI - LON_LO)
+        cell = 11 * 2**58 + int((lat + 90.0) / 180.0 * n) * 2**29 + int((lon + 180.0) / 360.0 * n)
+        mix[cell][r["event_type"]] += 1
+    want = {}
+    for cell, cnt in mix.items():
+        tot = sum(cnt.values())
+        h = sum(
+            0 if c == tot else math.floor(-(c / tot) * math.log(c / tot) * 1e9 + 0.5)
+            for c in cnt.values()
+        )
+        want[cell] = (tot, len(cnt), h)
+    assert got == want and len(got) > 0
+    # pure cells have zero entropy; mixed cells positive
+    for cell, (_, k, h) in want.items():
+        assert (h == 0) == (k == 1)
