@@ -466,6 +466,7 @@ def main():
         "seasonal",
         "peaks",
         "cell_entropy",
+        "skew_report",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

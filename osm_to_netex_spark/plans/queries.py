@@ -6902,6 +6902,54 @@ def q_cell_entropy_oracle() -> str:
 QUERIES["cell_entropy"] = (q_cell_entropy, q_cell_entropy_oracle)
 
 
+def _skew_report_sql(d: str, res: int = 8) -> str:
+    """Join-key skew diagnostics for the spatial partitioning: per res-8
+    cell load (points per cell), the shares of the heaviest and top-10
+    cells, and the Gini of cell loads — the report that tells an operator
+    whether a key needs salting/AQE BEFORE the job falls over (the
+    observability face of operators/skew.py).  Exact integer closed-form
+    Gini (the gini query's formula) over the cell-load dimension table.
+
+    Scale: one scan → cell counts (map-side combine); every statistic runs
+    over the cell table, never the corpus."""
+    cell = geo.quad_cell("lat", "lon", res, d)
+    return f"""
+        with c as (
+            select {cell} as cell, cast(count(*) as bigint) as n
+            from geo_points group by 1
+        ),
+        ranked as (
+            select n,
+                   cast(row_number() over (order by n asc, cell asc) as bigint) as i,
+                   cast(row_number() over (order by n desc, cell asc) as bigint) as ri,
+                   cast(count(*) over () as bigint) as k,
+                   cast(sum(n) over () as bigint) as tot
+            from c
+        )
+        select max(k) as n_cells,
+               max(tot) as n_points,
+               cast(max(case when ri = 1 then n end) as bigint) as max_cell_load,
+               round(cast(max(case when ri = 1 then n end) as double)
+                     / cast(max(tot) as double), 9) as top1_share,
+               round(cast(sum(case when ri <= 10 then n else 0 end) as double)
+                     / cast(max(tot) as double), 9) as top10_share,
+               round(cast(2 * sum(i * n) - (max(k) + 1) * max(tot) as double)
+                     / cast(max(k) * max(tot) as double), 9) as load_gini
+        from ranked"""
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_skew_report_sql(SPARK))
+
+
+def q_skew_report_oracle() -> str:
+    return f"{duck_geometry_ctes()}, __sk as ({_skew_report_sql(DUCK)}) select * from __sk"
+
+
+QUERIES["skew_report"] = (q_skew_report, q_skew_report_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

@@ -1251,3 +1251,24 @@ def test_cell_entropy_python_replay(spark):
     # pure cells have zero entropy; mixed cells positive
     for cell, (_, k, h) in want.items():
         assert (h == 0) == (k == 1)
+
+
+def test_skew_report_python_replay(spark):
+    from osm_to_netex_spark.plans import queries as Q
+    from osm_to_netex_spark.functions import geo
+
+    r = Q.q_skew_report(spark, SF).collect()[0]
+    cells = Counter(
+        int(x["c"])
+        for x in spark.sql(
+            f"select {geo.quad_cell('lat', 'lon', 8, 'spark')} as c from geo_points"
+        ).collect()
+    )
+    loads = sorted(cells.values())
+    k, tot = len(loads), sum(loads)
+    gini = (2 * sum((i + 1) * x for i, x in enumerate(loads)) - (k + 1) * tot) / (k * tot)
+    assert int(r["n_cells"]) == k and int(r["n_points"]) == tot
+    assert int(r["max_cell_load"]) == max(loads)
+    assert float(r["top1_share"]) == round(max(loads) / tot, 9)
+    assert float(r["top10_share"]) == round(sum(sorted(loads, reverse=True)[:10]) / tot, 9)
+    assert float(r["load_gini"]) == round(gini, 9)
