@@ -467,6 +467,7 @@ def main():
         "peaks",
         "cell_entropy",
         "skew_report",
+        "lsh_band_stats",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

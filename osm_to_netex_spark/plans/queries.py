@@ -6950,6 +6950,94 @@ def q_skew_report_oracle() -> str:
 QUERIES["skew_report"] = (q_skew_report, q_skew_report_oracle)
 
 
+def _lsh_band_stats_sql(d: str, threshold: float = 0.4) -> str:
+    """LSH banding diagnostics — the tuning report the recall/precision
+    evals stand on: candidate pairs emitted by the 4×4 banding, how many
+    survive the exact Jaccard threshold (banding PRECISION — wasted verify
+    work when low), and bucket occupancy (n_buckets, max bucket —
+    quadratic blow-up risk when a bucket degenerates).  Same shingle/
+    signature expressions as the gated minhash machinery, so the numbers
+    describe the production operator, not a toy replica.
+
+    Scale: the candidate set is the banding's own output (bounded by
+    bucket sizes); all stats are one aggregate over it."""
+    bh = tx.shingle_base_hashes("text", 3, d)
+    sig = tx.minhash_from_base("mh_base", 16, d)
+    if d == SPARK:
+        dist = "array_distinct(mh_base)"
+        bandex = (
+            "explode(transform(sequence(0, 3), b -> named_struct('band', b,"
+            " 'bucket', md5(concat_ws(',', slice(sig, b * 4 + 1, 4))))))"
+        )
+        band_src = "select doc_id, shingles, bb.band as band, bb.bucket as bucket from (select doc_id, shingles, {ex} as bb from base) e".format(ex=bandex)
+        inter = "size(array_intersect(sh_a, sh_b))"
+        sz = lambda x: f"size({x})"  # noqa: E731
+    else:
+        dist = "list_distinct(mh_base)"
+        band_src = (
+            "select doc_id, shingles, b as band,"
+            " md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ','))"
+            " as bucket from base, unnest(generate_series(0, 3)) t(b)"
+        )
+        inter = "len(list_intersect(sh_a, sh_b))"
+        sz = lambda x: f"len({x})"  # noqa: E731
+    jac = (
+        f"(cast({inter} as double) /"
+        f" cast({sz('sh_a')} + {sz('sh_b')} - {inter} as double))"
+    )
+    return f"""
+        with staged as (
+            select doc_id, {bh} as mh_base from documents
+        ),
+        base as (
+            select doc_id, {sig} as sig, {dist} as shingles from staged
+        ),
+        banded as ({band_src}),
+        buckets as (
+            select band, bucket, cast(count(*) as bigint) as bsz
+            from banded group by band, bucket
+        ),
+        cand as (
+            select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+                   a.shingles as sh_a, b.shingles as sh_b
+            from banded a join banded b
+              on a.band = b.band and a.bucket = b.bucket
+             and a.doc_id < b.doc_id
+        ),
+        scored as (
+            select case when round({jac}, 6) >= {threshold!r}e0
+                        then 1 else 0 end as hit
+            from cand
+        ),
+        cstats as (
+            select cast(count(*) as bigint) as n_candidates,
+                   cast(sum(hit) as bigint) as n_verified
+            from scored
+        ),
+        bstats as (
+            select cast(count(*) as bigint) as n_buckets,
+                   cast(max(bsz) as bigint) as max_bucket
+            from buckets
+        )
+        select c.n_candidates, c.n_verified,
+               round(cast(c.n_verified as double)
+                     / cast(c.n_candidates as double), 9) as banding_precision,
+               b.n_buckets, b.max_bucket
+        from cstats c cross join bstats b"""
+
+
+def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_lsh_band_stats_sql(SPARK))
+
+
+def q_lsh_band_stats_oracle() -> str:
+    return _lsh_band_stats_sql(DUCK)
+
+
+QUERIES["lsh_band_stats"] = (q_lsh_band_stats, q_lsh_band_stats_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

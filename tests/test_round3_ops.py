@@ -1272,3 +1272,21 @@ def test_skew_report_python_replay(spark):
     assert float(r["top1_share"]) == round(max(loads) / tot, 9)
     assert float(r["top10_share"]) == round(sum(sorted(loads, reverse=True)[:10]) / tot, 9)
     assert float(r["load_gini"]) == round(gini, 9)
+
+
+def test_lsh_band_stats_consistent_with_pairs(spark):
+    """Banding stats must agree with the production LSH operator: verified
+    count == the gated minhash_lsh_pairs row count at the same threshold,
+    and candidates >= verified."""
+    from osm_to_netex_spark.operators import dedup
+    from osm_to_netex_spark.plans import queries as Q
+
+    r = Q.q_lsh_band_stats(spark, SF).collect()[0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, n_perm=16, bands=4, jaccard_threshold=0.4)
+    n_pairs = pairs.count()
+    dedup.unpersist_intermediates(pairs)
+    assert int(r["n_verified"]) == n_pairs
+    assert int(r["n_candidates"]) >= int(r["n_verified"]) > 0
+    assert 0.0 < float(r["banding_precision"]) <= 1.0
+    assert int(r["max_bucket"]) >= 1 and int(r["n_buckets"]) > 0
