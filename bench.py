@@ -468,6 +468,7 @@ def main():
         "cell_entropy",
         "skew_report",
         "lsh_band_stats",
+        "ks_drift",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

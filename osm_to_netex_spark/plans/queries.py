@@ -7038,6 +7038,73 @@ def q_lsh_band_stats_oracle() -> str:
 QUERIES["lsh_band_stats"] = (q_lsh_band_stats, q_lsh_band_stats_oracle)
 
 
+def _ks_drift_sql(d: str) -> str:
+    """Two-sample Kolmogorov–Smirnov drift per source: D = max |ECDF_source
+    − ECDF_corpus| over the n_chars distribution — the distribution-shift
+    detector that catches what mean/variance drift misses (token_drift's
+    χ² sibling for CONTINUOUS features).  Exact: ECDFs are integer
+    cumulative counts over the distinct-value grid (per-source cum carried
+    forward with max() over an ordered frame — counts are monotone), D one
+    quantized max of integer-ratio differences.
+
+    Scale: the grid is sources × distinct values (dimension-sized); the
+    corpus is scanned once for the counts."""
+    return """
+        with q as (
+            select source, cast(n_chars as bigint) as v from documents
+        ),
+        vals as (
+            select v, cast(count(*) as bigint) as c from q group by v
+        ),
+        gcum as (
+            select v, cast(sum(c) over (order by v asc
+                                        rows between unbounded preceding
+                                        and current row) as bigint) as g,
+                   cast(sum(c) over () as bigint) as n
+            from vals
+        ),
+        s as (
+            select source, v, cast(count(*) as bigint) as c
+            from q group by source, v
+        ),
+        ns as (select source, cast(sum(c) as bigint) as n_s from s group by source),
+        grid as (
+            select ns.source, gcum.v, gcum.g, gcum.n, ns.n_s,
+                   cast(coalesce(max(sc.scum) over (
+                       partition by ns.source order by gcum.v asc
+                       rows between unbounded preceding and current row), 0)
+                       as bigint) as s_cum
+            from gcum
+            cross join ns
+            left join (
+                select source, v,
+                       cast(sum(c) over (partition by source order by v asc
+                                         rows between unbounded preceding
+                                         and current row) as bigint) as scum
+                from s
+            ) sc on sc.source = ns.source and sc.v = gcum.v
+        )
+        select source,
+               max(n_s) as n_source,
+               max(n) as n_corpus,
+               max(cast(floor(abs(cast(s_cum as double) / cast(n_s as double)
+                        - cast(g as double) / cast(n as double))
+                        * 1000000000.0e0 + 0.5e0) as bigint)) as ks_d_q9
+        from grid group by source"""
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_ks_drift_sql(SPARK))
+
+
+def q_ks_drift_oracle() -> str:
+    return _ks_drift_sql(DUCK)
+
+
+QUERIES["ks_drift"] = (q_ks_drift, q_ks_drift_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

@@ -1290,3 +1290,27 @@ def test_lsh_band_stats_consistent_with_pairs(spark):
     assert int(r["n_candidates"]) >= int(r["n_verified"]) > 0
     assert 0.0 < float(r["banding_precision"]) <= 1.0
     assert int(r["max_bucket"]) >= 1 and int(r["n_buckets"]) > 0
+
+
+def test_ks_drift_python_replay(spark):
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = {
+        r["source"]: (int(r["n_source"]), int(r["n_corpus"]), int(r["ks_d_q9"]))
+        for r in Q.q_ks_drift(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    vals = sorted({int(d["n_chars"]) for d in docs})
+    N = len(docs)
+    by_src = defaultdict(list)
+    for d in docs:
+        by_src[d["source"]].append(int(d["n_chars"]))
+    for src, xs in by_src.items():
+        n_s = len(xs)
+        d_max = 0
+        for v in vals:
+            g = sum(1 for d in docs if int(d["n_chars"]) <= v)
+            sc = sum(1 for x in xs if x <= v)
+            d_max = max(d_max, math.floor(abs(sc / n_s - g / N) * 1e9 + 0.5))
+        assert got[src] == (n_s, N, d_max)
+    assert set(got) == set(by_src)
