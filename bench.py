@@ -469,6 +469,7 @@ def main():
         "skew_report",
         "lsh_band_stats",
         "ks_drift",
+        "cramers_v",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

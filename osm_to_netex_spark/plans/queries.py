@@ -7105,6 +7105,69 @@ def q_ks_drift_oracle() -> str:
 QUERIES["ks_drift"] = (q_ks_drift, q_ks_drift_oracle)
 
 
+def _cramers_v_sql(d: str) -> str:
+    """Cramér's V association between event type and user cohort (user_id
+    hash-split into 4 segments): the normalized χ² that answers 'are these
+    two categoricals related, and how strongly' on a 0–1 scale — the
+    feature-selection screen for categorical pairs.  χ² terms quantized to
+    bigint 1e-6 per contingency cell BEFORE the fold (token_drift's
+    discipline); V = sqrt(χ²/(n·min(r−1, c−1))) one fixed float sequence.
+
+    Scale: one scan → contingency counts (map-side combine); everything
+    after runs on the r×c table."""
+    seg_key = concat_str(["'seg:'", "cast(user_id as string)"], d)
+    seg = f"({phash60(seg_key, d)}) % 4"
+    chi_term = (
+        "cast(floor((cast(o as double) - e) * (cast(o as double) - e)"
+        " / e * 1.0e6 + 0.5e0) as bigint)"
+    )
+    return f"""
+        with q as (
+            select event_type, {seg} as seg from events
+        ),
+        cell as (
+            select event_type, seg, cast(count(*) as bigint) as o
+            from q group by event_type, seg
+        ),
+        rm as (select event_type, cast(sum(o) as bigint) as r from cell group by event_type),
+        cm as (select seg, cast(sum(o) as bigint) as c from cell group by seg),
+        n as (select cast(sum(o) as bigint) as n,
+                     cast(count(distinct event_type) as bigint) as nr,
+                     cast(count(distinct seg) as bigint) as nc
+              from cell),
+        grid as (
+            select rm.event_type, cm.seg,
+                   coalesce(cell.o, 0) as o,
+                   cast(rm.r as double) * cast(cm.c as double)
+                       / cast(n.n as double) as e
+            from rm cross join cm cross join n
+            left join cell on cell.event_type = rm.event_type
+                          and cell.seg = cm.seg
+        ),
+        chi as (
+            select cast(sum({chi_term}) as bigint) as chi2_q6 from grid
+        )
+        select n.nr as n_rows_cat, n.nc as n_cols_cat, n.n as n_obs,
+               chi.chi2_q6,
+               round(sqrt(cast(chi.chi2_q6 as double) / 1.0e6
+                     / (cast(n.n as double)
+                        * cast(least(n.nr - 1, n.nc - 1) as double))), 9)
+                   as cramers_v
+        from chi cross join n"""
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_cramers_v_sql(SPARK))
+
+
+def q_cramers_v_oracle() -> str:
+    return _cramers_v_sql(DUCK)
+
+
+QUERIES["cramers_v"] = (q_cramers_v, q_cramers_v_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

@@ -1314,3 +1314,31 @@ def test_ks_drift_python_replay(spark):
             d_max = max(d_max, math.floor(abs(sc / n_s - g / N) * 1e9 + 0.5))
         assert got[src] == (n_s, N, d_max)
     assert set(got) == set(by_src)
+
+
+def test_cramers_v_python_replay(spark):
+    import hashlib
+
+    from osm_to_netex_spark.plans import queries as Q
+
+    r = Q.q_cramers_v(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    cells = Counter()
+    for e in ev:
+        h = int(hashlib.md5(f"seg:{int(e['user_id'])}".encode()).hexdigest()[:15], 16)
+        cells[(e["event_type"], (h % (1 << 60)) % 4)] += 1
+    rows = Counter(); cols = Counter()
+    for (et, sg), o in cells.items():
+        rows[et] += o
+        cols[sg] += o
+    n = sum(cells.values())
+    chi_q6 = 0
+    for et in rows:
+        for sg in cols:
+            o = cells.get((et, sg), 0)
+            e_ = rows[et] * cols[sg] / n
+            chi_q6 += math.floor((o - e_) ** 2 / e_ * 1e6 + 0.5)
+    v = math.sqrt(chi_q6 / 1e6 / (n * min(len(rows) - 1, len(cols) - 1)))
+    assert int(r["chi2_q6"]) == chi_q6
+    assert float(r["cramers_v"]) == round(v, 9)
+    assert 0.0 <= v <= 1.0
