@@ -470,6 +470,7 @@ def main():
         "lsh_band_stats",
         "ks_drift",
         "cramers_v",
+        "term_mi",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -7168,6 +7168,83 @@ def q_cramers_v_oracle() -> str:
 QUERIES["cramers_v"] = (q_cramers_v, q_cramers_v_oracle)
 
 
+def _term_mi_sql(d: str, top_v: int = 30, top_k: int = 20) -> str:
+    """Mutual information between term PRESENCE and document source, for
+    the top-V vocabulary — the classic text-classification feature-
+    relevance ranking (which words identify a source).  The 2×|sources|
+    presence/absence contingency per term is exact integer counts; each
+    MI cell term p·ln(p/(px·py)) is quantized to bigint 1e-9 BEFORE the
+    per-term fold; the global top-k is a deterministic (mi desc, term asc)
+    cut.
+
+    Scale: one distinct (doc, term) scan for the vocabulary and the
+    presence counts; the MI grid is top_v × sources × 2 — dimension-sized."""
+    toks = tx.tokens("text", d)
+    ex = (
+        f"select doc_id, source, explode(array_distinct({toks})) as w from documents"
+        if d == SPARK
+        else f"select doc_id, source, unnest(list_distinct({toks})) as w from documents"
+    )
+    mi_term = (
+        "cast(floor(cast(o as double) / cast(nd as double)"
+        " * ln(cast(o as double) * cast(nd as double)"
+        "      / (cast(rx as double) * cast(cy as double)))"
+        " * 1.0e9 + 0.5e0) as bigint)"
+    )
+    return f"""
+        with pres as (select distinct doc_id, source, w from ({ex}) e),
+        freq as (select w, cast(count(*) as bigint) as dfr from pres group by w),
+        vocab as (
+            select w, dfr from (
+                select w, dfr, row_number() over (order by dfr desc, w asc) as rn
+                from freq
+            ) t where rn <= {int(top_v)}
+        ),
+        nd as (select cast(count(distinct doc_id) as bigint) as nd from documents),
+        srcs as (select source, cast(count(*) as bigint) as ns
+                 from documents group by source),
+        hit as (
+            select p.w, p.source, cast(count(*) as bigint) as o
+            from pres p join vocab on vocab.w = p.w
+            group by p.w, p.source
+        ),
+        grid as (
+            select vocab.w, srcs.source,
+                   coalesce(hit.o, 0) as o_present,
+                   srcs.ns - coalesce(hit.o, 0) as o_absent,
+                   vocab.dfr as rx_present, srcs.ns as cy, nd.nd as nd
+            from vocab cross join srcs cross join nd
+            left join hit on hit.w = vocab.w and hit.source = srcs.source
+        ),
+        cells as (
+            select w, source, o_present as o, rx_present as rx, cy, nd from grid
+            union all
+            select w, source, o_absent as o, nd - rx_present as rx, cy, nd from grid
+        ),
+        mi as (
+            select w, cast(sum(case when o = 0 then 0 else {mi_term} end)
+                           as bigint) as mi_q9
+            from cells group by w
+        )
+        select w as term, mi_q9 from (
+            select w, mi_q9,
+                   row_number() over (order by mi_q9 desc, w asc) as rn
+            from mi
+        ) t where rn <= {int(top_k)}"""
+
+
+def q_term_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geometry_views(spark, sf_dir)
+    return spark.sql(_term_mi_sql(SPARK))
+
+
+def q_term_mi_oracle() -> str:
+    return _term_mi_sql(DUCK)
+
+
+QUERIES["term_mi"] = (q_term_mi, q_term_mi_oracle)
+
+
 def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion (n, Σd², mean squared distance to the final
     centroid) — exact clustering-quality report

@@ -1342,3 +1342,36 @@ def test_cramers_v_python_replay(spark):
     assert int(r["chi2_q6"]) == chi_q6
     assert float(r["cramers_v"]) == round(v, 9)
     assert 0.0 <= v <= 1.0
+
+
+def test_term_mi_python_replay(spark):
+    import re as _re
+
+    from osm_to_netex_spark.plans import queries as Q
+
+    got = [(r["term"], int(r["mi_q9"])) for r in Q.q_term_mi(spark, SF).collect()]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    nd = len(docs)
+    pres = defaultdict(set)
+    src_of = {}
+    for d_ in docs:
+        did = int(d_["doc_id"])
+        src_of[did] = d_["source"]
+        for t in set(x for x in _re.split(r"[^a-z0-9]+", d_["text"].lower()) if x):
+            pres[t].add(did)
+    vocab = sorted(pres.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:30]
+    ns = Counter(src_of.values())
+    mi = {}
+    for w, dset in vocab:
+        rx = len(dset)
+        total = 0
+        for src, n_s in ns.items():
+            o = sum(1 for did in dset if src_of[did] == src)
+            for oo, rr in ((o, rx), (n_s - o, nd - rx)):
+                if oo > 0:
+                    total += math.floor(
+                        oo / nd * math.log(oo * nd / (rr * n_s)) * 1e9 + 0.5
+                    )
+        mi[w] = total
+    want = sorted(mi.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
