@@ -155,6 +155,95 @@ def minhash_lsh_pairs(
     return _attach_cached(out, [base])
 
 
+def lsh_band_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    n_perm: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.4,
+) -> DataFrame:
+    """Banding diagnostics over the SAME LSH machinery as minhash_lsh_pairs:
+    one row (n_candidates, n_verified, banding_precision, n_buckets,
+    max_bucket).
+
+    Shares the production operator's candidate-shuffle discipline — the
+    persisted base computes shingles+signature ONCE (a pure-SQL CTE form
+    gets CollapseProject-inlined and recomputes the md5 shingle pipeline
+    per permutation, the minhash_signature docstring trap: measured 141 s
+    vs ~7 s at sf0.1); the band self-join carries only (doc_id, band,
+    bucket); pairs dedup on ids; shingle arrays re-join on survivors.
+    """
+    rows = n_perm // bands
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(tx.shingle_base_hashes(text_col, n_shingle, SPARK)).alias("mh_base"),
+        )
+        .select(
+            "doc_id",
+            F.expr(tx.minhash_from_base("mh_base", n_perm, SPARK)).alias("sig"),
+            F.expr("array_distinct(mh_base)").alias("shingles"),
+        )
+        .persist()
+    )
+    banded = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> named_struct("
+                f"'band', b, 'bucket', md5(concat_ws(',', slice(sig, b * {rows} + 1, {rows})))))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bstats = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bsz"))
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("bsz").cast("long").alias("max_bucket"),
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = base.select("doc_id", "shingles")
+    # intersect-based union (|A|+|B|-|A∩B|) mirrors the oracle expression
+    jac = (
+        "cast(size(array_intersect(sh_a, sh_b)) as double) / "
+        "cast(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)) as double)"
+    )
+    cstats = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .select(
+            F.when(F.expr(f"round({jac}, 6) >= {flit(jaccard_threshold)}"), 1)
+            .otherwise(0)
+            .alias("hit")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum("hit").cast("long").alias("n_verified"),
+        )
+    )
+    out = cstats.crossJoin(bstats).select(
+        "n_candidates",
+        "n_verified",
+        F.round(
+            F.col("n_verified").cast("double") / F.col("n_candidates").cast("double"), 9
+        ).alias("banding_precision"),
+        "n_buckets",
+        "max_bucket",
+    )
+    return _attach_cached(out, [base])
+
+
 def simhash_clusters(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(simhash, n_docs, member_ids) clusters with ≥2 members (near-dup sets)."""
     fp = docs.select(
