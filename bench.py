@@ -368,7 +368,7 @@ def main():
         "rolling_stats",
         "nb_langid",
         "ridge_fit",
-        "cosine_pairs",
+        "cosine_pairs_capped",  # max_df guardrail ON: standalone scale posture (uncapped exact row stays oracle-gated)
         "hotspot",
         "line_dedup",
         "map_match",
@@ -449,7 +449,7 @@ def main():
         "sn_blocking",
         "haar_energy",
         "modularity",
-        "containment",
+        "containment_capped",  # max_df guardrail ON (see cosine_pairs_capped)
         "zorder_ranges",
         "churn_labels",
         "matryoshka_recall",

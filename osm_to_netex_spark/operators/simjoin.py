@@ -123,22 +123,39 @@ def cosine_pairs(
 
 
 def cosine_pairs_oracle_sql(
-    threshold_p: int = 1, threshold_q: int = 2, table: str = "documents"
+    threshold_p: int = 1,
+    threshold_q: int = 2,
+    table: str = "documents",
+    max_df: int | None = None,
 ) -> str:
-    """Brute DuckDB replay: every shared-term pair, same integer predicate."""
+    """Brute DuckDB replay: every shared-term pair, same integer predicate.
+    ``max_df`` mirrors the engine guardrail (drop terms with df > cap
+    BEFORE norms/joins) so the capped variant stays oracle-gated."""
     p2, q2 = threshold_p**2, threshold_q**2
     toks = tx.tokens("text", "duck")
+    cap = (
+        f""" ,
+        keep as (
+            select term from tf group by term
+            having count(*) <= {int(max_df)}
+        ),
+        tfk as (select tf.* from tf join keep using (term))"""
+        if max_df is not None
+        else ""
+    )
+    tf_src = "tfk" if max_df is not None else "tf"
     return f"""
         with tf as (
             select doc_id, term, count(*) as tf from (
                 select doc_id, unnest({toks}) as term from {table}
             ) e group by doc_id, term
-        ),
-        norm as (select doc_id, sum(tf * tf) as na2 from tf group by doc_id),
+        ){cap},
+        tfx as (select * from {tf_src}),
+        norm as (select doc_id, sum(tf * tf) as na2 from tfx group by doc_id),
         dots as (
             select a.doc_id as doc_a, b.doc_id as doc_b,
                    sum(a.tf * b.tf) as dot
-            from tf a join tf b on a.term = b.term and a.doc_id < b.doc_id
+            from tfx a join tfx b on a.term = b.term and a.doc_id < b.doc_id
             group by a.doc_id, b.doc_id
         )
         select doc_a, doc_b, cast(dot as bigint) as dot,
@@ -206,17 +223,33 @@ def containment_pairs(
 
 
 def containment_pairs_oracle_sql(
-    threshold_p: int = 1, threshold_q: int = 2, table: str = "documents"
+    threshold_p: int = 1,
+    threshold_q: int = 2,
+    table: str = "documents",
+    max_df: int | None = None,
 ) -> str:
-    """Brute DuckDB replay over distinct token sets, same integer predicate."""
+    """Brute DuckDB replay over distinct token sets, same integer predicate.
+    ``max_df`` mirrors the engine guardrail for the capped variant."""
     p, q = int(threshold_p), int(threshold_q)
     toks = tx.tokens("text", "duck")
+    cap = (
+        f""" ,
+        keep as (
+            select term from s0 group by term
+            having count(*) <= {int(max_df)}
+        ),
+        sk as (select s0.* from s0 join keep using (term))"""
+        if max_df is not None
+        else ""
+    )
+    s_src = "sk" if max_df is not None else "s0"
     return f"""
-        with s as (
+        with s0 as (
             select distinct doc_id, term from (
                 select doc_id, unnest({toks}) as term from {table}
             ) e
-        ),
+        ){cap},
+        s as (select * from {s_src}),
         size as (select doc_id, count(*) as sz from s group by doc_id),
         inter as (
             select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter

@@ -5892,6 +5892,46 @@ def q_containment_oracle() -> str:
 QUERIES["containment"] = (q_containment, q_containment_oracle)
 
 
+def q_cosine_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cosine_pairs in its documented STANDALONE scale posture: the max_df
+    guardrail ON (df > 100 terms — the stopword/boilerplate head that
+    drives the Θ(Σ df²) fan-out — dropped before the postings self-join).
+    Exact over the capped vocabulary; oracle applies the same cap.  The
+    uncapped exact row stays in the registry as the LSH-shard verifier
+    (SCALE.md posture); the bench times this row."""
+    from ..operators import simjoin
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simjoin.cosine_pairs(docs, threshold_p=1, threshold_q=2, max_df=100)
+
+
+def q_cosine_pairs_capped_oracle() -> str:
+    from ..operators import simjoin
+
+    return simjoin.cosine_pairs_oracle_sql(threshold_p=1, threshold_q=2, max_df=100)
+
+
+QUERIES["cosine_pairs_capped"] = (q_cosine_pairs_capped, q_cosine_pairs_capped_oracle)
+
+
+def q_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """containment_pairs with the max_df guardrail ON (standalone scale
+    posture; see q_cosine_pairs_capped)."""
+    from ..operators import simjoin
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simjoin.containment_pairs(docs, threshold_p=9, threshold_q=10, max_df=100)
+
+
+def q_containment_capped_oracle() -> str:
+    from ..operators import simjoin
+
+    return simjoin.containment_pairs_oracle_sql(threshold_p=9, threshold_q=10, max_df=100)
+
+
+QUERIES["containment_capped"] = (q_containment_capped, q_containment_capped_oracle)
+
+
 def q_streaming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window (2h window / 1h slide) value histogram over a replayed
     event stream — every event lands in TWO overlapping windows; complete
