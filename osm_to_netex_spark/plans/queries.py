@@ -7603,20 +7603,23 @@ QUERIES["keep_best"] = (q_keep_best, q_keep_best_oracle)
 # and stays covered by tools/verify_oracle.py + pytest.
 _DRIVER_WINDOW = [
     # anchors: flagship spatial + documents→NeTEx conversion pipeline
+    # (the reference-parity rows stay under the gate every round)
     "tile_assign", "polyfill", "pip", "knn", "assemble_poslist",
     "zone_mapping", "convert_tariffzone", "convert_farezone",
     "convert_farezone_groups", "doc_tile_assign", "conversion_metrics",
-    # the round-2 red row + the 13 latent HUGEINT oracles, now BIGINT-cast
-    "events_sessionize", "pagerank", "interval_merge", "token_drift",
-    "star_rollup", "rolling_stats", "nb_langid", "cosine_pairs",
-    "pack_sequences", "mk_trend", "tpch_q1", "tpch_q3", "tpch_q18",
-    "linear_ref",
-    # back-half rotation: never driver-gated before round 3
-    "map_match", "semdedup", "pq_adc", "bpe_encode", "hull", "dissolve",
-    "tpch_q4", "tpch_q12", "gravity_ipf", "sssp", "triangles", "dup_spans",
-    "line_dedup", "hilbert_key", "moran", "hotspot", "dtw_join",
-    "stay_points", "geofence", "encounters", "zipf_fit", "ann_recall",
-    "lsh_recall", "pq_recall", "ridge_fit",
+    # round-4 rotation: 39 slots, all never driver-gated before (r01∪r02∪r03
+    # covered 90/205; VERDICT r3 task 4 names these first).  lsh_band_stats
+    # re-enters because its candidate stage was rewritten this round; the
+    # capped simjoin variants are new this round.
+    "lsh_band_stats", "cosine_pairs_capped", "containment_capped",
+    "containment", "ngram_overlap", "keep_best", "robust_anomaly",
+    "k_core", "label_prop", "modularity", "hyperanf", "logreg", "cusum",
+    "ks_drift", "cramers_v", "term_mi", "skew_report",
+    "benford", "weighted_median", "theil_sen", "stump", "kaplan_meier",
+    "gini", "poisson_bootstrap", "stationary", "seasonal", "peaks",
+    "autocorr", "haar_energy", "cell_entropy",
+    "dbscan", "fuzzy_match", "skyline", "funnel", "gap_fill",
+    "snap_join", "idw", "grid_bfs", "frequent_pairs",
 ]
 
 
