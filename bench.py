@@ -471,6 +471,36 @@ def main():
         "ks_drift",
         "cramers_v",
         "term_mi",
+        # r4: previously-untimed registry rows (tests/test_bench_coverage.py
+        # now pins bench coverage of the whole registry)
+        "bloom",
+        "bm25_topk",
+        "cms_frequencies",
+        "cohort",
+        "corpus_split",
+        "curate_corpus",
+        "dedup_groups",
+        "embedding_near_dup",
+        "embedding_topk_ivf",
+        "events_quantiles",
+        "events_rollup",
+        "geohash",
+        "kmeans",
+        "media_meta",
+        "minhash_signatures",
+        "ngram_jaccard",
+        "pip_celljoin",
+        "poly_overlap",
+        "polyfill_refined",
+        "quantile_rank",
+        "return_gaps",
+        "radius_join",
+        "simplify",
+        "transitions",
+        "trips",
+        "turn_points",
+        "weighted_sample",
+        "zorder_key",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 
@@ -517,13 +547,14 @@ def main():
         # BASELINE.md.  Each level runs taskset-pinned in a fresh process.
         lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
         hi = 4 * lo
-        # 4M docs: after the single-pass fusion the 8-core run dropped to
-        # ~14 s at 2M, where ~4 s of per-run fixed cost (scheduling,
-        # broadcast barriers, codegen) is 30% of the measurement and caps
-        # the ratio at ~0.7 regardless of the engine; doubling the corpus
-        # restores a compute-dominated window at BOTH levels (the scaling
-        # criterion presumes the workload dwarfs constant overheads)
-        s_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "4000000"))
+        # 8M docs (r4; was 4M): the r3 lo leg got ~21% faster (fusion +
+        # host), dropping the 8-core run to ~18 s where ~4 s of per-run
+        # fixed cost (scheduling, broadcast barriers, codegen) is >20% of
+        # the measurement and caps the ratio regardless of the engine;
+        # the corpus doubles again to keep fixed costs <10% at the hi
+        # level (the scaling criterion presumes the workload dwarfs
+        # constant overheads — bench.py's own r2 logic, reapplied)
+        s_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "8000000"))
         s_key = f"d{s_docs}_z{N_ZONES}_p{int(s_docs * 0.6)}_r{RADIUS_SCALE}_v2"
         s_corpus = os.path.join(cache_root, s_key, "corpus")
         if not os.path.exists(os.path.join(s_corpus, "_SUCCESS")):
