@@ -501,6 +501,22 @@ def main():
         "turn_points",
         "weighted_sample",
         "zorder_key",
+        # r4 additions
+        "spearman",
+        "mannwhitney",
+        "jsd_drift",
+        "gearys_c",
+        "link_predict",
+        "media_context",
+        "f_function",
+        "clark_evans",
+        "quadrat",
+        "radius_gyration",
+        "bearing_stats",
+        "mmr_rerank",
+        "pca_top",
+        "feature_hash",
+        "l_diversity",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -63,6 +63,12 @@ def polygon_overlap_join(
         .where(F.col("a.pid") < F.col("b.pid"))
         .select(F.col("a.pid").alias("id_a"), F.col("b.pid").alias("id_b"))
         .distinct()
+        # materialize the (small) candidate id table: downstream it feeds
+        # two ring join-backs + the refine predicate, and without a barrier
+        # the cover/self-join pipeline re-plans into each consumer (the
+        # fused plan measured 30 s vs ~8 s with the barrier at sf0.1 —
+        # stage isolation showed the refine itself is 3 s)
+        .localCheckpoint(eager=False)
     )
     a = rings.select(
         F.col("pid").alias("id_a"),
@@ -81,6 +87,12 @@ def polygon_overlap_join(
         F.col("lon_hi").alias("blon_hi"),
     )
     overlap = geo.polygons_overlap("ring_a", "ring_b", SPARK)
+    # the exact predicate is ~1 ms/pair (vertex ray-casts + edge crossings
+    # over packed rings); the candidate table is SMALL after distinct, so
+    # AQE coalesces it to one partition and serializes the refine (measured
+    # 26 s at sf0.1 on one core).  Spread the expensive stage explicitly —
+    # compute-bound stages size partitions by CPU, not by bytes.
+    par = 4 * int(polys.sparkSession.sparkContext.defaultParallelism)
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -88,6 +100,7 @@ def polygon_overlap_join(
             "alat_lo <= blat_hi AND blat_lo <= alat_hi AND "
             "alon_lo <= blon_hi AND blon_lo <= alon_hi"
         )
+        .repartition(par, "id_a", "id_b")
         .where(F.expr(overlap))
         .select("id_a", "id_b")
     )

@@ -1575,7 +1575,12 @@ def q_poly_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import overlap
 
     register_geometry_views(spark, sf_dir)
-    return overlap.polygon_overlap_join(spark.table("geo_polys"), res=12)
+    # materialize the synthesized rings first (poly-table-sized, tiny):
+    # inlined, the ring-generator expression composes into the cover AND
+    # both ring join-back branches' codegen — 25 s of compile vs 3 s with
+    # the barrier at sf0.1 (same class as q_dissolve's shrunk-ring note)
+    polys = spark.table("geo_polys").localCheckpoint(eager=True)
+    return overlap.polygon_overlap_join(polys, res=12)
 
 
 def q_poly_overlap_oracle() -> str:
@@ -7586,6 +7591,12 @@ def q_keep_best_oracle() -> str:
 
 
 QUERIES["keep_best"] = (q_keep_best, q_keep_best_oracle)
+
+
+# round-4 additions live in their own module (this file is large enough)
+from .queries_r4 import register_r4  # noqa: E402
+
+register_r4(QUERIES)
 
 
 # ---------------------------------------------------------------------------

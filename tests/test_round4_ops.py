@@ -1,0 +1,501 @@
+"""Round-4 operators vs exact Python replays: Spearman ρ with ties,
+Mann–Whitney U (tie-corrected z), Jensen–Shannon drift, Geary's C,
+common-neighbor/Adamic–Adar link prediction, interleaved media-span
+context.  Oracle agreement (tools/verify_oracle.py) proves cross-engine
+consistency; these replays prove the math (LANDING.md step 5)."""
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pytest
+
+from osm_to_netex_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _fresh_views(spark):
+    spark._graft_geo_views = None
+    yield
+    spark._graft_geo_views = None
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _avg_ranks_x2(values) -> dict:
+    """value -> integer 2*average-rank (competition rank + tie midpoint)."""
+    cnt = Counter(values)
+    out, cum = {}, 0
+    for v in sorted(cnt):
+        out[v] = 2 * cum + cnt[v] + 1
+        cum += cnt[v]
+    return out
+
+
+def test_spearman_matches_python_replay(spark):
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source", "n_chars", "text")
+        .collect()
+    )
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append((int(r["n_chars"]), len(set(_tokens(r["text"])))))
+    want = {}
+    for s, xy in by_src.items():
+        rx = _avg_ranks_x2([x for x, _ in xy])
+        ry = _avg_ranks_x2([y for _, y in xy])
+        pts = [(rx[x], ry[y]) for x, y in xy]
+        n = len(pts)
+        sx = sum(a for a, _ in pts); sy = sum(b for _, b in pts)
+        sxx = sum(a * a for a, _ in pts); syy = sum(b * b for _, b in pts)
+        sxy = sum(a * b for a, b in pts)
+        den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        want[s] = (n, round((n * sxy - sx * sy) / den, 9) if den else None)
+    got = {
+        r["source"]: (int(r["n"]), r["rho"])
+        for r in Q.QUERIES["spearman"][0](spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][0] == want[s][0]
+        assert got[s][1] == pytest.approx(want[s][1], abs=1e-9)
+        assert -1.0 <= got[s][1] <= 1.0
+
+
+def test_mannwhitney_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF}/events.parquet").select("event_type", "value").collect()
+    vals = [r["value"] for r in rows]
+    r2 = _avg_ranks_x2(vals)
+    nn = len(vals)
+    cnt = Counter(vals)
+    t3 = sum(c ** 3 - c for c in cnt.values())
+    want = {}
+    for t in {r["event_type"] for r in rows}:
+        grp = [r["value"] for r in rows if r["event_type"] == t]
+        n1 = len(grp)
+        r1_2 = sum(r2[v] for v in grp)
+        u1_x2 = r1_2 - n1 * (n1 + 1)
+        sigma = math.sqrt(
+            n1 * (nn - n1) / 12.0 * ((nn + 1) - t3 / (nn * (nn - 1.0)))
+        )
+        want[t] = (n1, u1_x2, round((u1_x2 - n1 * (nn - n1)) / (2.0 * sigma), 9))
+    got = {
+        r["event_type"]: (int(r["n1"]), int(r["u1_x2"]), r["z"])
+        for r in Q.QUERIES["mannwhitney"][0](spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][:2] == want[t][:2]
+        assert got[t][2] == pytest.approx(want[t][2], abs=1e-9)
+
+
+def test_jsd_matches_python_replay_and_bounds(spark):
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select("source", "text").collect()
+    st: Counter = Counter()
+    gt: Counter = Counter()
+    ns: Counter = Counter()
+    for r in rows:
+        for tok in _tokens(r["text"]):
+            st[(r["source"], tok)] += 1
+            gt[tok] += 1
+            ns[r["source"]] += 1
+    n_g = sum(gt.values())
+    want: Counter = Counter()
+    for (s, tok), c_s in st.items():
+        p = c_s / ns[s]
+        qq = (gt[tok] - c_s) / (n_g - ns[s])
+        m = (p + qq) / 2.0
+        contrib = 0.0
+        if c_s > 0:
+            contrib += p * math.log(p / m)
+        if gt[tok] - c_s > 0:
+            contrib += qq * math.log(qq / m)
+        want[s] += int(math.floor(contrib / 2.0 * 1e9 + 0.5))
+    got = {
+        r["source"]: int(r["jsd_q9"])
+        for r in Q.QUERIES["jsd_drift"][0](spark, SF).collect()
+    }
+    assert got == dict(want)
+    # JSD with natural log is bounded by ln 2
+    for v in got.values():
+        assert 0 <= v <= math.log(2) * 1e9 + 1
+
+
+def _quad_ixy(lat: float, lon: float, res: int) -> tuple[int, int]:
+    n = 2 ** res
+    ix = min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+    iy = min(max(int(math.floor((lat + 90.0) / 180.0 * n)), 0), n - 1)
+    return ix, iy
+
+
+def test_gearys_c_matches_python_replay(spark):
+    Q.register_geometry_views(spark, SF)
+    pts = [(r["lat"], r["lon"]) for r in spark.table("geo_points").collect()]
+    cells = Counter(_quad_ixy(la, lo, 11) for la, lo in pts)
+    num = w = 0
+    for (cx, cy), xi in cells.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                xj = cells.get((cx + dx, cy + dy))
+                if xj is not None:
+                    num += (xi - xj) ** 2
+                    w += 1
+    nn = len(cells)
+    sx = sum(cells.values())
+    sxx = sum(v * v for v in cells.values())
+    c_want = round(nn * (nn - 1) * num / (2.0 * w * (nn * sxx - sx * sx)), 9)
+    row = Q.QUERIES["gearys_c"][0](spark, SF).collect()[0]
+    assert (int(row["nn"]), int(row["w"]), int(row["num"])) == (nn, w, num)
+    assert row["geary_c"] == pytest.approx(c_want, abs=1e-9)
+
+
+def test_link_predict_matches_python_replay(spark):
+    from osm_to_netex_spark.functions.portable import SPARK
+    from osm_to_netex_spark.operators.graph import edges_sql
+
+    Q.register_geometry_views(spark, SF)
+    raw = spark.sql(f"select * from ({edges_sql(SPARK)})").collect()
+    und = {tuple(sorted((int(r["src"]), int(r["dst"])))) for r in raw
+           if r["src"] != r["dst"]}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    nodes = sorted(adj)
+    for z in nodes:
+        nb = sorted(adj[z])
+        for i, a in enumerate(nb):
+            for b in nb[i + 1:]:
+                if (a, b) in und:
+                    continue
+                cn, aa = want.get((a, b), (0, 0))
+                want[(a, b)] = (
+                    cn + 1,
+                    aa + int(math.floor(1e9 / math.log(len(adj[z])) + 0.5)),
+                )
+    want = {k: v for k, v in want.items() if v[0] >= 2}
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"])): (int(r["cn"]), int(r["aa_q9"]))
+        for r in Q.QUERIES["link_predict"][0](spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_media_context_matches_python_replay(spark):
+    from osm_to_netex_spark.plans.convert_queries import FIXTURE_CORPUS
+
+    pdf = spark.read.parquet(FIXTURE_CORPUS).collect()
+    want = set()
+    for doc in pdf:
+        spans = doc["spans"]
+        for pos, s in enumerate(spans):
+            if s["kind"] != "media":
+                continue
+            prevs = [(p, sp) for p, sp in enumerate(spans[:pos]) if sp["kind"] == "text"]
+            nexts = [
+                (p, sp)
+                for p, sp in enumerate(spans[pos + 1:], start=pos + 1)
+                if sp["kind"] == "text"
+            ]
+            pp, po = (prevs[-1][0], prevs[-1][1]["offset"]) if prevs else (-1, -1)
+            np_, no = (nexts[0][0], nexts[0][1]["offset"]) if nexts else (-1, -1)
+            want.add((doc["doc_id"], pos, s["offset"], pp, po, np_, no))
+    got = {
+        (
+            r["doc_id"], int(r["media_pos"]), int(r["media_off"]),
+            int(r["prev_text_pos"]), int(r["prev_text_off"]),
+            int(r["next_text_pos"]), int(r["next_text_off"]),
+        )
+        for r in Q.QUERIES["media_context"][0](spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def _haversine_m(lat1, lon1, lat2, lon2):
+    import math as _m
+    r = 6371008.8
+    p1, p2 = _m.radians(lat1), _m.radians(lat2)
+    dp = p2 - p1
+    dl = _m.radians(lon2 - lon1)
+    a = _m.sin(dp / 2) ** 2 + _m.cos(p1) * _m.cos(p2) * _m.sin(dl / 2) ** 2
+    return 2 * r * _m.asin(_m.sqrt(a))
+
+
+def test_quadrat_matches_python_replay(spark):
+    Q.register_geometry_views(spark, SF)
+    pts = [(r["lat"], r["lon"]) for r in spark.table("geo_points").collect()]
+    cells = Counter(_quad_ixy(la, lo, 13) for la, lo in pts)
+    n = len(pts)
+    occ = len(cells)
+    nx = max(c[0] for c in cells) - min(c[0] for c in cells) + 1
+    ny = max(c[1] for c in cells) - min(c[1] for c in cells) + 1
+    q_total = nx * ny
+    m = n / q_total
+    s2 = sum(v * v for v in cells.values())
+    chi2 = (s2 - n * n / q_total) / m
+    vmr = chi2 / q_total
+    row = Q.QUERIES["quadrat"][0](spark, SF).collect()[0]
+    assert (int(row["n"]), int(row["occ"]), int(row["q_total"])) == (n, occ, q_total)
+    assert row["vmr"] == pytest.approx(vmr, abs=1e-8)
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-6)
+
+
+def test_clark_evans_matches_python_replay(spark):
+    Q.register_geometry_views(spark, SF)
+    pts = [(r["point_id"], r["lat"], r["lon"]) for r in spark.table("geo_points").collect()]
+    nn_um = {}
+    for pid, la, lo in pts:
+        best = None
+        for qid, la2, lo2 in pts:
+            if qid == pid or abs(la2 - la) > 0.02 or abs(lo2 - lo) > 0.04:
+                continue
+            d = int(math.floor(round(_haversine_m(la, lo, la2, lo2), 6) * 1e6 + 0.5))
+            best = d if best is None else min(best, d)
+        if best is not None:
+            nn_um[pid] = best
+    keep = [v for v in nn_um.values() if v <= 2000 * 1e6]
+    n_all = len(pts)
+    mean_nn = sum(keep) / len(keep) / 1e6
+    m_per_deg = 111194.92664455873
+    lats = [p[1] for p in pts]; lons = [p[2] for p in pts]
+    dy = (max(lats) - min(lats)) * m_per_deg
+    dx = (max(lons) - min(lons)) * m_per_deg * Q.COSLAT0
+    dens = n_all / (dy * dx)
+    r_index = mean_nn / (0.5 / math.sqrt(dens))
+    row = Q.QUERIES["clark_evans"][0](spark, SF).collect()[0]
+    assert int(row["n_all"]) == n_all
+    assert int(row["n_censored"]) == n_all - len(keep)
+    assert row["mean_nn_m"] == pytest.approx(mean_nn, abs=1e-6)
+    assert row["r_index"] == pytest.approx(r_index, abs=1e-8)
+
+
+def test_f_function_matches_python_replay(spark):
+    from osm_to_netex_spark.plans.queries_r4 import _F_GRID, _F_RADII
+
+    Q.register_geometry_views(spark, SF)
+    pts = [(r["lat"], r["lon"]) for r in spark.table("geo_points").collect()]
+    lat_lo, lat_hi = min(p[0] for p in pts), max(p[0] for p in pts)
+    lon_lo, lon_hi = min(p[1] for p in pts), max(p[1] for p in pts)
+    g = _F_GRID
+    nn = {}
+    for i in range(g):
+        for j in range(g):
+            plat = lat_lo + (i + 0.5) * (lat_hi - lat_lo) / g
+            plon = lon_lo + (j + 0.5) * (lon_hi - lon_lo) / g
+            best = None
+            for la, lo in pts:
+                if abs(la - plat) > 0.08 or abs(lo - plon) > 0.16:
+                    continue
+                d = int(math.floor(round(_haversine_m(plat, plon, la, lo), 6) * 1e6 + 0.5))
+                best = d if best is None else min(best, d)
+            if best is not None:
+                nn[(i, j)] = best
+    want = {
+        float(r): sum(1 for v in nn.values() if v <= int(round(r * 1e6)))
+        for r in _F_RADII
+    }
+    got = {
+        r["r_m"]: (int(r["n_probes"]), int(r["n_within"]), r["f_hat"])
+        for r in Q.QUERIES["f_function"][0](spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for r, nw in want.items():
+        assert got[r][0] == g * g
+        assert got[r][1] == nw
+        assert got[r][2] == pytest.approx(nw / (g * g), abs=1e-9)
+
+
+def test_radius_gyration_matches_python_replay(spark):
+    Q.register_geometry_views(spark, SF)
+    spark.sql(f"create or replace temp view geo_traj as {Q.traj_sql('spark')}")
+    fixes = defaultdict(list)
+    for r in spark.table("geo_traj").collect():
+        fixes[int(r["traj_id"])].append((r["lat"], r["lon"]))
+    want = {}
+    for t, fl in fixes.items():
+        n = len(fl)
+        clat = sum(int(math.floor(la * 1e9 + 0.5)) for la, _ in fl) / n / 1e9
+        clon = sum(int(math.floor(lo * 1e9 + 0.5)) for _, lo in fl) / n / 1e9
+        sd2 = sum(
+            int(math.floor(round(_haversine_m(la, lo, clat, clon), 6) ** 2 * 1e3 + 0.5))
+            for la, lo in fl
+        )
+        want[t] = (n, round(math.sqrt(sd2 / n / 1e3), 6))
+    got = {
+        int(r["traj_id"]): (int(r["n_fix"]), r["rg_m"])
+        for r in Q.QUERIES["radius_gyration"][0](spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == want[t][0]
+        assert got[t][1] == pytest.approx(want[t][1], abs=2e-6)
+
+
+def test_bearing_stats_matches_python_replay(spark):
+    Q.register_geometry_views(spark, SF)
+    spark.sql(f"create or replace temp view geo_traj as {Q.traj_sql('spark')}")
+    fixes = defaultdict(list)
+    for r in spark.table("geo_traj").collect():
+        fixes[int(r["traj_id"])].append((int(r["step"]), r["lat"], r["lon"]))
+    want = {}
+    for t, fl in fixes.items():
+        fl.sort()
+        sx = sy = n = 0
+        for (_, la1, lo1), (_, la2, lo2) in zip(fl, fl[1:]):
+            dy = la2 - la1
+            dx = (lo2 - lo1) * Q.COSLAT0
+            l2 = dx * dx + dy * dy
+            if l2 <= 0:
+                continue
+            ln = math.sqrt(l2)
+            sx += int(math.floor(dx / ln * 1e9 + 0.5))
+            sy += int(math.floor(dy / ln * 1e9 + 0.5))
+            n += 1
+        rbar = round(math.sqrt(sx * sx + sy * sy) / n / 1e9, 9)
+        want[t] = (n, rbar)
+    got = {
+        int(r["traj_id"]): (int(r["n_steps"]), r["rbar"], r["circ_var"])
+        for r in Q.QUERIES["bearing_stats"][0](spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == want[t][0]
+        assert got[t][1] == pytest.approx(want[t][1], abs=1e-9)
+        assert got[t][2] == pytest.approx(1.0 - want[t][1], abs=1e-9)
+        assert 0.0 <= got[t][1] <= 1.0
+
+
+def test_mmr_rerank_matches_python_replay(spark):
+    emb = {int(r["vec_id"]): list(r["embedding"])
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    def q6(x):
+        return int(round(round(x, 6) * 1e6))
+
+    want = set()
+    POOL, K, LAM = 12, 4, 7
+    for qid in (v for v in emb if v % 97 == 0):
+        scored = sorted(
+            ((q6(cos(emb[qid], emb[c])), c) for c in emb if c != qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        pool = scored[:POOL]
+        sel = [pool[0]]
+        want.add((qid, pool[0][1], 1, pool[0][0]))
+        for pick in range(2, K + 1):
+            best = None
+            for rel, c in pool:
+                if any(c == s[1] for s in sel):
+                    continue
+                ms = max(q6(cos(emb[c], emb[s[1]])) for s in sel)
+                score = LAM * rel - (10 - LAM) * ms
+                cand = (-score, c, rel)
+                if best is None or cand < best:
+                    best = cand
+            sel.append((best[2], best[1]))
+            want.add((qid, best[1], pick, best[2]))
+    got = {
+        (int(r["query_id"]), int(r["vec_id"]), int(r["pick"]), int(r["rel_q6"]))
+        for r in Q.QUERIES["mmr_rerank"][0](spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_pca_top_matches_python_replay(spark):
+    from osm_to_netex_spark.plans.queries_r4 import _PCA_ROUNDS
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    xq = {}
+    dims = None
+    for r in rows:
+        v = [int(round(float(x) * 1e6)) for x in r["embedding"]]
+        xq[int(r["vec_id"])] = v
+        dims = len(v)
+    n = len(xq)
+    mq = [
+        int(math.floor(sum(v[i] for v in xq.values()) / n + 0.5))
+        for i in range(dims)
+    ]
+    c = {r: [v[i] - mq[i] for i in range(dims)] for r, v in xq.items()}
+    v = [10**6] + [0] * (dims - 1)
+    for _ in range(_PCA_ROUNDS):
+        s = {r: sum(ci * vi for ci, vi in zip(cv, v)) for r, cv in c.items()}
+        sd = {r: _idiv(x, 10**6) for r, x in s.items()}
+        u = [sum(c[r][i] * sd[r] for r in c) for i in range(dims)]
+        ud = [_idiv(x, 10**9) for x in u]
+        n2 = sum(x * x for x in ud)
+        v = [int(round(x / math.sqrt(n2) * 1e6)) for x in ud]
+    got = {
+        int(r["dim"]): int(r["v_q6"])
+        for r in Q.QUERIES["pca_top"][0](spark, SF).collect()
+    }
+    assert got == {i: v[i] for i in range(dims)}
+    norm = math.sqrt(sum(x * x for x in got.values())) / 1e6
+    assert norm == pytest.approx(1.0, abs=1e-3)
+
+
+def _idiv(a: int, b: int) -> int:
+    """SQL integer division truncates toward zero (Spark div / DuckDB //);
+    Python // floors — they differ on negatives."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def test_feature_hash_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+    # replay the portable hash through Spark one term at a time is slow;
+    # instead verify structural invariants + cross-check totals via SQL
+    out = Q.QUERIES["feature_hash"][0](spark, SF).collect()
+    got = {(int(r["doc_id"]), int(r["dim"])): int(r["w"]) for r in out}
+    assert all(0 <= d < 64 for (_, d) in got)
+    # sum of |w| <= token count per doc; sum of w parity == token parity
+    ntok = {int(r["doc_id"]): len(_tokens(r["text"])) for r in rows}
+    per_doc = defaultdict(int)
+    per_doc_abs = defaultdict(int)
+    for (doc, _), w in got.items():
+        per_doc[doc] += w
+        per_doc_abs[doc] += abs(w)
+    for doc, n in ntok.items():
+        if n == 0:
+            continue
+        assert per_doc_abs[doc] <= n
+        assert (per_doc[doc] - n) % 2 == 0  # each token contributes ±1
+
+
+def test_l_diversity_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    K, L = 5, 3
+    want = {}
+    for lev, width in ((0, 1.0), (1, 100.0), (2, 1000.0), (3, None)):
+        classes = defaultdict(list)
+        for r in rows:
+            g = None if width is None else int(math.floor(r["c_acctbal"] / width))
+            classes[(int(r["c_nationkey"]), g)].append(r["c_mktsegment"])
+        n_classes = len(classes)
+        k_anon = sum(1 for v in classes.values() if len(v) >= K)
+        l_div = sum(1 for v in classes.values() if len(set(v)) >= L)
+        leak = sum(1 for v in classes.values() if len(v) >= K and len(set(v)) < L)
+        want[lev] = (n_classes, k_anon, l_div, leak)
+    got = {
+        int(r["level"]): (
+            int(r["n_classes"]), int(r["k_anon_classes"]),
+            int(r["l_diverse_classes"]), int(r["k_anon_not_l_diverse"]),
+        )
+        for r in Q.QUERIES["l_diversity"][0](spark, SF).collect()
+    }
+    assert got == want
