@@ -517,6 +517,7 @@ def main():
         "pca_top",
         "feature_hash",
         "l_diversity",
+        "edr_join",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -343,34 +343,205 @@ def dtw_expr(n_steps: int, d: str) -> str:
     pairs at sf0.1; this form: ~8 s, same values).  The let_ chain pins
     each stage to a single evaluation exactly like the DuckDB oracle's
     materialized CTE chain."""
+    n = int(n_steps)
+    return _stages_to_let(dtw_stage_exprs(n_steps, d), f"dp_{n}_{n}", d, "__dtw")
+
+
+def _stages_to_let(stages: list[list[str]], final: str, d: str, tag: str) -> str:
+    """Chain '<expr> as <name>' stage lists into ONE nested-let_ expression
+    (one struct binding per stage) — the CollapseProject-proof form both
+    DTW and EDR use (see dtw_expr's docstring for why)."""
     import re
 
     from ..functions.portable import let_
 
-    stages = dtw_stage_exprs(n_steps, d)
     parsed = []  # [(stage_idx, [(name, expr), ...])]
-    for k, cols in enumerate(stages):
+    for cols in stages:
         items = []
         for c in cols:
             expr, name = c.rsplit(" as ", 1)
             items.append((name.strip(), expr))
         parsed.append(items)
-    # name -> binding var path, filled stage by stage
     where = {}
     for k, items in enumerate(parsed):
         for name, _ in items:
-            where[name] = f"__dtw{k}.{name}"
+            where[name] = f"{tag}{k}.{name}"
 
-    def rewrite(expr: str, upto: int) -> str:
+    def rewrite(expr: str) -> str:
         def sub(m):
             nm = m.group(0)
-            return where.get(nm, nm) if nm in where else nm
+            return where.get(nm, nm)
 
         return re.sub(r"\b(?:c|dp)_\d+_\d+\b", sub, expr)
 
-    n = int(n_steps)
-    body = where[f"dp_{n}_{n}"]
+    body = where[final]
     for k in range(len(parsed) - 1, -1, -1):
-        bindings = {name: rewrite(expr, k) for name, expr in parsed[k]}
-        body = let_(bindings, body, d, var=f"__dtw{k}")
+        bindings = {name: rewrite(expr) for name, expr in parsed[k]}
+        body = let_(bindings, body, d, var=f"{tag}{k}")
     return body
+
+
+def edr_stage_exprs(n_steps: int, eps_mm: int, d: str) -> list[list[str]]:
+    """Unrolled EDR (Edit Distance on Real sequence, Chen et al. 2005)
+    dynamic program over fixed-length tracks — DTW's robust sibling: a
+    single wild GPS outlier adds its full distance to DTW but costs EDR
+    exactly 1 edit, so EDR ranks noisy tracks the way DTW ranks clean ones.
+
+    Stage 0 thresholds each mm-quantized haversine into the 0/1 match cost
+    (match iff round(mm) <= eps_mm — integer compare, no boundary float);
+    stages fill anti-diagonals of dp_i_j = least(dp_{i-1}_{j-1} + c_i_j,
+    dp_{i-1}_j + 1, dp_i_{j-1} + 1) with the dp_0_* / dp_*_0 = j / i
+    boundary inlined as literals.  Everything after stage 0 is bigint."""
+    dist = haversine_m("__a_la", "__a_lo", "__b_la", "__b_lo", d)
+    n = int(n_steps)
+    stage0 = []
+    for i in range(1, n + 1):
+        for j in range(1, n + 1):
+            h = (
+                dist.replace("__a_la", _el("las_a", i, d))
+                .replace("__a_lo", _el("los_a", i, d))
+                .replace("__b_la", _el("las_b", j, d))
+                .replace("__b_lo", _el("los_b", j, d))
+            )
+            stage0.append(
+                f"(case when cast(round(({h}) * 1000.0e0) as bigint)"
+                f" <= {int(eps_mm)} then cast(0 as bigint)"
+                f" else cast(1 as bigint) end) as c_{i}_{j}"
+            )
+    stages = [stage0]
+    for diag in range(2, 2 * n + 1):  # i + j = diag
+        cols = []
+        for i in range(max(1, diag - n), min(n, diag - 1) + 1):
+            j = diag - i
+            up = f"dp_{i - 1}_{j}" if i > 1 else f"cast({j} as bigint)"
+            left = f"dp_{i}_{j - 1}" if j > 1 else f"cast({i} as bigint)"
+            diagp = (
+                f"dp_{i - 1}_{j - 1}"
+                if i > 1 and j > 1
+                else f"cast({max(i - 1, j - 1)} as bigint)"
+            )
+            cols.append(
+                f"least({diagp} + c_{i}_{j}, {up} + 1, {left} + 1) as dp_{i}_{j}"
+            )
+        stages.append(cols)
+    return stages
+
+
+def edr_expr(n_steps: int, eps_mm: int, d: str) -> str:
+    n = int(n_steps)
+    return _stages_to_let(
+        edr_stage_exprs(n_steps, eps_mm, d), f"dp_{n}_{n}", d, "__edr"
+    )
+
+
+def edr_join(
+    trajs: DataFrame,
+    eps_m: float,
+    max_edr: int,
+    n_steps: int,
+    res: int = 12,
+    traj_id: str = "traj_id",
+    step_col: str = "step",
+) -> DataFrame:
+    """(traj_a, traj_b, edr) for every unordered pair of fixed-length
+    tracks with Edit Distance on Real sequence <= ``max_edr`` under match
+    tolerance ``eps_m`` meters.
+
+    Candidate prefilter is COMPLETE for max_edr < n_steps: at least one
+    aligned step pair then matches within eps, so the eps-padded bbox
+    cover join (the dtw_join machinery) can't lose a qualifying pair;
+    pairs distinct before the O(n²) DP, arrays off the candidate shuffle,
+    DP as one nested-let_ integer expression."""
+    assert int(max_edr) < int(n_steps), "prefilter completeness needs max_edr < n"
+    n = 2**res
+    r_deg = eps_m / geo.M_PER_DEG
+
+    rows = trajs.groupBy(traj_id).agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct({step_col} as s, lat as v))), x -> x.v)"
+        ).alias("las"),
+        F.expr(
+            f"transform(array_sort(collect_list(struct({step_col} as s, lon as v))), x -> x.v)"
+        ).alias("los"),
+        F.min("lat").alias("la0"), F.max("lat").alias("la1"),
+        F.min("lon").alias("lo0"), F.max("lon").alias("lo1"),
+    ).persist()
+
+    def cover(df, pad: float):
+        if pad > 0.0:
+            cosmin = (
+                f"cos(radians(least(89.0e0, greatest(abs(la0), abs(la1)) + {flit(pad)})))"
+            )
+            lon_pad = f"({flit(pad)} / {cosmin})"
+            la_lo, la_hi = f"(la0 - {flit(pad)})", f"(la1 + {flit(pad)})"
+            lo_lo, lo_hi = f"(lo0 - {lon_pad})", f"(lo1 + {lon_pad})"
+        else:
+            la_lo, la_hi, lo_lo, lo_hi = "la0", "la1", "lo0", "lo1"
+        ix_lo, iy_lo = geo.quad_ixy(la_lo, lo_lo, res, SPARK)
+        ix_hi, iy_hi = geo.quad_ixy(la_hi, lo_hi, res, SPARK)
+        return (
+            df.selectExpr(
+                traj_id,
+                f"{ix_lo} as __ixl", f"{ix_hi} as __ixh",
+                f"explode(sequence({iy_lo}, {iy_hi})) as __cy",
+            )
+            .selectExpr(traj_id, "__cy", "explode(sequence(__ixl, __ixh)) as __cx")
+            .selectExpr(traj_id, geo.quad_pack("__cx", "__cy", res) + " as __cell")
+        )
+
+    a_cells = cover(rows, pad=r_deg).withColumnRenamed(traj_id, "ta")
+    b_cells = cover(rows, pad=0.0).withColumnRenamed(traj_id, "tb")
+    cand = a_cells.join(b_cells, "__cell").where("ta < tb").select("ta", "tb").distinct()
+    a = rows.selectExpr(f"{traj_id} as ta", "las as las_a", "los as los_a")
+    b = rows.selectExpr(f"{traj_id} as tb", "las as las_b", "los as los_b")
+    eps_mm = int(round(eps_m * 1000))
+    out = (
+        cand.join(a, "ta").join(b, "tb")
+        .selectExpr("ta", "tb", f"{edr_expr(n_steps, eps_mm, SPARK)} as edr")
+        .where(F.col("edr") <= F.lit(int(max_edr)))
+        .selectExpr("ta as traj_a", "tb as traj_b", "edr")
+    )
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [rows])
+
+
+def edr_join_oracle_sql(
+    trajs_sql_text: str,
+    eps_m: float,
+    max_edr: int,
+    n_steps: int,
+    traj_id: str = "traj_id",
+    step_col: str = "step",
+) -> str:
+    """DuckDB replay: brute all-pairs, identical unrolled integer DP."""
+    from ..functions.portable import DUCK
+
+    k = int(n_steps)
+    eps_mm = int(round(eps_m * 1000))
+    ctes = [
+        f"tr as ({trajs_sql_text})",
+        f"""rows_ as (
+            select {traj_id} as tid,
+                   list(lat order by {step_col}) as las,
+                   list(lon order by {step_col}) as los
+            from tr group by {traj_id}
+        )""",
+        """pairs as (
+            select a.tid as ta, b.tid as tb,
+                   a.las as las_a, a.los as los_a,
+                   b.las as las_b, b.los as los_b
+            from rows_ a join rows_ b on a.tid < b.tid
+        )""",
+    ]
+    prev = "pairs"
+    for s, cols in enumerate(edr_stage_exprs(k, eps_mm, DUCK)):
+        name = f"st{s}"
+        ctes.append(f"{name} as (select *, {', '.join(cols)} from {prev})")
+        prev = name
+    return (
+        "with " + ",\n".join(ctes) + f"""
+        select ta as traj_a, tb as traj_b, dp_{k}_{k} as edr
+        from {prev}
+        where dp_{k}_{k} <= {int(max_edr)}"""
+    )

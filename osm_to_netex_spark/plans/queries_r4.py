@@ -1095,6 +1095,40 @@ def q_l_diversity_oracle() -> str:
     return _l_diversity_sql(DUCK)
 
 
+# ---------------------------------------------------------------------------
+# EDR trajectory-similarity join (DTW's outlier-robust sibling)
+# ---------------------------------------------------------------------------
+_EDR_EPS_M = 3000.0
+_EDR_MAX = 3
+
+
+def q_edr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit Distance on Real sequence join over the geo_traj fixture:
+    eps-padded bbox-cover candidates (complete for max_edr < n_steps) +
+    0/1-thresholded integer anti-diagonal DP as one nested-let_ expression
+    (trajsim.edr_join) — completes the DTW/Hausdorff/EDR similarity trio."""
+    from . import queries as q
+    from ..operators import trajsim
+
+    _views(spark, sf_dir)
+    spark.sql(f"create or replace temp view geo_traj as {q.traj_sql(SPARK)}")
+    return trajsim.edr_join(
+        spark.table("geo_traj"), eps_m=_EDR_EPS_M, max_edr=_EDR_MAX,
+        n_steps=q._MM_STEPS, res=12,
+    )
+
+
+def q_edr_join_oracle() -> str:
+    from . import queries as q
+    from ..operators import trajsim
+
+    body = trajsim.edr_join_oracle_sql(
+        f"select * from ({q.traj_sql(DUCK)}) _t", eps_m=_EDR_EPS_M,
+        max_edr=_EDR_MAX, n_steps=q._MM_STEPS,
+    )
+    return f"{q.duck_geometry_ctes()}, __d as ({body}) select * from __d"
+
+
 def register_r4(QUERIES: dict) -> None:
     QUERIES["spearman"] = (q_spearman, q_spearman_oracle)
     QUERIES["mannwhitney"] = (q_mannwhitney, q_mannwhitney_oracle)
@@ -1111,3 +1145,4 @@ def register_r4(QUERIES: dict) -> None:
     QUERIES["pca_top"] = (q_pca_top, q_pca_top_oracle)
     QUERIES["feature_hash"] = (q_feature_hash, q_feature_hash_oracle)
     QUERIES["l_diversity"] = (q_l_diversity, q_l_diversity_oracle)
+    QUERIES["edr_join"] = (q_edr_join, q_edr_join_oracle)

@@ -499,3 +499,52 @@ def test_l_diversity_matches_python_replay(spark):
         for r in Q.QUERIES["l_diversity"][0](spark, SF).collect()
     }
     assert got == want
+
+
+def _edr_python(A, B, eps_mm):
+    n, m = len(A), len(B)
+    dp = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        dp[i][0] = i
+    for j in range(m + 1):
+        dp[0][j] = j
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            d_mm = int(round(round(_haversine_m(A[i - 1][0], A[i - 1][1],
+                                                B[j - 1][0], B[j - 1][1]), 6) * 1000))
+            c = 0 if d_mm <= eps_mm else 1
+            dp[i][j] = min(dp[i - 1][j - 1] + c, dp[i - 1][j] + 1, dp[i][j - 1] + 1)
+    return dp[n][m]
+
+
+def test_edr_join_matches_python_replay(spark):
+    SF01 = "/root/testdata/sf0.01"
+    Q.register_geometry_views(spark, SF01)
+    spark.sql(f"create or replace temp view geo_traj as {Q.traj_sql('spark')}")
+    fixes = defaultdict(list)
+    for r in spark.table("geo_traj").collect():
+        fixes[int(r["traj_id"])].append((int(r["step"]), r["lat"], r["lon"]))
+    tracks = {
+        t: [(la, lo) for _, la, lo in sorted(fl)] for t, fl in fixes.items()
+    }
+    ids = sorted(tracks)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            e = _edr_python(tracks[a], tracks[b], 3_000_000)
+            if e <= 3:
+                want[(a, b)] = e
+    got = {
+        (int(r["traj_a"]), int(r["traj_b"])): int(r["edr"])
+        for r in Q.QUERIES["edr_join"][0](spark, SF01).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_edr_robust_where_dtw_is_not():
+    """One wild outlier fix: +1 edit for EDR, +full distance for DTW —
+    the reason the similarity family carries both."""
+    base = [(59.0 + 0.001 * i, 10.0) for i in range(6)]
+    noisy = list(base)
+    noisy[3] = (61.0, 12.0)  # ~250 km outlier
+    assert _edr_python(base, noisy, 500_000) == 1
