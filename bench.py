@@ -518,6 +518,8 @@ def main():
         "feature_hash",
         "l_diversity",
         "edr_join",
+        "centrography",
+        "kruskal_wallis",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -1129,6 +1129,150 @@ def q_edr_join_oracle() -> str:
     return f"{q.duck_geometry_ctes()}, __d as ({body}) select * from __d"
 
 
+# ---------------------------------------------------------------------------
+# Centrography: mean center, standard distance, deviational ellipse
+# ---------------------------------------------------------------------------
+def _centrography_sql(d: str) -> str:
+    """The classic GIS centrography battery over the point set: mean
+    center, standard distance (RMS planar distance to the center), and the
+    standard deviational ellipse — axes from the 2×2 deviation covariance
+    eigenpair, orientation reported TRIG-FREE as tan(2θ) = 2σxy/(σxx−σyy)
+    (the caller takes atan2 client-side; no cross-engine trig).
+
+    Exactness: center folds as 1e-9-degree integers; per-point planar
+    deviations (meters, COSLAT0 equirect) enter σxx/σyy/σxy quantized to
+    integer 1e-3 m² units BEFORE the folds; the eigenpair closed form is
+    doubles over exact ints (sqrt correctly rounded).
+
+    Scale: two corpus passes (center, then moments) — both map-side
+    combined 1-row aggregates; the center rides a broadcast cross join."""
+    from . import queries as q
+
+    m_per_deg = "111194.92664455873e0"
+    k = f"{q.COSLAT0!r}e0"
+    q9 = "cast(floor({} * 1.0e9 + 0.5e0) as bigint)"
+    dx = f"((lon - c.clon) * {k} * {m_per_deg})"
+    dy = f"((lat - c.clat) * {m_per_deg})"
+    q3 = "cast(floor({} * 1.0e3 + 0.5e0) as bigint)"
+    return f"""cent as (
+            select cast(count(*) as bigint) as n,
+                   cast(sum({q9.format('lat')}) as bigint) as slat,
+                   cast(sum({q9.format('lon')}) as bigint) as slon
+            from geo_points
+        ),
+        cxy as (
+            select n,
+                   cast(slat as double) / cast(n as double) / 1.0e9 as clat,
+                   cast(slon as double) / cast(n as double) / 1.0e9 as clon
+            from cent
+        ),
+        moments as (
+            select max(c.n) as n, max(c.clat) as clat, max(c.clon) as clon,
+                   cast(sum({q3.format(f'{dx} * {dx}')}) as bigint) as sxx,
+                   cast(sum({q3.format(f'{dy} * {dy}')}) as bigint) as syy,
+                   cast(sum({q3.format(f'{dx} * {dy}')}) as bigint) as sxy
+            from geo_points p cross join cxy c
+        )
+        select n,
+               round(clat, 9) as clat, round(clon, 9) as clon,
+               round(sqrt((cast(sxx as double) + cast(syy as double))
+                          / 1.0e3 / cast(n as double)), 6) as std_dist_m,
+               round(2.0e0 * cast(sxy as double)
+                     / nullif(cast(sxx as double) - cast(syy as double),
+                              0.0e0), 9) as tan2theta,
+               round(sqrt(greatest(((cast(sxx as double) + cast(syy as double)) / 2.0e0
+                      + sqrt(((cast(sxx as double) - cast(syy as double)) / 2.0e0)
+                             * ((cast(sxx as double) - cast(syy as double)) / 2.0e0)
+                             + cast(sxy as double) * cast(sxy as double)))
+                     / 1.0e3 / cast(n as double), 0.0e0)), 6) as sigma_major_m,
+               round(sqrt(greatest(((cast(sxx as double) + cast(syy as double)) / 2.0e0
+                      - sqrt(((cast(sxx as double) - cast(syy as double)) / 2.0e0)
+                             * ((cast(sxx as double) - cast(syy as double)) / 2.0e0)
+                             + cast(sxy as double) * cast(sxy as double)))
+                     / 1.0e3 / cast(n as double), 0.0e0)), 6) as sigma_minor_m
+        from moments"""
+
+
+def q_centrography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(f"with {_centrography_sql(SPARK)}")
+
+
+def q_centrography_oracle() -> str:
+    from . import queries as q
+
+    return f"{q.duck_geometry_ctes()}, {_centrography_sql(DUCK)}"
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis k-group rank test
+# ---------------------------------------------------------------------------
+def _kruskal_sql(d: str) -> str:
+    """Kruskal–Wallis H over `value` across all event types at once — the
+    k-group generalization of the Mann–Whitney screen (one omnibus test
+    instead of k pairwise comparisons).  Rank machinery identical to
+    mannwhitney: integer 2·average-ranks over the VALUE GRID, per-group
+    rank sums ×2 integer; H and the tie-corrected H/C are one final double
+    expression (C = 1 − Σ(t³−t)/(N³−N)).
+
+    Scale: value-grid window + one groupBy — grid-sized state."""
+    return """
+        with tv as (
+            select event_type, value, cast(count(*) as bigint) as c_tv
+            from events group by event_type, value
+        ),
+        grid as (
+            select value, cast(sum(c_tv) as bigint) as c_v
+            from tv group by value
+        ),
+        r2g as (
+            select value, c_v,
+                   2 * (cast(sum(c_v) over (order by value asc
+                            rows between unbounded preceding and current row)
+                        as bigint) - c_v) + c_v + 1 as r2
+            from grid
+        ),
+        per as (
+            select tv.event_type,
+                   cast(sum(tv.c_tv) as bigint) as n_g,
+                   cast(sum(tv.c_tv * r.r2) as bigint) as r_g2
+            from tv join r2g r on r.value = tv.value
+            group by tv.event_type
+        ),
+        ties as (
+            select cast(sum(c_v * c_v * c_v - c_v) as bigint) as t3,
+                   cast(sum(c_v) as bigint) as nn
+            from grid
+        ),
+        hstat as (
+            select cast(count(*) as bigint) as k_groups, max(t.nn) as nn,
+                   max(t.t3) as t3,
+                   sum((cast(r_g2 as double) / 2.0e0)
+                       * (cast(r_g2 as double) / 2.0e0)
+                       / cast(n_g as double)) as srr
+            from per cross join ties t
+        )
+        select k_groups, nn,
+               round(12.0e0 / (cast(nn as double) * cast(nn + 1 as double))
+                     * srr - 3.0e0 * cast(nn + 1 as double), 9) as h,
+               round((12.0e0 / (cast(nn as double) * cast(nn + 1 as double))
+                      * srr - 3.0e0 * cast(nn + 1 as double))
+                     / (1.0e0 - cast(t3 as double)
+                        / (cast(nn as double) * cast(nn as double)
+                           * cast(nn as double) - cast(nn as double))), 9)
+                   as h_tie_corrected
+        from hstat"""
+
+
+def q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_kruskal_sql(SPARK))
+
+
+def q_kruskal_oracle() -> str:
+    return _kruskal_sql(DUCK)
+
+
 def register_r4(QUERIES: dict) -> None:
     QUERIES["spearman"] = (q_spearman, q_spearman_oracle)
     QUERIES["mannwhitney"] = (q_mannwhitney, q_mannwhitney_oracle)
@@ -1146,3 +1290,5 @@ def register_r4(QUERIES: dict) -> None:
     QUERIES["feature_hash"] = (q_feature_hash, q_feature_hash_oracle)
     QUERIES["l_diversity"] = (q_l_diversity, q_l_diversity_oracle)
     QUERIES["edr_join"] = (q_edr_join, q_edr_join_oracle)
+    QUERIES["centrography"] = (q_centrography, q_centrography_oracle)
+    QUERIES["kruskal_wallis"] = (q_kruskal, q_kruskal_oracle)

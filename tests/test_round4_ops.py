@@ -548,3 +548,55 @@ def test_edr_robust_where_dtw_is_not():
     noisy = list(base)
     noisy[3] = (61.0, 12.0)  # ~250 km outlier
     assert _edr_python(base, noisy, 500_000) == 1
+
+
+def test_centrography_matches_python_replay(spark):
+    Q.register_geometry_views(spark, SF)
+    pts = [(r["lat"], r["lon"]) for r in spark.table("geo_points").collect()]
+    n = len(pts)
+    clat = sum(int(math.floor(la * 1e9 + 0.5)) for la, _ in pts) / n / 1e9
+    clon = sum(int(math.floor(lo * 1e9 + 0.5)) for _, lo in pts) / n / 1e9
+    M = 111194.92664455873
+    sxx = syy = sxy = 0
+    for la, lo in pts:
+        dx = (lo - clon) * Q.COSLAT0 * M
+        dy = (la - clat) * M
+        sxx += int(math.floor(dx * dx * 1e3 + 0.5))
+        syy += int(math.floor(dy * dy * 1e3 + 0.5))
+        sxy += int(math.floor(dx * dy * 1e3 + 0.5))
+    std = math.sqrt((sxx + syy) / 1e3 / n)
+    tr2 = (sxx + syy) / 2.0
+    disc = math.sqrt(((sxx - syy) / 2.0) ** 2 + sxy * sxy)
+    smaj = math.sqrt(max((tr2 + disc) / 1e3 / n, 0.0))
+    smin = math.sqrt(max((tr2 - disc) / 1e3 / n, 0.0))
+    row = Q.QUERIES["centrography"][0](spark, SF).collect()[0]
+    assert int(row["n"]) == n
+    assert row["clat"] == pytest.approx(clat, abs=1e-9)
+    assert row["clon"] == pytest.approx(clon, abs=1e-9)
+    assert row["std_dist_m"] == pytest.approx(std, abs=1e-5)
+    assert row["sigma_major_m"] == pytest.approx(smaj, abs=1e-5)
+    assert row["sigma_minor_m"] == pytest.approx(smin, abs=1e-5)
+    assert row["sigma_major_m"] >= row["sigma_minor_m"]
+    assert row["tan2theta"] == pytest.approx(2 * sxy / (sxx - syy), abs=1e-8)
+
+
+def test_kruskal_wallis_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF}/events.parquet").select("event_type", "value").collect()
+    vals = [r["value"] for r in rows]
+    r2 = _avg_ranks_x2(vals)
+    nn = len(vals)
+    cnt = Counter(vals)
+    t3 = sum(c ** 3 - c for c in cnt.values())
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append(r["value"])
+    srr = sum(
+        (sum(r2[v] for v in g) / 2.0) ** 2 / len(g) for g in groups.values()
+    )
+    h = 12.0 / (nn * (nn + 1)) * srr - 3 * (nn + 1)
+    hc = h / (1 - t3 / (nn ** 3 - nn))
+    row = Q.QUERIES["kruskal_wallis"][0](spark, SF).collect()[0]
+    assert int(row["k_groups"]) == len(groups)
+    assert int(row["nn"]) == nn
+    assert row["h"] == pytest.approx(h, abs=1e-7)
+    assert row["h_tie_corrected"] == pytest.approx(hc, abs=1e-7)
