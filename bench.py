@@ -520,6 +520,9 @@ def main():
         "edr_join",
         "centrography",
         "kruskal_wallis",
+        "emerging_hotspots",
+        "auc_roc",
+        "isotonic_calibration",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -1273,6 +1273,261 @@ def q_kruskal_oracle() -> str:
     return _kruskal_sql(DUCK)
 
 
+# ---------------------------------------------------------------------------
+# Emerging hotspot analysis (space-time Gi* + Mann–Kendall classification)
+# ---------------------------------------------------------------------------
+_EH_T = 8
+_EH_HOT_Q6 = 1282000  # z >= 1.282 ≈ 90th percentile, in 1e-6 z units
+
+
+def _emerging_sql(d: str, res: int = 11) -> str:
+    """Emerging-hotspot analysis over the densified space-time cube (the
+    ArcGIS-named product composition, from this engine's own parts): per
+    (cell, t) a Gi*-style ring z-score over the ZERO-DENSIFIED cell×T grid,
+    per cell the Mann–Kendall S over its z series, then the standard
+    pattern labels — new / persistent / intensifying / diminishing /
+    sporadic — from (hot-last, #hot slices, S sign).
+
+    Exactness: z is the hotspot/moran staged form (integer ring sums, one
+    IEEE expression) quantized to 1e-6 z units; every downstream decision
+    (hot threshold, MK sign, labels) is an integer compare.
+
+    Scale: the corpus collapses to (cell, t) counts once; densification,
+    ring join, and the T²-pair MK fold all run over the CELL grid."""
+    from ..functions import geo
+
+    from . import queries as q
+
+    ix, iy = geo.quad_ixy("lat", "lon", res, d)
+    pts = q._mk_points_sql(d)
+    if d == SPARK:
+        ring = (
+            "select cx + dx as tx, cy + dy as ty, t, cnt from (select cx, cy,"
+            " t, cnt, explode(sequence(-1, 1)) as dx from grid) a"
+            " lateral view explode(sequence(-1, 1)) e as dy"
+        )
+        tseq = f"(select explode(sequence(0, {_EH_T - 1})) as t)"
+    else:
+        ring = (
+            "select cx + dx.x as tx, cy + dy.y as ty, t, cnt from grid,"
+            " unnest(generate_series(-1, 1)) dx(x),"
+            " unnest(generate_series(-1, 1)) dy(y)"
+        )
+        tseq = f"(select t from unnest(generate_series(0, {_EH_T - 1})) s(t))"
+    z = (
+        "(cast(wi as double) - (cast(sx as double) / cast(nn as double))"
+        " * cast(ni as double))"
+        " / nullif(sqrt(greatest(cast(sxx as double) / cast(nn as double)"
+        " - (cast(sx as double) / cast(nn as double))"
+        " * (cast(sx as double) / cast(nn as double)), 0.0e0))"
+        " * sqrt((cast(nn as double) * cast(ni as double)"
+        " - cast(ni as double) * cast(ni as double))"
+        " / (cast(nn as double) - 1.0e0)), 0.0e0)"
+    )
+    return f"""counts as (
+            select {ix} as cx, {iy} as cy, bucket as t,
+                   cast(count(*) as bigint) as cnt
+            from ({pts}) p group by 1, 2, 3
+        ),
+        cells as (select distinct cx, cy from counts),
+        grid as (
+            select c.cx, c.cy, ts.t, cast(coalesce(k.cnt, 0) as bigint) as cnt
+            from cells c
+            cross join {tseq} ts
+            left join counts k on k.cx = c.cx and k.cy = c.cy and k.t = ts.t
+        ),
+        ring as ({ring}),
+        w as (
+            select g.cx, g.cy, g.t,
+                   cast(sum(r.cnt) as bigint) as wi,
+                   cast(count(*) as bigint) as ni
+            from grid g join ring r on r.tx = g.cx and r.ty = g.cy and r.t = g.t
+            group by g.cx, g.cy, g.t
+        ),
+        gstats as (
+            select t, cast(count(*) as bigint) as nn,
+                   cast(sum(cnt) as bigint) as sx,
+                   cast(sum(cnt * cnt) as bigint) as sxx
+            from grid group by t
+        ),
+        zq as (
+            select w.cx, w.cy, w.t,
+                   cast(floor(coalesce({z}, 0.0e0) * 1000000.0e0 + 0.5e0)
+                        as bigint) as z_q6
+            from w join gstats s on s.t = w.t
+        ),
+        mk as (
+            select a.cx, a.cy,
+                   cast(sum(case when b.z_q6 > a.z_q6 then 1
+                                 when b.z_q6 < a.z_q6 then -1
+                                 else 0 end) as bigint) as s_stat
+            from zq a join zq b
+              on b.cx = a.cx and b.cy = a.cy and b.t > a.t
+            group by a.cx, a.cy
+        ),
+        hot as (
+            select cx, cy,
+                   cast(sum(case when z_q6 >= {_EH_HOT_Q6} then 1 else 0 end)
+                        as bigint) as n_hot,
+                   cast(max(case when t = {_EH_T - 1} and z_q6 >= {_EH_HOT_Q6}
+                                 then 1 else 0 end) as bigint) as hot_last
+            from zq group by cx, cy
+        )
+        select h.cx as cell_x, h.cy as cell_y, m.s_stat, h.n_hot, h.hot_last,
+               case when h.n_hot = {_EH_T} then 'persistent'
+                    when h.hot_last = 1 and h.n_hot = 1 then 'new'
+                    when h.hot_last = 1 and m.s_stat > 0 then 'intensifying'
+                    when h.hot_last = 0 and h.n_hot > 0 and m.s_stat < 0
+                         then 'diminishing'
+                    when h.n_hot > 0 then 'sporadic'
+                    else 'none' end as pattern
+        from hot h join mk m on m.cx = h.cx and m.cy = h.cy"""
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(f"with {_emerging_sql(SPARK)}")
+
+
+def q_emerging_hotspots_oracle() -> str:
+    from . import queries as q
+
+    return f"{q.duck_geometry_ctes()}, {_emerging_sql(DUCK)}"
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC-ROC via the rank formula
+# ---------------------------------------------------------------------------
+def _auc_sql(d: str) -> str:
+    """Exact AUC of a scalar score for a binary label via the rank identity
+    AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), ties handled exactly by the integer
+    2·average-rank machinery (mannwhitney's) — the trapezoid-free, exact
+    form a ranking evaluation at corpus scale should use.  Score = document
+    length, label = lang='en' (the metric is the operator; any scored
+    column slots in).  Also emits Gini = 2·AUC − 1.
+
+    Scale: score-grid window + one groupBy — grid-sized state."""
+    return """
+        with base as (
+            select cast(n_chars as bigint) as score,
+                   case when lang = 'en' then 1 else 0 end as y
+            from documents
+        ),
+        sv as (
+            select score, cast(count(*) as bigint) as c_v,
+                   cast(sum(y) as bigint) as c_pos
+            from base group by score
+        ),
+        r2g as (
+            select score, c_v, c_pos,
+                   2 * (cast(sum(c_v) over (order by score asc
+                            rows between unbounded preceding and current row)
+                        as bigint) - c_v) + c_v + 1 as r2
+            from sv
+        ),
+        agg as (
+            select cast(sum(c_pos) as bigint) as n_pos,
+                   cast(sum(c_v - c_pos) as bigint) as n_neg,
+                   cast(sum(c_pos * r2) as bigint) as rpos2
+            from r2g
+        )
+        select n_pos, n_neg,
+               round((cast(rpos2 as double) / 2.0e0
+                      - cast(n_pos as double) * (cast(n_pos as double) + 1.0e0)
+                        / 2.0e0)
+                     / (cast(n_pos as double) * cast(n_neg as double)), 9) as auc,
+               round(2.0e0 * ((cast(rpos2 as double) / 2.0e0
+                      - cast(n_pos as double) * (cast(n_pos as double) + 1.0e0)
+                        / 2.0e0)
+                     / (cast(n_pos as double) * cast(n_neg as double)))
+                     - 1.0e0, 9) as gini_coeff
+        from agg"""
+
+
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_auc_sql(SPARK))
+
+
+def q_auc_roc_oracle() -> str:
+    return _auc_sql(DUCK)
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (pool-adjacent-violators via the minimax identity)
+# ---------------------------------------------------------------------------
+_ISO_BINS = 10
+
+
+def _isotonic_sql(d: str) -> str:
+    """Isotonic (monotone non-decreasing) calibration of a binned score
+    against a binary outcome — PAVA computed by the exact minimax identity
+    fit_i = max_{j≤i} min_{k≥i} mean(y[j..k]) (no iteration, provably the
+    isotonic regression).  Bins are score deciles (ntile with a doc_id
+    tiebreak → fully deterministic); pooled means are exact integer
+    ratios quantized to 1e-9 so every min/max is an integer fold.
+
+    Scale: the corpus collapses to B bins once; the minimax runs over
+    B·(B+1)/2 prefix pairs — constant work."""
+    return f"""
+        with base as (
+            select doc_id, cast(n_chars as bigint) as score,
+                   case when lang = 'en' then 1 else 0 end as y
+            from documents
+        ),
+        binned as (
+            select ntile({_ISO_BINS}) over (order by score asc, doc_id asc)
+                       as bin, y
+            from base
+        ),
+        bins as (
+            select bin, cast(count(*) as bigint) as n,
+                   cast(sum(y) as bigint) as pos
+            from binned group by bin
+        ),
+        pre as (
+            select bin,
+                   cast(sum(n) over (order by bin asc
+                        rows between unbounded preceding and current row)
+                        as bigint) as cn,
+                   cast(sum(pos) over (order by bin asc
+                        rows between unbounded preceding and current row)
+                        as bigint) as cpos
+            from bins
+        ),
+        seg as (
+            select a.bin as j, b.bin as k,
+                   cast(floor(cast(b.cpos - coalesce(p.cpos, 0) as double)
+                        / cast(b.cn - coalesce(p.cn, 0) as double)
+                        * 1000000000.0e0 + 0.5e0) as bigint) as m_q9
+            from pre a
+            join pre b on b.bin >= a.bin
+            left join pre p on p.bin = a.bin - 1
+        ),
+        innermin as (
+            select s.j, i.bin as i, min(s.m_q9) as mn
+            from bins i join seg s on s.j <= i.bin and s.k >= i.bin
+            group by s.j, i.bin
+        ),
+        fit as (
+            select i, max(mn) as fit_q9 from innermin group by i
+        )
+        select b.bin, b.n,
+               cast(floor(cast(b.pos as double) / cast(b.n as double)
+                    * 1000000000.0e0 + 0.5e0) as bigint) as rate_q9,
+               f.fit_q9
+        from bins b join fit f on f.i = b.bin"""
+
+
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_isotonic_sql(SPARK))
+
+
+def q_isotonic_oracle() -> str:
+    return _isotonic_sql(DUCK)
+
+
 def register_r4(QUERIES: dict) -> None:
     QUERIES["spearman"] = (q_spearman, q_spearman_oracle)
     QUERIES["mannwhitney"] = (q_mannwhitney, q_mannwhitney_oracle)
@@ -1292,3 +1547,6 @@ def register_r4(QUERIES: dict) -> None:
     QUERIES["edr_join"] = (q_edr_join, q_edr_join_oracle)
     QUERIES["centrography"] = (q_centrography, q_centrography_oracle)
     QUERIES["kruskal_wallis"] = (q_kruskal, q_kruskal_oracle)
+    QUERIES["emerging_hotspots"] = (q_emerging_hotspots, q_emerging_hotspots_oracle)
+    QUERIES["auc_roc"] = (q_auc_roc, q_auc_roc_oracle)
+    QUERIES["isotonic_calibration"] = (q_isotonic, q_isotonic_oracle)

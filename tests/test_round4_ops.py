@@ -600,3 +600,147 @@ def test_kruskal_wallis_matches_python_replay(spark):
     assert int(row["nn"]) == nn
     assert row["h"] == pytest.approx(h, abs=1e-7)
     assert row["h_tie_corrected"] == pytest.approx(hc, abs=1e-7)
+
+
+def test_auc_roc_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select("n_chars", "lang").collect()
+    pairs = [(int(r["n_chars"]), 1 if r["lang"] == "en" else 0) for r in rows]
+    r2 = _avg_ranks_x2([s for s, _ in pairs])
+    n_pos = sum(y for _, y in pairs)
+    n_neg = len(pairs) - n_pos
+    rpos2 = sum(r2[s] for s, y in pairs if y)
+    auc = (rpos2 / 2.0 - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    # independent O(n^2) cross-check: P(score+ > score-) + 0.5 P(=)
+    wins = ties = 0
+    for sp, yp in pairs:
+        if not yp:
+            continue
+        for sn, yn in pairs:
+            if yn:
+                continue
+            if sp > sn:
+                wins += 1
+            elif sp == sn:
+                ties += 1
+    assert auc == pytest.approx((wins + 0.5 * ties) / (n_pos * n_neg), abs=1e-12)
+    row = Q.QUERIES["auc_roc"][0](spark, SF).collect()[0]
+    assert (int(row["n_pos"]), int(row["n_neg"])) == (n_pos, n_neg)
+    assert row["auc"] == pytest.approx(auc, abs=1e-9)
+    assert row["gini_coeff"] == pytest.approx(2 * auc - 1, abs=1e-9)
+
+
+def test_isotonic_calibration_matches_python_pava(spark):
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars", "lang"
+    ).collect()
+    data = sorted(
+        (int(r["n_chars"]), int(r["doc_id"]), 1 if r["lang"] == "en" else 0)
+        for r in rows
+    )
+    B = 10
+    n = len(data)
+    # ntile semantics: first (n % B) bins get ceil(n/B)
+    sizes = [(n // B) + (1 if i < n % B else 0) for i in range(B)]
+    bins, idx = [], 0
+    for sz in sizes:
+        chunk = data[idx:idx + sz]
+        idx += sz
+        bins.append((len(chunk), sum(y for _, _, y in chunk)))
+    # classic PAVA
+    blocks = [[cnt, pos] for cnt, pos in bins]
+    merged = []
+    for b in blocks:
+        merged.append(list(b))
+        while len(merged) > 1 and (
+            merged[-2][1] * merged[-1][0] > merged[-1][1] * merged[-2][0]
+        ):
+            b2 = merged.pop()
+            merged[-1][0] += b2[0]
+            merged[-1][1] += b2[1]
+    fits = []
+    for cnt, pos in merged:
+        fits.extend([pos / cnt] * 0)  # placeholder
+    fit_per_bin = []
+    for cnt, pos in merged:
+        rate = pos / cnt
+        covered = 0
+        # expand back to bins
+        for bcnt, _ in bins[len(fit_per_bin):]:
+            if covered >= cnt:
+                break
+            fit_per_bin.append(rate)
+            covered += bcnt
+    assert len(fit_per_bin) == B
+    got = {
+        int(r["bin"]): (int(r["n"]), int(r["rate_q9"]), int(r["fit_q9"]))
+        for r in Q.QUERIES["isotonic_calibration"][0](spark, SF).collect()
+    }
+    for i in range(B):
+        cnt, pos = bins[i]
+        assert got[i + 1][0] == cnt
+        assert got[i + 1][1] == int(math.floor(pos / cnt * 1e9 + 0.5))
+        assert got[i + 1][2] / 1e9 == pytest.approx(fit_per_bin[i], abs=2e-9)
+    # monotone non-decreasing
+    fit_seq = [got[i + 1][2] for i in range(B)]
+    assert fit_seq == sorted(fit_seq)
+
+
+def test_emerging_hotspots_matches_python_replay(spark):
+    Q.register_geometry_views(spark, SF)
+    pts = spark.sql(Q._mk_points_sql("spark")).collect()
+    T, HOT = 8, 1282000
+    counts = Counter()
+    for r in pts:
+        cx, cy = _quad_ixy(r["lat"], r["lon"], 11)
+        counts[(cx, cy, int(r["bucket"]))] += 1
+    cells = {(cx, cy) for cx, cy, _ in counts}
+    grid = {(cx, cy, t): counts.get((cx, cy, t), 0) for cx, cy in cells for t in range(T)}
+    zq = {}
+    for t in range(T):
+        slice_ = {(cx, cy): c for (cx, cy, tt), c in grid.items() if tt == t}
+        nn = len(slice_)
+        sx = sum(slice_.values())
+        sxx = sum(v * v for v in slice_.values())
+        for (cx, cy), _ in slice_.items():
+            wi = ni = 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    v = slice_.get((cx + dx, cy + dy))
+                    if v is not None:
+                        wi += v
+                        ni += 1
+            den = (
+                math.sqrt(max(sxx / nn - (sx / nn) ** 2, 0.0))
+                * math.sqrt((nn * ni - ni * ni) / (nn - 1.0))
+            )
+            z = (wi - (sx / nn) * ni) / den if den else 0.0
+            zq[(cx, cy, t)] = int(math.floor(z * 1e6 + 0.5))
+    want = {}
+    for cx, cy in cells:
+        series = [zq[(cx, cy, t)] for t in range(T)]
+        s = sum(
+            (1 if series[b] > series[a] else -1 if series[b] < series[a] else 0)
+            for a in range(T) for b in range(a + 1, T)
+        )
+        n_hot = sum(1 for v in series if v >= HOT)
+        hot_last = 1 if series[-1] >= HOT else 0
+        if n_hot == T:
+            p = "persistent"
+        elif hot_last and n_hot == 1:
+            p = "new"
+        elif hot_last and s > 0:
+            p = "intensifying"
+        elif not hot_last and n_hot > 0 and s < 0:
+            p = "diminishing"
+        elif n_hot > 0:
+            p = "sporadic"
+        else:
+            p = "none"
+        want[(cx, cy)] = (s, n_hot, hot_last, p)
+    got = {
+        (int(r["cell_x"]), int(r["cell_y"])): (
+            int(r["s_stat"]), int(r["n_hot"]), int(r["hot_last"]), r["pattern"]
+        )
+        for r in Q.QUERIES["emerging_hotspots"][0](spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
