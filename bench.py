@@ -523,6 +523,9 @@ def main():
         "emerging_hotspots",
         "auc_roc",
         "isotonic_calibration",
+        "item_cf",
+        "tfidf_topk",
+        "simhash_pairs",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -1528,6 +1528,194 @@ def q_isotonic_oracle() -> str:
     return _isotonic_sql(DUCK)
 
 
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (co-occurrence cosine + top-k recs)
+# ---------------------------------------------------------------------------
+def _item_cf_sql(d: str, min_co: int = 2, k: int = 3) -> str:
+    """Amazon-style item-item CF over the order baskets: cosine similarity
+    on binary co-occurrence (co / √n_a·√n_b), top-``k`` neighbors per item
+    — the classic batch recommender precompute (Linden et al. 2003).
+
+    Exactness: co-counts and item supports are integers; the similarity is
+    ONE double expression quantized to 1e-9 BEFORE ranking, so the top-k
+    window (sim desc, neighbor asc) is an exact integer/id order.
+
+    Scale: same Θ(Σ basket²) pair join as frequent_pairs — distinct-first,
+    orderkey-keyed, min_co prune before the norm joins; supports are an
+    item-dimension broadcast."""
+    return f"""
+        with b as (
+            select distinct l_orderkey as ok, l_partkey as item from lineitem
+        ),
+        supp as (select item, cast(count(*) as bigint) as n_i from b group by item),
+        co as (
+            select a.item as ia, x.item as ib, cast(count(*) as bigint) as co
+            from b a join b x on x.ok = a.ok and x.item <> a.item
+            group by a.item, x.item
+            having count(*) >= {int(min_co)}
+        ),
+        scored as (
+            select co.ia, co.ib, co.co,
+                   cast(floor(cast(co.co as double)
+                        / (sqrt(cast(sa.n_i as double))
+                           * sqrt(cast(sb.n_i as double)))
+                        * 1000000000.0e0 + 0.5e0) as bigint) as sim_q9
+            from co
+            join supp sa on sa.item = co.ia
+            join supp sb on sb.item = co.ib
+        )
+        select ia as item, ib as rec, co, sim_q9,
+               cast(rn as bigint) as rank
+        from (
+            select ia, ib, co, sim_q9,
+                   row_number() over (partition by ia
+                                      order by sim_q9 desc, ib asc) as rn
+            from scored
+        ) r where rn <= {int(k)}"""
+
+
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_item_cf_sql(SPARK))
+
+
+def q_item_cf_oracle() -> str:
+    return _item_cf_sql(DUCK)
+
+
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+def _tfidf_topk_sql(d: str, k: int = 5) -> str:
+    """Top-``k`` TF-IDF keywords per document — the per-doc counterpart of
+    the corpus-level top_terms heavy hitters (what a search snippet /
+    tagging pipeline extracts).  idf = ln((N+1)/(df+1)) (smoothed); the
+    score tf·idf is quantized to 1e-6 before the rank window so the
+    (score desc, term asc) order is exact.
+
+    Scale: explode → (doc, term) counts (map-side combined), df join is
+    term-dimension-sized, one doc-partitioned window."""
+    toks = tx.tokens("text", d)
+    unnest = (
+        f"select doc_id, explode({toks}) as term from documents"
+        if d == SPARK
+        else f"select doc_id, unnest({toks}) as term from documents"
+    )
+    return f"""
+        with t as ({unnest}),
+        tf as (select doc_id, term, cast(count(*) as bigint) as tf
+               from t group by doc_id, term),
+        df as (select term, cast(count(*) as bigint) as df from tf group by term),
+        n as (select cast(count(distinct doc_id) as bigint) as n from tf),
+        scored as (
+            select tf.doc_id, tf.term,
+                   cast(floor(cast(tf.tf as double)
+                        * ln((cast(n.n as double) + 1.0e0)
+                             / (cast(df.df as double) + 1.0e0))
+                        * 1000000.0e0 + 0.5e0) as bigint) as score_q6
+            from tf join df on df.term = tf.term cross join n
+        )
+        select doc_id, term, cast(rn as bigint) as rank, score_q6
+        from (
+            select doc_id, term, score_q6,
+                   row_number() over (partition by doc_id
+                                      order by score_q6 desc, term asc) as rn
+            from scored
+        ) r where rn <= {int(k)}"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_tfidf_topk_sql(SPARK))
+
+
+def q_tfidf_topk_oracle() -> str:
+    return _tfidf_topk_sql(DUCK)
+
+
+# ---------------------------------------------------------------------------
+# SimHash blocked-Hamming near-dup pairs
+# ---------------------------------------------------------------------------
+def _simhash_body_sql(d: str, fps_src: str, max_ham: int = 3) -> str:
+    """CTE body over a fingerprint table ``fps_src`` (doc_id, fp)."""
+    if d == SPARK:
+        blocks = f"select doc_id, fp, explode(sequence(0, 3)) as b from {fps_src}"
+        ham = "bit_count(x.fp ^ y.fp)"
+        shift = "shiftright(fp, cast(8 * b as int))"
+    else:
+        blocks = (
+            f"select doc_id, fp, b from {fps_src},"
+            " unnest(generate_series(0, 3)) t(b)"
+        )
+        ham = "bit_count(xor(x.fp, y.fp))"
+        shift = "(cast(fp as bigint) // cast(power(2, 8 * b) as bigint))"
+    return f"""blocked as (
+            select doc_id, b, ({shift}) % 256 as bv
+            from ({blocks}) e
+        ),
+        cand as (
+            select distinct a.doc_id as doc_a, b.doc_id as doc_b
+            from blocked a join blocked b
+              on a.b = b.b and a.bv = b.bv and a.doc_id < b.doc_id
+        ),
+        verified as (
+            select c.doc_a, c.doc_b, cast({ham} as bigint) as hamming
+            from cand c
+            join {fps_src} x on x.doc_id = c.doc_a
+            join {fps_src} y on y.doc_id = c.doc_b
+        )
+        select doc_a, doc_b, hamming from verified
+        where hamming <= {int(max_ham)}"""
+
+
+def _simhash_pairs_sql(d: str, max_ham: int = 3) -> str:
+    """Near-dup PAIRS under SimHash Hamming distance ≤ ``max_ham`` — the
+    Manku/Google web-dedup join the equality-clustered simhash operator
+    can't express (it only finds IDENTICAL fingerprints).  Blocked LSH:
+    the 32-bit fingerprint splits into 4 byte blocks; distance ≤ 3 pigeon-
+    holes at least one equal block, so a per-block equi-join is a COMPLETE
+    candidate generator; verify is one integer bit_count(xor) compare.
+
+    Scale: candidates carry only (doc_id, block, value); Θ(Σ bucket²) on
+    byte-block buckets (the minhash band-join discipline).  The Spark
+    path persists the fingerprint table — inlined, the simhash vote
+    expression recomputes per CTE reference (measured 28.6 s vs 3 s at
+    sf0.1, the lsh_band_stats trap)."""
+    fp = tx.simhash64("text", d)
+    return (
+        f"with fps as (select doc_id, cast({fp} as bigint) as fp"
+        f" from documents), "
+        + _simhash_body_sql(d, "fps", max_ham)
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _attach_cached
+
+    _views(spark, sf_dir)
+    fp = tx.simhash64("text", SPARK)
+    par = 4 * int(spark.sparkContext.defaultParallelism)
+    # repartition BEFORE the vote expression: the corpus arrives as few
+    # parquet splits and the per-doc fingerprint is compute-bound (~2 ms/
+    # doc of HOF evaluation) — on one partition the cache materialization
+    # serializes (measured 14 s at sf0.1; spread: <1 s).  Materialize
+    # eagerly so the self-join's two scan branches share the cache.
+    fps = (
+        spark.table("documents")
+        .repartition(par)
+        .selectExpr("doc_id", f"cast({fp} as bigint) as fp")
+        .persist()
+    )
+    fps.count()
+    fps.createOrReplaceTempView("__sh_fps")
+    out = spark.sql("with " + _simhash_body_sql(SPARK, "__sh_fps"))
+    return _attach_cached(out, [fps])
+
+
+def q_simhash_pairs_oracle() -> str:
+    return _simhash_pairs_sql(DUCK)
+
+
 def register_r4(QUERIES: dict) -> None:
     QUERIES["spearman"] = (q_spearman, q_spearman_oracle)
     QUERIES["mannwhitney"] = (q_mannwhitney, q_mannwhitney_oracle)
@@ -1550,3 +1738,6 @@ def register_r4(QUERIES: dict) -> None:
     QUERIES["emerging_hotspots"] = (q_emerging_hotspots, q_emerging_hotspots_oracle)
     QUERIES["auc_roc"] = (q_auc_roc, q_auc_roc_oracle)
     QUERIES["isotonic_calibration"] = (q_isotonic, q_isotonic_oracle)
+    QUERIES["item_cf"] = (q_item_cf, q_item_cf_oracle)
+    QUERIES["tfidf_topk"] = (q_tfidf_topk, q_tfidf_topk_oracle)
+    QUERIES["simhash_pairs"] = (q_simhash_pairs, q_simhash_pairs_oracle)

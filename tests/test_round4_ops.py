@@ -744,3 +744,86 @@ def test_emerging_hotspots_matches_python_replay(spark):
         for r in Q.QUERIES["emerging_hotspots"][0](spark, SF).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_item_cf_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[int(r["l_orderkey"])].add(int(r["l_partkey"]))
+    supp = Counter()
+    co = Counter()
+    for items in baskets.values():
+        for i in items:
+            supp[i] += 1
+        for i in items:
+            for j in items:
+                if i != j:
+                    co[(i, j)] += 1
+    want = {}
+    per_item = defaultdict(list)
+    for (i, j), c in co.items():
+        if c >= 2:
+            sim = int(math.floor(c / (math.sqrt(supp[i]) * math.sqrt(supp[j])) * 1e9 + 0.5))
+            per_item[i].append((-sim, j, c))
+    for i, lst in per_item.items():
+        for rank, (negsim, j, c) in enumerate(sorted(lst)[:3], start=1):
+            want[(i, j)] = (c, -negsim, rank)
+    got = {
+        (int(r["item"]), int(r["rec"])): (int(r["co"]), int(r["sim_q9"]), int(r["rank"]))
+        for r in Q.QUERIES["item_cf"][0](spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_tfidf_topk_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+    tf = Counter()
+    docs_terms = defaultdict(set)
+    for r in rows:
+        for t in _tokens(r["text"]):
+            tf[(int(r["doc_id"]), t)] += 1
+            docs_terms[t].add(int(r["doc_id"]))
+    n_docs = len({d for d, _ in tf})
+    want = {}
+    per_doc = defaultdict(list)
+    for (doc, t), c in tf.items():
+        score = int(math.floor(c * math.log((n_docs + 1) / (len(docs_terms[t]) + 1)) * 1e6 + 0.5))
+        per_doc[doc].append((-score, t))
+    for doc, lst in per_doc.items():
+        for rank, (negs, t) in enumerate(sorted(lst)[:5], start=1):
+            want[(doc, t)] = (rank, -negs)
+    got = {
+        (int(r["doc_id"]), r["term"]): (int(r["rank"]), int(r["score_q6"]))
+        for r in Q.QUERIES["tfidf_topk"][0](spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_simhash_pairs_blocked_equals_brute(spark):
+    """The 4-block pigeonhole candidate generator is complete for d<=3:
+    blocked-join output == brute all-pairs Hamming filter."""
+    from osm_to_netex_spark.functions import text as tx
+
+    Q.register_geometry_views(spark, SF)
+    fp = tx.simhash64("text", "spark")
+    fps = {
+        int(r["doc_id"]): int(r["fp"])
+        for r in spark.sql(
+            f"select doc_id, cast({fp} as bigint) as fp from documents"
+        ).collect()
+    }
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"])): int(r["hamming"])
+        for r in Q.QUERIES["simhash_pairs"][0](spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
