@@ -526,6 +526,8 @@ def main():
         "item_cf",
         "tfidf_topk",
         "simhash_pairs",
+        "rocchio_expand",
+        "burstiness",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

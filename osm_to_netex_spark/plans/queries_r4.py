@@ -1716,6 +1716,184 @@ def q_simhash_pairs_oracle() -> str:
     return _simhash_pairs_sql(DUCK)
 
 
+# ---------------------------------------------------------------------------
+# Rocchio pseudo-relevance-feedback query expansion
+# ---------------------------------------------------------------------------
+_ROCCHIO_Q = ["spark", "join", "window", "vector"]  # same bag as bm25_topk
+_ROCCHIO_R = 5   # feedback depth
+_ROCCHIO_E = 5   # expansion terms
+_ROCCHIO_K = 10  # final top-k
+
+
+def _rocchio_sql(d: str) -> str:
+    """Rocchio pseudo-relevance feedback (the classic PRF expansion): rank
+    once with the original query, take the top-R docs as pseudo-relevant,
+    expand the query with their top-E tf·idf terms (q' = α·q + β/R·Σd —
+    α=β=1 cleared to integers), re-rank the corpus with the expanded
+    weights — the recall-booster behind every "searches related to"
+    pipeline, kept fully deterministic.
+
+    Exactness: tf·idf quantized to 1e-6 integers ONCE; both ranking
+    passes, the expansion-term selection, and the final scores are pure
+    bigint folds with (score desc, id asc) tie-breaks — no float ever
+    crosses a rank boundary.
+
+    Scale: two corpus-scored passes over the (doc, term) postings (map-
+    side combined), with the R-doc feedback set and the ≤|Q|+E expanded
+    term list as broadcast dimensions."""
+    toks = tx.tokens("text", d)
+    unnest = (
+        f"select doc_id, explode({toks}) as term from documents"
+        if d == SPARK
+        else f"select doc_id, unnest({toks}) as term from documents"
+    )
+    qterms = ", ".join(f"('{t}')" for t in _ROCCHIO_Q)
+    qsrc = (
+        f"select term from (values {qterms}) as q(term)"
+        if d == DUCK
+        else "select term from (values " + qterms + ") as q(term)"
+    )
+    return f"""
+        with t as ({unnest}),
+        tf as (select doc_id, term, cast(count(*) as bigint) as tf
+               from t group by doc_id, term),
+        dft as (select term, cast(count(*) as bigint) as df from tf group by term),
+        n as (select cast(count(distinct doc_id) as bigint) as n from tf),
+        tfidf as (
+            select tf.doc_id, tf.term,
+                   cast(floor(cast(tf.tf as double)
+                        * ln((cast(n.n as double) + 1.0e0)
+                             / (cast(dft.df as double) + 1.0e0))
+                        * 1000000.0e0 + 0.5e0) as bigint) as w_q6
+            from tf join dft on dft.term = tf.term cross join n
+        ),
+        q0 as ({qsrc}),
+        s1 as (
+            select w.doc_id, cast(sum(w.w_q6) as bigint) as score1
+            from tfidf w join q0 on q0.term = w.term
+            group by w.doc_id
+        ),
+        fb as (
+            select doc_id from (
+                select doc_id,
+                       row_number() over (order by score1 desc, doc_id asc) as rn
+                from s1
+            ) r where rn <= {_ROCCHIO_R}
+        ),
+        expw as (
+            select w.term, cast(sum(w.w_q6) as bigint) as w_sum
+            from tfidf w join fb on fb.doc_id = w.doc_id
+            where not exists (select 1 from q0 where q0.term = w.term)
+            group by w.term
+        ),
+        expsel as (
+            select term, w_sum from (
+                select term, w_sum,
+                       row_number() over (order by w_sum desc, term asc) as rn
+                from expw
+            ) r where rn <= {_ROCCHIO_E}
+        ),
+        qprime as (
+            select q0.term,
+                   cast({_ROCCHIO_R} as bigint)
+                   * (select max(idf_q6) from (
+                        select cast(floor(ln((cast(n.n as double) + 1.0e0)
+                               / (cast(dft.df as double) + 1.0e0))
+                               * 1000000.0e0 + 0.5e0) as bigint) as idf_q6
+                        from dft cross join n where dft.term = q0.term)) as w
+            from q0
+            union all
+            select term, w_sum as w from expsel
+        ),
+        s2 as (
+            select w.doc_id, cast(sum(qp.w * w.w_q6) as bigint) as score2
+            from tfidf w join qprime qp on qp.term = w.term
+            group by w.doc_id
+        )
+        select doc_id, score2, cast(rn as bigint) as rank
+        from (
+            select doc_id, score2,
+                   row_number() over (order by score2 desc, doc_id asc) as rn
+            from s2
+        ) r where rn <= {_ROCCHIO_K}"""
+
+
+def q_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_rocchio_sql(SPARK))
+
+
+def q_rocchio_oracle() -> str:
+    return _rocchio_sql(DUCK)
+
+
+# ---------------------------------------------------------------------------
+# Burstiness of inter-event times per user
+# ---------------------------------------------------------------------------
+def _burstiness_sql(d: str, min_events: int = 10) -> str:
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of each user's inter-event
+    times: B→−1 periodic, ≈0 Poisson, →1 bursty — the one-number temporal
+    signature (human activity is bursty; bots are periodic).
+
+    Exactness: deltas are exact integer microseconds (epoch diffs); μ and
+    σ come from integer Σδ and Σδ² (population form), B is one double
+    expression.  Σδ² ≤ n·(31 days in µs)² ≈ 7e25 — exceeds int64, so
+    deltas fold in SECONDS (≤ 2.7e6 s; Σδ² ≤ 7e13 ✓), losing sub-second
+    resolution the synthetic minute-scale gaps don't carry.
+
+    Scale: one lag window per user + one groupBy — single user_id
+    shuffle."""
+    w = "(partition by user_id order by ts asc, event_id asc)"
+    # exact integer epoch-µs diff, floored to whole seconds — Spark
+    # timestampdiff(SECOND) truncates the interval while DuckDB
+    # date_diff('second') counts boundary crossings (they disagree on
+    # sub-second phases); the µs-integer route is identical in both
+    us = (
+        "cast(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {t}) as bigint)"
+        if d == SPARK
+        else "cast(epoch_us({t}) as bigint)"
+    )
+    idiv = "div" if d == SPARK else "//"
+    delta = (
+        f"(({us.format(t='ts')} - {us.format(t=f'lag(ts) over {w}')})"
+        f" {idiv} 1000000)"
+    )
+    return f"""
+        with deltas as (
+            select user_id, {delta} as dt from events
+        ),
+        agg as (
+            select user_id,
+                   cast(count(dt) as bigint) as n,
+                   cast(sum(dt) as bigint) as s1,
+                   cast(sum(dt * dt) as bigint) as s2
+            from deltas where dt is not null
+            group by user_id
+            having count(dt) >= {int(min_events)}
+        )
+        select user_id, n,
+               round(cast(s1 as double) / cast(n as double), 6) as mean_gap_s,
+               round((sqrt(greatest(cast(s2 as double) / cast(n as double)
+                      - (cast(s1 as double) / cast(n as double))
+                        * (cast(s1 as double) / cast(n as double)), 0.0e0))
+                      - cast(s1 as double) / cast(n as double))
+                     / nullif(sqrt(greatest(cast(s2 as double) / cast(n as double)
+                      - (cast(s1 as double) / cast(n as double))
+                        * (cast(s1 as double) / cast(n as double)), 0.0e0))
+                      + cast(s1 as double) / cast(n as double), 0.0e0), 9)
+                   as burstiness
+        from agg"""
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_burstiness_sql(SPARK))
+
+
+def q_burstiness_oracle() -> str:
+    return _burstiness_sql(DUCK)
+
+
 def register_r4(QUERIES: dict) -> None:
     QUERIES["spearman"] = (q_spearman, q_spearman_oracle)
     QUERIES["mannwhitney"] = (q_mannwhitney, q_mannwhitney_oracle)
@@ -1739,5 +1917,7 @@ def register_r4(QUERIES: dict) -> None:
     QUERIES["auc_roc"] = (q_auc_roc, q_auc_roc_oracle)
     QUERIES["isotonic_calibration"] = (q_isotonic, q_isotonic_oracle)
     QUERIES["item_cf"] = (q_item_cf, q_item_cf_oracle)
+    QUERIES["rocchio_expand"] = (q_rocchio, q_rocchio_oracle)
+    QUERIES["burstiness"] = (q_burstiness, q_burstiness_oracle)
     QUERIES["tfidf_topk"] = (q_tfidf_topk, q_tfidf_topk_oracle)
     QUERIES["simhash_pairs"] = (q_simhash_pairs, q_simhash_pairs_oracle)

@@ -827,3 +827,87 @@ def test_simhash_pairs_blocked_equals_brute(spark):
         for r in Q.QUERIES["simhash_pairs"][0](spark, SF).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_burstiness_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "event_id", "ts"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[int(r["user_id"])].append((r["ts"], int(r["event_id"])))
+    import datetime
+    epoch = datetime.datetime(1970, 1, 1)
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        deltas = []
+        for (t1, _), (t2, _) in zip(evs, evs[1:]):
+            us1 = int((t1 - epoch).total_seconds() * 1e6 + 0.5)
+            us2 = int((t2 - epoch).total_seconds() * 1e6 + 0.5)
+            deltas.append((us2 - us1) // 10**6)
+        if len(deltas) < 10:
+            continue
+        n = len(deltas)
+        mu = sum(deltas) / n
+        var = sum(x * x for x in deltas) / n - mu * mu
+        sd = math.sqrt(max(var, 0.0))
+        want[u] = (n, round((sd - mu) / (sd + mu), 9))
+    got = {
+        int(r["user_id"]): (int(r["n"]), r["burstiness"])
+        for r in Q.QUERIES["burstiness"][0](spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert got[u][1] == pytest.approx(want[u][1], abs=1e-8)
+        assert -1.0 <= got[u][1] <= 1.0
+
+
+def test_rocchio_expand_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+    Qt = ["spark", "join", "window", "vector"]
+    R, E, K = 5, 5, 10
+    tf = Counter()
+    df_t = defaultdict(set)
+    for r in rows:
+        for t in _tokens(r["text"]):
+            tf[(int(r["doc_id"]), t)] += 1
+            df_t[t].add(int(r["doc_id"]))
+    n_docs = len({d for d, _ in tf})
+    w_q6 = {
+        (doc, t): int(math.floor(c * math.log((n_docs + 1) / (len(df_t[t]) + 1)) * 1e6 + 0.5))
+        for (doc, t), c in tf.items()
+    }
+    s1 = Counter()
+    for (doc, t), w in w_q6.items():
+        if t in Qt:
+            s1[doc] += w
+    fb = [d for d, _ in sorted(s1.items(), key=lambda kv: (-kv[1], kv[0]))[:R]]
+    expw = Counter()
+    for (doc, t), w in w_q6.items():
+        if doc in fb and t not in Qt:
+            expw[t] += w
+    exp_terms = sorted(expw.items(), key=lambda kv: (-kv[1], kv[0]))[:E]
+    qprime = {}
+    for t in Qt:
+        if t in df_t:
+            idf = int(math.floor(math.log((n_docs + 1) / (len(df_t[t]) + 1)) * 1e6 + 0.5))
+            qprime[t] = R * idf
+    for t, w in exp_terms:
+        qprime[t] = qprime.get(t, 0) + w
+    s2 = Counter()
+    for (doc, t), w in w_q6.items():
+        if t in qprime:
+            s2[doc] += qprime[t] * w
+    want = {
+        doc: (sc, rank)
+        for rank, (doc, sc) in enumerate(
+            sorted(s2.items(), key=lambda kv: (-kv[1], kv[0]))[:K], start=1
+        )
+    }
+    got = {
+        int(r["doc_id"]): (int(r["score2"]), int(r["rank"]))
+        for r in Q.QUERIES["rocchio_expand"][0](spark, SF).collect()
+    }
+    assert got == want and len(got) == K
