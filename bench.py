@@ -528,6 +528,8 @@ def main():
         "simhash_pairs",
         "rocchio_expand",
         "burstiness",
+        "raster_slope",
+        "zonal_majority",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

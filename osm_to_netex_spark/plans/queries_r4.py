@@ -1894,6 +1894,130 @@ def q_burstiness_oracle() -> str:
     return _burstiness_sql(DUCK)
 
 
+# ---------------------------------------------------------------------------
+# Raster slope/gradient + zonal majority (map-algebra extensions)
+# ---------------------------------------------------------------------------
+def _raster_cte(d: str, res: int = 12, seed: int = 42) -> str:
+    """(ix, iy, cell, value) raster CTE — same arithmetic as
+    operators.raster.synthesize_raster / the raster_zonal oracle."""
+    from ..functions import geo
+    from ..functions.portable import concat_str, flit, phash60
+
+    from . import queries as q
+
+    n = 2**res
+    iy_lo = int((q.LAT_LO + 90.0) / 180.0 * n)
+    iy_hi = int((q.LAT_HI + 90.0) / 180.0 * n)
+    ix_lo = int((q.LON_LO + 180.0) / 360.0 * n)
+    ix_hi = int((q.LON_HI + 180.0) / 360.0 * n)
+    w = ix_hi - ix_lo + 1
+    total = (iy_hi - iy_lo + 1) * w
+    h = phash60(concat_str([f"'{seed}:ras:'", "iy", "':'", "ix"], d), d)
+    if d == SPARK:
+        src = (
+            f"select ({iy_lo} + i div {w}) as iy, ({ix_lo} + i % {w}) as ix "
+            f"from (select explode(sequence(0, {total - 1})) as i)"
+        )
+    else:
+        src = (
+            f"select ({iy_lo} + i // {w}) as iy, ({ix_lo} + i % {w}) as ix "
+            f"from generate_series(0, {total - 1}) t(i)"
+        )
+    return (
+        f"select iy, ix, {geo.quad_pack('ix', 'iy', res)} as cell, "
+        f"round(({h} / {flit(float(2**60))}) * 2000.0e0, 3) as value "
+        f"from ({src}) g"
+    )
+
+
+def _raster_slope_sql(d: str, res: int = 12) -> str:
+    """Slope/gradient raster by central differences over the cell lattice —
+    the first map-algebra derivative (feeds hillshade, runoff, viewshed
+    pipelines).  TRIG-FREE: emits (dz/dx, dz/dy, |∇z|) in m/m; the caller
+    takes atan/atan2 for slope°/aspect client-side (no cross-engine trig).
+
+    Exactness: values are 1e-3-rounded synthesized elevations; gradients
+    are one double expression of four of them over fixed metric cell sizes
+    (COSLAT0 equirect) — identical op sequence both engines.
+
+    Scale: three equi-joins of the raster with its ±1 shifted self, all on
+    the cell lattice key — raster-sized, no corpus involvement; interior
+    cells only (all four neighbors present)."""
+    from . import queries as q
+
+    n = 2**res
+    m_per_deg = 111194.92664455873
+    cell_y_m = 180.0 / n * m_per_deg
+    cell_x_m = 360.0 / n * m_per_deg * q.COSLAT0
+    return f"""ras as ({_raster_cte(d, res)}),
+        grad as (
+            select c.ix, c.iy,
+                   (e.value - w.value) / {2.0 * cell_x_m!r}e0 as gx,
+                   (nn.value - s.value) / {2.0 * cell_y_m!r}e0 as gy
+            from ras c
+            join ras e on e.iy = c.iy and e.ix = c.ix + 1
+            join ras w on w.iy = c.iy and w.ix = c.ix - 1
+            join ras nn on nn.ix = c.ix and nn.iy = c.iy + 1
+            join ras s on s.ix = c.ix and s.iy = c.iy - 1
+        )
+        select cast(ix as bigint) as ix, cast(iy as bigint) as iy,
+               round(gx, 9) as gx, round(gy, 9) as gy,
+               round(sqrt(gx * gx + gy * gy), 9) as slope
+        from grad"""
+
+
+def q_raster_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(f"with {_raster_slope_sql(SPARK)}")
+
+
+def q_raster_slope_oracle() -> str:
+    return f"with {_raster_slope_sql(DUCK)}"
+
+
+def _zonal_majority_sql(d: str, res: int = 12, band_m: float = 200.0) -> str:
+    """Zonal MAJORITY (modal elevation band per polygon) — the categorical
+    zonal statistic avg/min/max can't express (land-cover class, dominant
+    band); deterministic tie-break (count desc, band asc).
+
+    Scale: cover explode → raster equi-join → (zone, band) map-side-
+    combined counts → one zone-partitioned window over the band table."""
+    from ..functions import geo
+
+    cover = (
+        f"select zone_id, explode({geo.quad_cover_bbox('pos_list', res, d)}) as cell from geo_polys"
+        if d == SPARK
+        else f"select zone_id, unnest({geo.quad_cover_bbox('pos_list', res, d)}) as cell from geo_polys"
+    )
+    return f"""ras as ({_raster_cte(d, res)}),
+        cover as ({cover}),
+        bands as (
+            select c.zone_id,
+                   cast(floor(r.value / {band_m!r}e0) as bigint) as band,
+                   cast(count(*) as bigint) as n_cells
+            from cover c join ras r on r.cell = c.cell
+            group by c.zone_id, 2
+        )
+        select zone_id, band, n_cells
+        from (
+            select zone_id, band, n_cells,
+                   row_number() over (partition by zone_id
+                                      order by n_cells desc, band asc) as rn
+            from bands
+        ) r where rn = 1"""
+
+
+def q_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(f"with {_zonal_majority_sql(SPARK)}")
+
+
+def q_zonal_majority_oracle() -> str:
+    from . import queries as q
+
+    return f"{q.duck_geometry_ctes()}, {_zonal_majority_sql(DUCK)}"
+
+
 def register_r4(QUERIES: dict) -> None:
     QUERIES["spearman"] = (q_spearman, q_spearman_oracle)
     QUERIES["mannwhitney"] = (q_mannwhitney, q_mannwhitney_oracle)
@@ -1919,5 +2043,7 @@ def register_r4(QUERIES: dict) -> None:
     QUERIES["item_cf"] = (q_item_cf, q_item_cf_oracle)
     QUERIES["rocchio_expand"] = (q_rocchio, q_rocchio_oracle)
     QUERIES["burstiness"] = (q_burstiness, q_burstiness_oracle)
+    QUERIES["raster_slope"] = (q_raster_slope, q_raster_slope_oracle)
+    QUERIES["zonal_majority"] = (q_zonal_majority, q_zonal_majority_oracle)
     QUERIES["tfidf_topk"] = (q_tfidf_topk, q_tfidf_topk_oracle)
     QUERIES["simhash_pairs"] = (q_simhash_pairs, q_simhash_pairs_oracle)

@@ -911,3 +911,60 @@ def test_rocchio_expand_matches_python_replay(spark):
         for r in Q.QUERIES["rocchio_expand"][0](spark, SF).collect()
     }
     assert got == want and len(got) == K
+
+
+def test_raster_slope_matches_python_replay(spark):
+    Q.register_geometry_views(spark, SF)
+    ras = {
+        (int(r["ix"]), int(r["iy"])): r["value"]
+        for r in spark.sql(
+            "with r as ("
+            + __import__("osm_to_netex_spark.plans.queries_r4", fromlist=["x"])._raster_cte("spark")
+            + ") select ix, iy, value from r"
+        ).collect()
+    }
+    n = 2 ** 12
+    M = 111194.92664455873
+    cy = 180.0 / n * M
+    cx = 360.0 / n * M * Q.COSLAT0
+    want = {}
+    for (ix, iy), v in ras.items():
+        try:
+            e, w_, nn, s = ras[(ix + 1, iy)], ras[(ix - 1, iy)], ras[(ix, iy + 1)], ras[(ix, iy - 1)]
+        except KeyError:
+            continue
+        gx = (e - w_) / (2 * cx)
+        gy = (nn - s) / (2 * cy)
+        want[(ix, iy)] = (round(gx, 9), round(gy, 9), round(math.sqrt(gx * gx + gy * gy), 9))
+    got = {
+        (int(r["ix"]), int(r["iy"])): (r["gx"], r["gy"], r["slope"])
+        for r in Q.QUERIES["raster_slope"][0](spark, SF).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k in want:
+        for a, b in zip(got[k], want[k]):
+            assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_zonal_majority_is_modal_band(spark):
+    """The reported band is the modal band: no other band in the zone's
+    cover has a higher cell count (ties break to the lower band)."""
+    Q.register_geometry_views(spark, SF)
+    from osm_to_netex_spark.plans.queries_r4 import _raster_cte, _zonal_majority_sql
+
+    full = spark.sql(
+        "with " + _zonal_majority_sql("spark").replace(
+            "where rn = 1", "where rn >= 1"
+        )
+    ).collect()
+    per_zone = defaultdict(list)
+    for r in full:
+        per_zone[r["zone_id"]].append((int(r["n_cells"]), int(r["band"])))
+    got = {
+        r["zone_id"]: (int(r["band"]), int(r["n_cells"]))
+        for r in Q.QUERIES["zonal_majority"][0](spark, SF).collect()
+    }
+    assert set(got) == set(per_zone)
+    for z, rows in per_zone.items():
+        best = max((n, -b) for n, b in rows)
+        assert got[z] == (-best[1], best[0])
