@@ -530,6 +530,8 @@ def main():
         "burstiness",
         "raster_slope",
         "zonal_majority",
+        "tpch_q5",
+        "l_moments",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -2018,6 +2018,123 @@ def q_zonal_majority_oracle() -> str:
     return f"{q.duck_geometry_ctes()}, {_zonal_majority_sql(DUCK)}"
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q5 (local supplier volume)
+# ---------------------------------------------------------------------------
+def _tpch_q5_sql(d: str) -> str:
+    """TPC-H Q5 shape — local-supplier volume per nation within a region/
+    date window: the six-table snowflake join with the customer-and-
+    supplier-same-nation correlation predicate (the join-order stress case
+    Q7 doesn't exercise: the c↔s nation equality closes a CYCLE in the
+    join graph).  Revenue quantized per row to int 1e-4 before the sum
+    (the engine's TPC-H idiom).
+
+    Scale: fact-sized hash joins against broadcast snowflake dimensions;
+    one map-side-combined aggregate on nation."""
+    return """
+        select n_name,
+               cast(count(*) as bigint) as n_lines,
+               cast(sum(cast(floor(l_extendedprice * (1.0e0 - l_discount)
+                    * 1.0e4 + 0.5e0) as bigint)) as bigint) as revenue_q4
+        from customer
+        join orders   on o_custkey   = c_custkey
+        join lineitem on l_orderkey  = o_orderkey
+        join supplier on s_suppkey   = l_suppkey
+                     and s_nationkey = c_nationkey
+        join nation   on n_nationkey = c_nationkey
+        join region   on r_regionkey = n_regionkey
+        where r_name = 'ASIA'
+          and o_orderdate >= date '1996-01-01'
+          and o_orderdate <  date '1997-01-01'
+        group by n_name"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_tpch_q5_sql(SPARK))
+
+
+def q_tpch_q5_oracle() -> str:
+    return _tpch_q5_sql(DUCK)
+
+
+# ---------------------------------------------------------------------------
+# L-moments (robust distribution shape per group)
+# ---------------------------------------------------------------------------
+def _l_moments_sql(d: str) -> str:
+    """Sample L-moments of `value` per event_type (Hosking 1990): l1, l2
+    (L-scale), t3 (L-skewness), t4 (L-kurtosis) — the order-statistics
+    moments hydrology/finance use where classical skew/kurtosis explode on
+    heavy tails.  Direct estimator from probability-weighted moments:
+    b_r = (1/n)·Σ_i [C(i−1, r)/C(n−1, r)]·x_(i).
+
+    Exactness: x folds in exact integer cents (×100, the column's own
+    precision); the PWM weights C(i−1,r) are INTEGER rank polynomials from
+    one row_number (deterministic (value, event_id) order — tie order is
+    immaterial: tied x share the same value, and Σ over a tie block of a
+    polynomial in i is order-free), so b0..b3 numerators are exact bigint
+    sums; the C(n−1,r) denominators and the l/t ratios are one final
+    double expression.
+
+    Scale: one rank window per group + one groupBy — single event_type
+    shuffle.  Σ i³·x_cents ≤ n⁴·max_cents ≈ 10¹⁶·2·10⁴ exceeds int64 at
+    n=10⁵ — so the window is per GROUP (n≈2·10⁴: Σ ≤ 3·10²¹?  No: per
+    group n≈2·10⁴ ⇒ n³·max_cents·n = 1.6·10¹⁷·… — bounds actually pinned
+    by the dtype audit at every SF; b3's worst term (i−1)(i−2)(i−3)·x ≈
+    8·10¹² per row, Σ over 2·10⁴ rows ≈ 1.6·10¹⁷ < 9.2·10¹⁸ ✓)."""
+    return """
+        with base as (
+            select event_type,
+                   cast(floor(value * 100.0e0 + 0.5e0) as bigint) as xc,
+                   event_id
+            from events
+        ),
+        ranked as (
+            select event_type, xc,
+                   cast(row_number() over (partition by event_type
+                        order by xc asc, event_id asc) as bigint) as i
+            from base
+        ),
+        pwm as (
+            select event_type,
+                   cast(count(*) as bigint) as n,
+                   cast(sum(xc) as bigint) as s0,
+                   cast(sum((i - 1) * xc) as bigint) as s1,
+                   cast(sum((i - 1) * (i - 2) * xc) as bigint) as s2,
+                   cast(sum((i - 1) * (i - 2) * (i - 3) * xc) as bigint) as s3
+            from ranked group by event_type
+        ),
+        b as (
+            select event_type, n,
+                   cast(s0 as double) / cast(n as double) / 100.0e0 as b0,
+                   cast(s1 as double) / cast(n as double)
+                       / cast(n - 1 as double) / 100.0e0 as b1,
+                   cast(s2 as double) / cast(n as double)
+                       / cast((n - 1) * (n - 2) as double) / 100.0e0 as b2,
+                   cast(s3 as double) / cast(n as double)
+                       / cast((n - 1) * (n - 2) * (n - 3) as double) / 100.0e0
+                       as b3
+            from pwm
+        )
+        select event_type, n,
+               round(b0, 9) as l1,
+               round(2.0e0 * b1 - b0, 9) as l2,
+               round((6.0e0 * b2 - 6.0e0 * b1 + b0)
+                     / nullif(2.0e0 * b1 - b0, 0.0e0), 9) as t3,
+               round((20.0e0 * b3 - 30.0e0 * b2 + 12.0e0 * b1 - b0)
+                     / nullif(2.0e0 * b1 - b0, 0.0e0), 9) as t4
+        from b"""
+
+
+def q_l_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_l_moments_sql(SPARK))
+
+
+def q_l_moments_oracle() -> str:
+    return _l_moments_sql(DUCK)
+
+
 def register_r4(QUERIES: dict) -> None:
     QUERIES["spearman"] = (q_spearman, q_spearman_oracle)
     QUERIES["mannwhitney"] = (q_mannwhitney, q_mannwhitney_oracle)
@@ -2045,5 +2162,7 @@ def register_r4(QUERIES: dict) -> None:
     QUERIES["burstiness"] = (q_burstiness, q_burstiness_oracle)
     QUERIES["raster_slope"] = (q_raster_slope, q_raster_slope_oracle)
     QUERIES["zonal_majority"] = (q_zonal_majority, q_zonal_majority_oracle)
+    QUERIES["tpch_q5"] = (q_tpch_q5, q_tpch_q5_oracle)
+    QUERIES["l_moments"] = (q_l_moments, q_l_moments_oracle)
     QUERIES["tfidf_topk"] = (q_tfidf_topk, q_tfidf_topk_oracle)
     QUERIES["simhash_pairs"] = (q_simhash_pairs, q_simhash_pairs_oracle)

@@ -968,3 +968,83 @@ def test_zonal_majority_is_modal_band(spark):
     for z, rows in per_zone.items():
         best = max((n, -b) for n, b in rows)
         assert got[z] == (-best[1], best[0])
+
+
+def test_l_moments_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "value", "event_id"
+    ).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["event_type"]].append(
+            (int(math.floor(r["value"] * 100 + 0.5)), int(r["event_id"]))
+        )
+    want = {}
+    for t, xs in per.items():
+        xs.sort()
+        n = len(xs)
+        s0 = sum(x for x, _ in xs)
+        s1 = sum((i) * x for i, (x, _) in enumerate(xs))          # (rank-1)
+        s2 = sum((i) * (i - 1) * x for i, (x, _) in enumerate(xs))
+        s3 = sum((i) * (i - 1) * (i - 2) * x for i, (x, _) in enumerate(xs))
+        b0 = s0 / n / 100
+        b1 = s1 / n / (n - 1) / 100
+        b2 = s2 / n / ((n - 1) * (n - 2)) / 100
+        b3 = s3 / n / ((n - 1) * (n - 2) * (n - 3)) / 100
+        l2 = 2 * b1 - b0
+        want[t] = (
+            n, round(b0, 9), round(l2, 9),
+            round((6 * b2 - 6 * b1 + b0) / l2, 9),
+            round((20 * b3 - 30 * b2 + 12 * b1 - b0) / l2, 9),
+        )
+    got = {
+        r["event_type"]: (int(r["n"]), r["l1"], r["l2"], r["t3"], r["t4"])
+        for r in Q.QUERIES["l_moments"][0](spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == want[t][0]
+        for a, b in zip(got[t][1:], want[t][1:]):
+            assert a == pytest.approx(b, abs=1e-8)
+        # L-moment ratio bounds: |t3| < 1, and t4 >= (5*t3^2 - 1)/4
+        assert abs(got[t][3]) < 1
+        assert got[t][4] >= (5 * got[t][3] ** 2 - 1) / 4 - 1e-9
+
+
+def test_tpch_q5_matches_manual_join(spark):
+    import datetime
+    sfd = SF
+    cust = {int(r["c_custkey"]): int(r["c_nationkey"])
+            for r in spark.read.parquet(f"{sfd}/customer.parquet").collect()}
+    supp = {int(r["s_suppkey"]): int(r["s_nationkey"])
+            for r in spark.read.parquet(f"{sfd}/supplier.parquet").collect()}
+    nat = {int(r["n_nationkey"]): (r["n_name"], int(r["n_regionkey"]))
+           for r in spark.read.parquet(f"{sfd}/nation.parquet").collect()}
+    reg = {int(r["r_regionkey"]): r["r_name"]
+           for r in spark.read.parquet(f"{sfd}/region.parquet").collect()}
+    orders = {int(r["o_orderkey"]): (int(r["o_custkey"]), r["o_orderdate"])
+              for r in spark.read.parquet(f"{sfd}/orders.parquet").collect()}
+    want = defaultdict(lambda: [0, 0])
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    for r in spark.read.parquet(f"{sfd}/lineitem.parquet").collect():
+        ok = int(r["l_orderkey"])
+        if ok not in orders:
+            continue
+        ck, od = orders[ok]
+        if not (lo <= od < hi):
+            continue
+        cn = cust[ck]
+        if supp.get(int(r["l_suppkey"])) != cn:
+            continue
+        name, rk = nat[cn]
+        if reg[rk] != "ASIA":
+            continue
+        w = want[name]
+        w[0] += 1
+        w[1] += int(math.floor(r["l_extendedprice"] * (1 - r["l_discount"]) * 1e4 + 0.5))
+    got = {
+        r["n_name"]: (int(r["n_lines"]), int(r["revenue_q4"]))
+        for r in Q.QUERIES["tpch_q5"][0](spark, SF).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()} and len(got) > 0
