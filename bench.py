@@ -532,6 +532,7 @@ def main():
         "zonal_majority",
         "tpch_q5",
         "l_moments",
+        "vocab_richness",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -2135,6 +2135,61 @@ def q_l_moments_oracle() -> str:
     return _l_moments_sql(DUCK)
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary richness: Chao1 + Good–Turing unseen mass per source
+# ---------------------------------------------------------------------------
+def _vocab_richness_sql(d: str) -> str:
+    """How much vocabulary a source HASN'T shown yet — the
+    sample-coverage question a corpus-curation pipeline asks before
+    deciding it has "enough" of a source: Chao1 richness D + f1²/(2·f2)
+    (lower bound on total types; bias-corrected f1(f1−1)/(2(f2+1)) when
+    f2=0) and the Good–Turing unseen probability mass p0 = f1/N.
+
+    Exactness: f1/f2/D/N are integer counts; the two estimates are one
+    final double expression each, quantized.
+
+    Scale: (source, term) counts → frequency-of-frequency counts — two
+    map-side-combined groupBys, dimension-sized output."""
+    toks = tx.tokens("text", d)
+    unnest = (
+        f"select source, explode({toks}) as term from documents"
+        if d == SPARK
+        else f"select source, unnest({toks}) as term from documents"
+    )
+    return f"""
+        with t as ({unnest}),
+        tf as (select source, term, cast(count(*) as bigint) as c
+               from t group by source, term),
+        fof as (
+            select source,
+                   cast(count(*) as bigint) as d_obs,
+                   cast(sum(c) as bigint) as n_tokens,
+                   cast(sum(case when c = 1 then 1 else 0 end) as bigint) as f1,
+                   cast(sum(case when c = 2 then 1 else 0 end) as bigint) as f2
+            from tf group by source
+        )
+        select source, d_obs, n_tokens, f1, f2,
+               cast(floor((cast(d_obs as double)
+                    + case when f2 > 0
+                           then cast(f1 as double) * cast(f1 as double)
+                                / (2.0e0 * cast(f2 as double))
+                           else cast(f1 as double) * cast(f1 - 1 as double)
+                                / (2.0e0 * cast(f2 + 1 as double)) end)
+                    * 1000000.0e0 + 0.5e0) as bigint) as chao1_q6,
+               cast(floor(cast(f1 as double) / cast(n_tokens as double)
+                    * 1000000000.0e0 + 0.5e0) as bigint) as gt_unseen_q9
+        from fof"""
+
+
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(_vocab_richness_sql(SPARK))
+
+
+def q_vocab_richness_oracle() -> str:
+    return _vocab_richness_sql(DUCK)
+
+
 def register_r4(QUERIES: dict) -> None:
     QUERIES["spearman"] = (q_spearman, q_spearman_oracle)
     QUERIES["mannwhitney"] = (q_mannwhitney, q_mannwhitney_oracle)
@@ -2164,5 +2219,6 @@ def register_r4(QUERIES: dict) -> None:
     QUERIES["zonal_majority"] = (q_zonal_majority, q_zonal_majority_oracle)
     QUERIES["tpch_q5"] = (q_tpch_q5, q_tpch_q5_oracle)
     QUERIES["l_moments"] = (q_l_moments, q_l_moments_oracle)
+    QUERIES["vocab_richness"] = (q_vocab_richness, q_vocab_richness_oracle)
     QUERIES["tfidf_topk"] = (q_tfidf_topk, q_tfidf_topk_oracle)
     QUERIES["simhash_pairs"] = (q_simhash_pairs, q_simhash_pairs_oracle)

@@ -1048,3 +1048,41 @@ def test_tpch_q5_matches_manual_join(spark):
         for r in Q.QUERIES["tpch_q5"][0](spark, SF).collect()
     }
     assert got == {k: tuple(v) for k, v in want.items()} and len(got) > 0
+
+
+def test_vocab_richness_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select("source", "text").collect()
+    tf = Counter()
+    for r in rows:
+        for t in _tokens(r["text"]):
+            tf[(r["source"], t)] += 1
+    per = defaultdict(lambda: [0, 0, 0, 0])  # d, n, f1, f2
+    for (s, _), c in tf.items():
+        p = per[s]
+        p[0] += 1
+        p[1] += c
+        if c == 1:
+            p[2] += 1
+        elif c == 2:
+            p[3] += 1
+    want = {}
+    for s, (d_obs, n, f1, f2) in per.items():
+        if f2 > 0:
+            chao = d_obs + f1 * f1 / (2.0 * f2)
+        else:
+            chao = d_obs + f1 * (f1 - 1) / (2.0 * (f2 + 1))
+        want[s] = (
+            d_obs, n, f1, f2,
+            int(math.floor(chao * 1e6 + 0.5)),
+            int(math.floor(f1 / n * 1e9 + 0.5)),
+        )
+    got = {
+        r["source"]: (
+            int(r["d_obs"]), int(r["n_tokens"]), int(r["f1"]), int(r["f2"]),
+            int(r["chao1_q6"]), int(r["gt_unseen_q9"]),
+        )
+        for r in Q.QUERIES["vocab_richness"][0](spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+    for s, v in got.items():
+        assert v[4] >= v[0] * 10**6  # Chao1 >= observed richness
