@@ -229,15 +229,23 @@ def lsh_band_stats(
         )
         .agg(
             F.count("*").cast("long").alias("n_candidates"),
-            F.sum("hit").cast("long").alias("n_verified"),
+            # empty candidate set: sum over zero rows is NULL — coalesce to
+            # 0 so the output stays scalar-only (gate discipline)
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_verified"),
         )
     )
     out = cstats.crossJoin(bstats).select(
         "n_candidates",
         "n_verified",
-        F.round(
-            F.col("n_verified").cast("double") / F.col("n_candidates").cast("double"), 9
-        ).alias("banding_precision"),
+        # 0/0 on an empty candidate set → precision 0.0, not NULL
+        F.when(F.col("n_candidates") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("n_verified").cast("double") / F.col("n_candidates").cast("double"),
+                9,
+            )
+        )
+        .alias("banding_precision"),
         "n_buckets",
         "max_bucket",
     )

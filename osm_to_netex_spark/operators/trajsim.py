@@ -454,7 +454,10 @@ def edr_join(
     DP as one nested-let_ integer expression."""
     assert int(max_edr) < int(n_steps), "prefilter completeness needs max_edr < n"
     n = 2**res
-    r_deg = eps_m / geo.M_PER_DEG
+    # DP matches on round(dist_m*1000) <= eps_mm, which admits pairs up to
+    # eps_m + 0.5 mm apart — pad the cover by a full extra mm so the
+    # prefilter provably dominates the match predicate at the rounding edge
+    r_deg = (eps_m + 0.001) / geo.M_PER_DEG
 
     rows = trajs.groupBy(traj_id).agg(
         F.expr(

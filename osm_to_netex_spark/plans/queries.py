@@ -7064,7 +7064,7 @@ def _lsh_band_stats_sql(d: str, threshold: float = 0.4) -> str:
         ),
         cstats as (
             select cast(count(*) as bigint) as n_candidates,
-                   cast(sum(hit) as bigint) as n_verified
+                   cast(coalesce(sum(hit), 0) as bigint) as n_verified
             from scored
         ),
         bstats as (
@@ -7073,8 +7073,10 @@ def _lsh_band_stats_sql(d: str, threshold: float = 0.4) -> str:
             from buckets
         )
         select c.n_candidates, c.n_verified,
-               round(cast(c.n_verified as double)
-                     / cast(c.n_candidates as double), 9) as banding_precision,
+               case when c.n_candidates = 0 then 0.0e0
+                    else round(cast(c.n_verified as double)
+                               / cast(c.n_candidates as double), 9)
+               end as banding_precision,
                b.n_buckets, b.max_bucket
         from cstats c cross join bstats b"""
 

@@ -164,8 +164,15 @@ def _jsd_sql(d: str) -> str:
     edge is cross-engine-stable — same discipline as nb_langid/pmi).
     0·ln 0 handled by the p>0 / q>0 guards.
 
-    Scale: token explode → (source, term) count (map-side combined), term
-    totals join on term — dimension-sized; corpus scanned once."""
+    Support: the grid is sources × corpus vocabulary (gt), LEFT-joined to
+    the per-source counts with c_s coalesced to 0 — so terms a source is
+    MISSING (p=0, q>0) contribute their q·ln 2/2 mass.  (Pre-r5 this
+    derived from st and silently dropped exactly the missing-vocabulary
+    signal a drift measure exists to catch.)
+
+    Scale: token explode → (source, term) count (map-side combined); the
+    sources×vocab grid is |sources|·|vocab| — dimension-sized (sources is
+    a tiny broadcast side); corpus scanned once."""
     toks = tx.tokens("text", d)
     unnest = (
         f"select source, explode({toks}) as term from documents"
@@ -189,10 +196,12 @@ def _jsd_sql(d: str) -> str:
         ns as (select source, cast(sum(c_s) as bigint) as n_s from st group by source),
         ng as (select cast(count(*) as bigint) as n_g from t),
         grid as (
-            select st.source, st.c_s, gt.c_g, ns.n_s, ng.n_g
-            from st
-            join gt on gt.term = st.term
-            join ns on ns.source = st.source
+            select ns.source,
+                   coalesce(st.c_s, cast(0 as bigint)) as c_s,
+                   gt.c_g, ns.n_s, ng.n_g
+            from ns
+            cross join gt
+            left join st on st.source = ns.source and st.term = gt.term
             cross join ng
         )
         select source,

@@ -105,17 +105,21 @@ def test_jsd_matches_python_replay_and_bounds(spark):
             gt[tok] += 1
             ns[r["source"]] += 1
     n_g = sum(gt.values())
+    # full sources × vocabulary grid: terms a source is MISSING (p=0, q>0)
+    # contribute q·ln2/2 — the missing-vocabulary mass the measure exists for
     want: Counter = Counter()
-    for (s, tok), c_s in st.items():
-        p = c_s / ns[s]
-        qq = (gt[tok] - c_s) / (n_g - ns[s])
-        m = (p + qq) / 2.0
-        contrib = 0.0
-        if c_s > 0:
-            contrib += p * math.log(p / m)
-        if gt[tok] - c_s > 0:
-            contrib += qq * math.log(qq / m)
-        want[s] += int(math.floor(contrib / 2.0 * 1e9 + 0.5))
+    for s in ns:
+        for tok, c_g in gt.items():
+            c_s = st.get((s, tok), 0)
+            p = c_s / ns[s]
+            qq = (c_g - c_s) / (n_g - ns[s])
+            m = (p + qq) / 2.0
+            contrib = 0.0
+            if c_s > 0:
+                contrib += p * math.log(p / m)
+            if c_g - c_s > 0:
+                contrib += qq * math.log(qq / m)
+            want[s] += int(math.floor(contrib / 2.0 * 1e9 + 0.5))
     got = {
         r["source"]: int(r["jsd_q9"])
         for r in Q.QUERIES["jsd_drift"][0](spark, SF).collect()

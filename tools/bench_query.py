@@ -32,9 +32,14 @@ BUDGET = float(os.environ.get("SPARK_GRAFT_QUERY_BUDGET", "15"))
 
 
 def names_added_since(ref: str) -> list[str]:
-    """Registry names whose QUERIES[...] assignment is new since <ref>."""
+    """Registry names whose QUERIES[...] assignment is new since <ref>.
+
+    Diffs the WHOLE plans/ package, not just queries.py — round-4 queries
+    register from queries_r4.py-style modules, and a queries.py-only diff
+    silently reported 'no new registry queries' for exactly that pattern
+    (ADVICE r4), defeating the guard."""
     diff = subprocess.run(
-        ["git", "diff", ref, "--", "osm_to_netex_spark/plans/queries.py"],
+        ["git", "diff", ref, "--", "osm_to_netex_spark/plans/"],
         capture_output=True, text=True, check=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ).stdout
