@@ -22,19 +22,26 @@ Model (Newson & Krumm 2009, simplified to a deterministic integer form):
   trajectory, identically in both engines).
 
 All costs are bigint ⇒ every min is exact and ties break deterministically
-by (cost, line, seg) lexicographic struct-min.  The forward pass runs
-max-trajectory-length rounds — 2 shuffles per round, dp/parent tables
-localCheckpoint-bounded (the sssp/grid_bfs discipline); segment GPS traces
-into bounded windows first (operators/chunking, events_sessionize) if raw
-trajectories are unbounded.  The backtrack replays the parent tables from
-the per-trajectory argmin — K small joins on trajectory-sized tables.
+by (cost, line, seg) lexicographic struct-min.  The whole DP runs as ONE
+per-trajectory higher-order-function expression over the collected
+candidate set (ONE groupBy shuffle, no per-round jobs): trajectories are
+bounded windows by contract — segment GPS traces first
+(operators/chunking, events_sessionize) if raw trajectories are unbounded
+— so per-trajectory state is O(steps × candidates-per-step), tiny.  The
+pre-r5 form looped k_max driver rounds with a localCheckpoint barrier per
+round (the sssp/grid_bfs discipline, ~12 jobs): correct, but 29.5 s
+at sf0.1 against 3.2 s for this form — round-job overhead, not compute.
+Paths are carried forward in the DP state (path-copy Viterbi), so no
+separate backtrack pass exists; the stay-vs-switch decision and both
+argmin tie-breaks are the same algebra the unrolled DuckDB oracle
+replays.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-from .dedup import _attach_cached
+from ..functions.portable import SPARK, let_
 from .distjoin import seg_candidates
 
 _BIG = 1 << 60
@@ -55,6 +62,7 @@ def map_match(
     segment of the GLOBALLY cost-optimal path (Σ emission + Σ switch
     penalties), with the matched distance in mm."""
     P = int(switch_penalty_mm)
+    big = f"cast({_BIG} as bigint)"
     cand = (
         seg_candidates(
             points, lines, radius_m, res, [traj_id, step_col], line_id, pos_list
@@ -64,88 +72,87 @@ def map_match(
             f"{step_col} as step",
             "__lid as lid",
             "seg_idx as seg",
-            "cast(floor(__d * 1000.0e0 + 0.5e0) as bigint) as emis_mm",
+            "cast(floor(__d * 1000.0e0 + 0.5e0) as bigint) as emis",
         )
     )
-    # dense k-index over each trajectory's MATCHABLE steps (gaps drop out)
-    ks = (
-        cand.select("traj", "step")
-        .distinct()
-        .withColumn(
-            "k",
-            F.row_number().over(Window.partitionBy("traj").orderBy("step")) - 1,
-        )
+    # ONE shuffle: each trajectory's candidate set collects to the executor
+    # that owns its group; the full Viterbi (forward DP + path carry) then
+    # runs as a single expression over that array.  Per-(lid, seg)
+    # uniqueness within a step is guaranteed by seg_candidates (a point has
+    # exactly one cell), so filter(...)[1] lookups are total functions and
+    # the result is collect_list-order-independent.
+    grp = cand.groupBy("traj").agg(
+        F.collect_list(F.struct("step", "lid", "seg", "emis")).alias("cs")
     )
-    cand = cand.join(ks, ["traj", "step"]).persist()
-    k_max = cand.agg(F.max("k")).first()[0]
-    if k_max is None:
-        empty = cand.selectExpr(
-            f"traj as {traj_id}", f"step as {step_col}",
-            f"lid as {line_id}", "seg as seg_idx", "emis_mm",
-        )
-        return _attach_cached(empty, [cand])
 
-    dp = (
-        cand.where(F.col("k") == 0)
-        .select("traj", "lid", "seg", F.col("emis_mm").alias("cost"))
-        .localCheckpoint()
+    mk = "named_struct('step', c.step, 'lid', c.lid, 'seg', c.seg, 'emis', c.emis)"
+    # matchable steps in order = the dense k-index; gaps drop out and the
+    # chain connects across them
+    levels = (
+        "transform(array_sort(array_distinct(transform(cs, c -> c.step))),"
+        " s -> filter(cs, c -> c.step = s))"
     )
-    parents: dict[int, DataFrame] = {}
-    for k in range(1, k_max + 1):
-        best = dp.groupBy("traj").agg(
-            F.min(F.struct("cost", "lid", "seg")).alias("b")
-        )
-        stay = dp.select("traj", "lid", "seg", F.col("cost").alias("pcost"))
-        ck = cand.where(F.col("k") == k)
-        dpk = (
-            ck.join(best, "traj")
-            .join(stay, ["traj", "lid", "seg"], "left")
-            .selectExpr(
-                "traj", "lid", "seg",
-                f"emis_mm + least(coalesce(pcost, {_BIG}), b.cost + {P}) as cost",
-                f"case when coalesce(pcost, {_BIG}) <= b.cost + {P} "
-                "then lid else b.lid end as plid",
-                f"case when coalesce(pcost, {_BIG}) <= b.cost + {P} "
-                "then seg else b.seg end as pseg",
-            )
-            .localCheckpoint()
-        )
-        parents[k] = dpk.select("traj", "lid", "seg", "plid", "pseg")
-        carry = dp.join(ck.select("traj").distinct(), "traj", "left_anti")
-        dp = dpk.select("traj", "lid", "seg", "cost").unionByName(carry)
-
-    # per-trajectory argmin at its LAST matchable step, then walk parents
-    k_last = ks.groupBy("traj").agg(F.max("k").alias("kl"))
-    fin = (
-        dp.groupBy("traj")
-        .agg(F.min(F.struct("cost", "lid", "seg")).alias("m"))
-        .join(k_last, "traj")
-        .selectExpr("traj", "kl as k", "m.lid as lid", "m.seg as seg")
-        .localCheckpoint()
+    init = (
+        "transform(element_at(__lv.lv, 1), c -> named_struct("
+        "'lid', c.lid, 'seg', c.seg, 'cost', c.emis, "
+        f"'path', array({mk})))"
     )
-    cur = fin.where(F.col("k") == k_max)
-    acc = [cur]
-    for k in range(k_max - 1, -1, -1):
-        ext = (
-            cur.join(parents[k + 1], ["traj", "lid", "seg"])
-            .selectExpr("traj", f"{k} as k", "plid as lid", "pseg as seg")
-        )
-        cur = fin.where(F.col("k") == k).unionByName(ext).localCheckpoint()
-        acc.append(cur)
-    sel = acc[0]
-    for df in acc[1:]:
-        sel = sel.unionByName(df)
+    pcost = f"coalesce(try_element_at(__pv.pv, 1).cost, {big})"
+    # stay iff dp_{t-1}(same seg) <= best_{t-1} + P — ties prefer stay,
+    # identical to the unrolled oracle's case-when
+    new_state = let_(
+        {"pv": "filter(acc, p -> p.lid = c.lid and p.seg = c.seg)"},
+        (
+            "named_struct('lid', c.lid, 'seg', c.seg, "
+            f"'cost', c.emis + least({pcost}, __bb.bb.cost + {P}), "
+            f"'path', concat(if({pcost} <= __bb.bb.cost + {P}, "
+            "try_element_at(__pv.pv, 1).path, "
+            "element_at(filter(acc, p -> p.lid = __bb.bb.lid"
+            " and p.seg = __bb.bb.seg), 1).path), "
+            f"array({mk})))"
+        ),
+        SPARK,
+        var="__pv",
+    )
+    merge = let_(
+        {
+            "bb": "array_min(transform(acc, p -> "
+            "named_struct('cost', p.cost, 'lid', p.lid, 'seg', p.seg)))"
+        },
+        f"transform(lev, c -> {new_state})",
+        SPARK,
+        var="__bb",
+    )
+    fwd = (
+        f"aggregate(slice(__lv.lv, 2, size(__lv.lv) - 1), {init}, "
+        f"(acc, lev) -> {merge})"
+    )
+    # argmin by (cost, lid, seg) lexicographic struct-min, then emit the
+    # winning state's carried path — no separate backtrack pass
+    best_path = let_(
+        {"fw": fwd},
+        let_(
+            {
+                "bf": "array_min(transform(__fw.fw, p -> "
+                "named_struct('cost', p.cost, 'lid', p.lid, 'seg', p.seg)))"
+            },
+            "element_at(filter(__fw.fw, p -> p.lid = __bf.bf.lid"
+            " and p.seg = __bf.bf.seg), 1).path",
+            SPARK,
+            var="__bf",
+        ),
+        SPARK,
+        var="__fw",
+    )
+    sel = let_({"lv": levels}, best_path, SPARK, var="__lv")
 
-    out = sel.join(cand, ["traj", "k", "lid", "seg"]).selectExpr(
+    return grp.select("traj", F.explode(F.expr(sel)).alias("m")).selectExpr(
         f"traj as {traj_id}",
-        f"step as {step_col}",
-        f"lid as {line_id}",
-        "seg as seg_idx",
-        "emis_mm",
+        f"m.step as {step_col}",
+        f"m.lid as {line_id}",
+        "m.seg as seg_idx",
+        "m.emis as emis_mm",
     )
-    # cand is consumed k_max+2 times (per-level filters + the final emis
-    # join); caller releases via dedup.unpersist_intermediates
-    return _attach_cached(out, [cand])
 
 
 def map_match_oracle_sql(

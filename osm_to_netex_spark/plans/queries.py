@@ -7620,19 +7620,22 @@ _DRIVER_WINDOW = [
     "tile_assign", "polyfill", "pip", "knn", "assemble_poslist",
     "zone_mapping", "convert_tariffzone", "convert_farezone",
     "convert_farezone_groups", "doc_tile_assign", "conversion_metrics",
-    # round-4 rotation: 39 slots, all never driver-gated before (r01∪r02∪r03
-    # covered 90/205; VERDICT r3 task 4 names these first).  lsh_band_stats
-    # re-enters because its candidate stage was rewritten this round; the
-    # capped simjoin variants are new this round.
-    "lsh_band_stats", "cosine_pairs_capped", "containment_capped",
-    "containment", "ngram_overlap", "keep_best", "robust_anomaly",
-    "k_core", "label_prop", "modularity", "hyperanf", "logreg", "cusum",
-    "ks_drift", "cramers_v", "term_mi", "skew_report",
-    "benford", "weighted_median", "theil_sen", "stump", "kaplan_meier",
-    "gini", "poisson_bootstrap", "stationary", "seasonal", "peaks",
-    "autocorr", "haar_energy", "cell_entropy",
-    "dbscan", "fuzzy_match", "skyline", "funnel", "gap_fill",
-    "snap_join", "idw", "grid_bfs", "frequent_pairs",
+    # round-5 rotation: 39 slots, all never driver-gated before (r01..r04
+    # covered 127/238; VERDICT r4 task 1 leads with the 33 r4 operators —
+    # none had a driver row — then training-pipeline staples, then two
+    # streaming rows to re-gate arrival-order independence under the
+    # dtype-faithful comparator (VERDICT r4 task 7).
+    "spearman", "mannwhitney", "jsd_drift", "gearys_c", "link_predict",
+    "media_context", "f_function", "clark_evans", "quadrat",
+    "radius_gyration", "bearing_stats", "mmr_rerank", "pca_top",
+    "feature_hash", "l_diversity", "edr_join", "centrography",
+    "kruskal_wallis", "emerging_hotspots", "auc_roc",
+    "isotonic_calibration", "item_cf", "tfidf_topk", "simhash_pairs",
+    "rocchio_expand", "burstiness", "raster_slope", "zonal_majority",
+    "tpch_q5", "l_moments", "vocab_richness",
+    "dsir", "lm_score", "decontaminate", "redact_pii",
+    "media_phash_pairs", "rrf_hybrid",
+    "streaming_sessions", "streaming_dedup",
 ]
 
 
