@@ -536,6 +536,8 @@ def per_query_timings() -> dict:
         "tpch_q5",
         "l_moments",
         "vocab_richness",
+        "embedding_near_dup_ensemble",
+        "embedding_recall",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

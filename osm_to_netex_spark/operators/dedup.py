@@ -373,12 +373,13 @@ def cosine_expr(a: str, b: str, d: str = SPARK) -> str:
     return f"(({dot}) / nullif(({na}) * ({nb}), 0.0e0))"
 
 
-def hyperplane_bits(vec: str, n_bits: int, dim: int, d: str = SPARK) -> str:
+def hyperplane_bits(vec: str, n_bits: int, dim: int, d: str = SPARK, seed: str = "") -> str:
     """Deterministic LSH sign-signature: bit h = sign(vec · plane_h), planes
     from the portable hash (plane_h[i] = prand('h:i') - 0.5).  Same planes in
-    both engines → same buckets."""
+    both engines → same buckets.  ``seed`` derives an INDEPENDENT plane set
+    (the ensemble recall knob); the default keeps the original planes."""
     styp = "string" if d == SPARK else "varchar"
-    plane_key = f"concat('pl:', cast(h as {styp}), ':', cast(i as {styp}))"
+    plane_key = f"concat('pl{seed}:', cast(h as {styp}), ':', cast(i as {styp}))"
     plane_i = f"({phash60(plane_key, d)} / {flit(float(2**60))} - 0.5e0)"
     if d == SPARK:
         dot = (
@@ -462,6 +463,80 @@ def embedding_near_dup(
         .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"), "cos")
     )
     return _attach_cached(out, [sig])
+
+
+def embedding_near_dup_ensemble(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 32,
+    n_bits: int = 8,
+    n_seeds: int = 3,
+    cos_threshold: float = 0.95,
+) -> DataFrame:
+    """``embedding_near_dup`` with the recall mitigation SHIPPED as an
+    operator (SCALE.md known-limit #2 closed in r5): ``n_seeds``
+    independent hyperplane sets each produce a candidate bucketing; the
+    union of their same-bucket pairs is verified ONCE against the exact
+    cosine.  A pair at angle θ survives at least one of s independent
+    bucketings with probability 1 − (1 − (1 − θ/π)^n_bits)^s, so recall at
+    the threshold boundary rises geometrically in seeds while the verify
+    stays bounded (expected extra candidates scale linearly in seeds, and
+    duplicates collapse in the ids-only distinct BEFORE vectors re-join —
+    the lsh_band_stats candidate-shuffle discipline).
+
+    Scale: ONE corpus scan computes all seed signatures + the norm; per
+    seed a (vid, bucket) self-join carries ids only; vectors cross the
+    shuffle exactly twice (the two sides of the verify join)."""
+    sig = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.expr(
+            f"sqrt(aggregate({vec_col}, 0.0e0, (s, x) -> s + cast(x as double) * cast(x as double)))"
+        ).alias("nrm"),
+        *[
+            F.expr(hyperplane_bits(vec_col, n_bits, dim, SPARK, seed=_seed_tag(s))).alias(
+                f"bucket_{s}"
+            )
+            for s in range(n_seeds)
+        ],
+    ).persist()  # caller-released via unpersist_intermediates
+    cand = None
+    for s in range(n_seeds):
+        ids = sig.select("vid", F.col(f"bucket_{s}").alias("bucket"))
+        a, b = ids.alias("a"), ids.alias("b")
+        pairs = (
+            a.join(b, "bucket")
+            .where(F.col("a.vid") < F.col("b.vid"))
+            .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    dot = (
+        "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * cast(y as double)), "
+        "0.0e0, (s, v) -> s + v)"
+    )
+    cos = f"(({dot}) / nullif(na * nb, 0.0e0))"
+    out = (
+        cand.join(
+            sig.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")),
+            "id_b",
+        )
+        .withColumn("cos", F.round(F.expr(cos), 6))
+        .where(F.col("cos") >= cos_threshold)
+        .select("id_a", "id_b", "cos")
+    )
+    return _attach_cached(out, [sig])
+
+
+def _seed_tag(s: int) -> str:
+    """Plane-set tag for seed ``s``: seed 0 keeps the original planes (the
+    single-seed operator's buckets are the ensemble's first member)."""
+    return "" if s == 0 else f"s{s}"
 
 
 def connected_components(

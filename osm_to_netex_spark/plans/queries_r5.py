@@ -1,0 +1,167 @@
+"""Round-5 query additions (SURVEY §2.3 `(r5)` rows).
+
+Same landing discipline as every registry entry (LANDING.md): dual-dialect
+SQL (or a DataFrame operator whose algebra the DuckDB oracle replays),
+integer/IEEE-exact folds, scalar output columns, identical aliases both
+dialects.  Registered via ``register_r5`` before the driver-window
+rotation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.portable import DUCK
+from ..operators import dedup
+
+_ND_BITS = 4
+_ND_SEEDS = 3
+_ND_THRESHOLD = 0.35
+# recall-eval universe: vec_id % mod == 0 on both pair sides — bounds the
+# exact reference's quadratic at every scale, independent of the buckets
+_RECALL_MOD = 3
+
+
+# ---------------------------------------------------------------------------
+# Seed-ensemble embedding near-dup (SCALE.md known-limit #2, shipped)
+# ---------------------------------------------------------------------------
+def q_embed_near_dup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-3-seed hyperplane bucketings, exact verify once — the
+    recall mitigation the single-seed operator documented, as an operator
+    (operators/dedup.py embedding_near_dup_ensemble)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    return dedup.embedding_near_dup_ensemble(
+        emb, dim=dim, n_bits=_ND_BITS, n_seeds=_ND_SEEDS, cos_threshold=_ND_THRESHOLD
+    )
+
+
+def q_embed_near_dup_ensemble_oracle(dim: int = 64) -> str:
+    cos = dedup.cosine_expr("a.embedding", "b.embedding", DUCK)
+    buckets = ", ".join(
+        f"{dedup.hyperplane_bits('embedding', _ND_BITS, dim, DUCK, seed=dedup._seed_tag(s))} as b{s}"
+        for s in range(_ND_SEEDS)
+    )
+    cands = "\n            union\n".join(
+        f"            select x.vec_id as id_a, y.vec_id as id_b "
+        f"from sig x join sig y on x.b{s} = y.b{s} where x.vec_id < y.vec_id"
+        for s in range(_ND_SEEDS)
+    )
+    return f"""
+        with sig as (select vec_id, embedding, {buckets} from embeddings),
+        cand as (
+{cands}
+        )
+        select cand.id_a, cand.id_b, round({cos}, 6) as cos
+        from cand
+        join sig a on a.vec_id = cand.id_a
+        join sig b on b.vec_id = cand.id_b
+        where round({cos}, 6) >= {_ND_THRESHOLD!r}e0"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup recall eval vs the exact pair set (lsh_recall pattern)
+# ---------------------------------------------------------------------------
+def q_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the single-seed and 3-seed-ensemble near-dup finders
+    against the EXACT cosine pair set at the same threshold, measured over
+    a deterministic id-sample universe (``vec_id % 3 = 0`` on BOTH
+    sides) — the quantified form of SCALE.md's recall discussion.  The
+    sample bounds the exact reference's quadratic at EVERY scale (the
+    recall estimate is unbiased: membership is independent of the
+    hyperplane buckets); the finders' pair sets are restricted to the same
+    universe, so numerator ⊆ denominator by construction."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    uni = emb.where(F.col("vec_id") % _RECALL_MOD == 0)
+    base = uni.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("vec"),
+        F.expr(
+            "sqrt(aggregate(embedding, 0.0e0, (s, x) -> s + cast(x as double) * cast(x as double)))"
+        ).alias("nrm"),
+    )
+    a = base.selectExpr("vid as id_a", "vec as va", "nrm as na")
+    b = base.selectExpr("vid as id_b", "vec as vb", "nrm as nb")
+    dot = (
+        "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * cast(y as double)), "
+        "0.0e0, (s, v) -> s + v)"
+    )
+    cos = f"(({dot}) / nullif(na * nb, 0.0e0))"
+    exact = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(F.expr(cos), 6))
+        .where(F.col("cos") >= _ND_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    in_uni = (F.col("id_a") % _RECALL_MOD == 0) & (F.col("id_b") % _RECALL_MOD == 0)
+    single = (
+        dedup.embedding_near_dup(
+            emb, dim=dim, n_bits=_ND_BITS, cos_threshold=_ND_THRESHOLD
+        )
+        .where(in_uni)
+        .select("id_a", "id_b", F.lit(1).alias("hit1"))
+    )
+    ens = (
+        dedup.embedding_near_dup_ensemble(
+            emb, dim=dim, n_bits=_ND_BITS, n_seeds=_ND_SEEDS, cos_threshold=_ND_THRESHOLD
+        )
+        .where(in_uni)
+        .select("id_a", "id_b", F.lit(1).alias("hite"))
+    )
+    joined = exact.join(single, ["id_a", "id_b"], "left").join(
+        ens, ["id_a", "id_b"], "left"
+    )
+    out = joined.agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.count("hit1").cast("long").alias("n_hit_single"),
+        F.count("hite").cast("long").alias("n_hit_ensemble"),
+        F.when(F.count("*") == 0, F.lit(0.0))
+        .otherwise(F.round(F.count("hit1").cast("double") / F.count("*").cast("double"), 9))
+        .alias("recall_single"),
+        F.when(F.count("*") == 0, F.lit(0.0))
+        .otherwise(F.round(F.count("hite").cast("double") / F.count("*").cast("double"), 9))
+        .alias("recall_ensemble"),
+    )
+    out._graft_cached = tuple(getattr(single, "_graft_cached", ())) + tuple(
+        getattr(ens, "_graft_cached", ())
+    )
+    return out
+
+
+def q_embed_recall_oracle(dim: int = 64) -> str:
+    from . import queries as q
+
+    cos = dedup.cosine_expr("a.embedding", "b.embedding", DUCK)
+    m = _RECALL_MOD
+    return f"""
+        with uni as (select * from embeddings where vec_id % {m} = 0),
+        exact as (
+            select a.vec_id as id_a, b.vec_id as id_b
+            from uni a join uni b on a.vec_id < b.vec_id
+            where round({cos}, 6) >= {_ND_THRESHOLD!r}e0
+        ),
+        s1 as (select * from ({q.q_embed_near_dup_oracle(dim)})
+               where id_a % {m} = 0 and id_b % {m} = 0),
+        se as (select * from ({q_embed_near_dup_ensemble_oracle(dim)})
+               where id_a % {m} = 0 and id_b % {m} = 0)
+        select cast(count(*) as bigint) as n_exact,
+               cast(count(s1.id_a) as bigint) as n_hit_single,
+               cast(count(se.id_a) as bigint) as n_hit_ensemble,
+               case when count(*) = 0 then 0.0e0
+                    else round(cast(count(s1.id_a) as double)
+                               / cast(count(*) as double), 9) end as recall_single,
+               case when count(*) = 0 then 0.0e0
+                    else round(cast(count(se.id_a) as double)
+                               / cast(count(*) as double), 9) end as recall_ensemble
+        from exact
+        left join s1 on s1.id_a = exact.id_a and s1.id_b = exact.id_b
+        left join se on se.id_a = exact.id_a and se.id_b = exact.id_b"""
+
+
+def register_r5(QUERIES: dict) -> None:
+    QUERIES["embedding_near_dup_ensemble"] = (
+        q_embed_near_dup_ensemble,
+        q_embed_near_dup_ensemble_oracle,
+    )
+    QUERIES["embedding_recall"] = (q_embed_recall, q_embed_recall_oracle)

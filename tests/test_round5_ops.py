@@ -1,0 +1,101 @@
+"""Round-5 operators vs exact Python replays (LANDING.md step 5): the
+seed-ensemble embedding near-dup and its recall eval.  Oracle agreement
+(tools/verify_oracle.py) proves cross-engine consistency; these replays
+prove the math on a small corpus."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from osm_to_netex_spark.operators import dedup
+from osm_to_netex_spark.plans import queries_r5 as R5
+
+SF = "/root/testdata/sf0.001"
+
+BITS = 4
+SEEDS = 3
+THRESHOLD = 0.35
+
+
+def _phash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _plane(seed_tag: str, h: int, i: int) -> float:
+    return _phash60(f"pl{seed_tag}:{h}:{i}") / 2.0**60 - 0.5
+
+
+def _bucket(vec, seed_tag: str) -> int:
+    acc = 0
+    for h in range(BITS):
+        dot = 0.0
+        for i, x in enumerate(vec, start=1):
+            dot = dot + float(x) * _plane(seed_tag, h, i)
+        if dot > 0.0:
+            acc += 1 << h
+    return acc
+
+
+def _round6(x: float) -> float:
+    # Spark F.round = HALF_UP (away from zero), not Python's banker's round
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def _cos(a, b) -> float:
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + float(x) * float(y)
+    na = math.sqrt(sum(float(x) * float(x) for x in a))
+    nb = math.sqrt(sum(float(y) * float(y) for y in b))
+    return dot / (na * nb)
+
+
+def test_ensemble_matches_python_replay(spark):
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    # python replay: per-seed buckets, union candidates, exact verify
+    want = set()
+    for s in range(SEEDS):
+        tag = dedup._seed_tag(s)
+        buckets: dict[int, list[int]] = {}
+        for vid, v in vecs.items():
+            buckets.setdefault(_bucket(v, tag), []).append(vid)
+        for members in buckets.values():
+            members = sorted(members)
+            for i, a in enumerate(members):
+                for b in members[i + 1 :]:
+                    if _round6(_cos(vecs[a], vecs[b])) >= THRESHOLD:
+                        want.add((a, b))
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = dedup.embedding_near_dup_ensemble(
+        emb, dim=64, n_bits=BITS, n_seeds=SEEDS, cos_threshold=THRESHOLD
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    dedup.unpersist_intermediates(out)
+    assert got == want
+
+    # seed 0 IS the single-seed operator's plane set → ensemble ⊇ single
+    single = dedup.embedding_near_dup(emb, dim=64, n_bits=BITS, cos_threshold=THRESHOLD)
+    sgl = {(r["id_a"], r["id_b"]) for r in single.collect()}
+    dedup.unpersist_intermediates(single)
+    assert sgl <= got
+
+
+def test_recall_row_invariants(spark):
+    row = R5.q_embed_recall(spark, SF).collect()[0]
+    assert row["n_exact"] >= row["n_hit_ensemble"] >= row["n_hit_single"] >= 0
+    assert 0.0 <= row["recall_single"] <= row["recall_ensemble"] <= 1.0
+    # verified candidates are a subset of the exact pair set, so within
+    # the sample universe the hit counts ARE the finders' pair counts
+    # (no false positives anywhere)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ens = dedup.embedding_near_dup_ensemble(
+        emb, dim=64, n_bits=BITS, n_seeds=SEEDS, cos_threshold=THRESHOLD
+    )
+    n_ens = ens.where(
+        (F.col("id_a") % R5._RECALL_MOD == 0) & (F.col("id_b") % R5._RECALL_MOD == 0)
+    ).count()
+    dedup.unpersist_intermediates(ens)
+    assert n_ens == row["n_hit_ensemble"]
