@@ -538,6 +538,7 @@ def per_query_timings() -> dict:
         "vocab_richness",
         "embedding_near_dup_ensemble",
         "embedding_recall",
+        "frechet_join",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

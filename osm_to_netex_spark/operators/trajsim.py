@@ -381,6 +381,164 @@ def _stages_to_let(stages: list[list[str]], final: str, d: str, tag: str) -> str
     return body
 
 
+def frechet_stage_exprs(n_steps: int, d: str) -> list[list[str]]:
+    """Unrolled discrete Fréchet DP over fixed-length tracks — the DTW
+    anti-diagonal staging with the recurrence's ``+`` swapped for ``max``:
+    dp_i_j = greatest(c_i_j, least(dp_{i-1}_j, dp_i_{j-1}, dp_{i-1}_{j-1})),
+    borders chain through greatest.  Same mm-integer cost matrix (one
+    quantization per cell), so the whole DP is bigint min/max — exact."""
+    dist = haversine_m("__a_la", "__a_lo", "__b_la", "__b_lo", d)
+    n = int(n_steps)
+    stage0 = []
+    for i in range(1, n + 1):
+        for j in range(1, n + 1):
+            h = (
+                dist.replace("__a_la", _el("las_a", i, d))
+                .replace("__a_lo", _el("los_a", i, d))
+                .replace("__b_la", _el("las_b", j, d))
+                .replace("__b_lo", _el("los_b", j, d))
+            )
+            stage0.append(f"cast(round(({h}) * 1000.0e0) as bigint) as c_{i}_{j}")
+    stages = [stage0]
+    for diag in range(2, 2 * n + 1):  # i + j = diag
+        cols = []
+        for i in range(max(1, diag - n), min(n, diag - 1) + 1):
+            j = diag - i
+            if i == 1 and j == 1:
+                cols.append("c_1_1 as dp_1_1")
+            elif i == 1:
+                cols.append(f"greatest(c_1_{j}, dp_1_{j - 1}) as dp_1_{j}")
+            elif j == 1:
+                cols.append(f"greatest(c_{i}_1, dp_{i - 1}_1) as dp_{i}_1")
+            else:
+                cols.append(
+                    f"greatest(c_{i}_{j}, least(dp_{i - 1}_{j}, dp_{i}_{j - 1}, "
+                    f"dp_{i - 1}_{j - 1})) as dp_{i}_{j}"
+                )
+        stages.append(cols)
+    return stages
+
+
+def frechet_expr(n_steps: int, d: str) -> str:
+    """The unrolled discrete-Fréchet DP as ONE nested-let_ expression (the
+    CollapseProject-proof form — dtw_expr's docstring for why)."""
+    n = int(n_steps)
+    return _stages_to_let(frechet_stage_exprs(n_steps, d), f"dp_{n}_{n}", d, "__fr")
+
+
+def frechet_join(
+    trajs: DataFrame,
+    max_dist_m: float,
+    n_steps: int,
+    res: int = 12,
+    traj_id: str = "traj_id",
+    step_col: str = "step",
+) -> DataFrame:
+    """(traj_a, traj_b, frechet_mm) for every unordered pair of
+    fixed-length tracks with discrete Fréchet distance <= ``max_dist_m``.
+
+    Completes the trajectory-similarity triad: Hausdorff ignores order,
+    DTW sums along the alignment (forgiving of one far excursion), Fréchet
+    is the ORDER-RESPECTING max — the classic "dog-leash" route-equivalence
+    metric (Eiter & Mannila 1994's discrete form, re-derived as SQL).
+
+    Scale shape: identical candidate machinery to dtw_join — every
+    coupling starts at (1,1), so F(A,B) >= d(A1,B1) and the R-padded bbox
+    cover join is a COMPLETE prefilter; pairs distinct before the
+    O(n²)-per-pair DP; arrays off the candidate shuffle; DP is bigint
+    min/max in one nested-let_ expression."""
+    n = 2**res
+    r_deg = max_dist_m / geo.M_PER_DEG
+
+    rows = trajs.groupBy(traj_id).agg(
+        F.expr(
+            f"transform(array_sort(collect_list(struct({step_col} as s, lat as v))), x -> x.v)"
+        ).alias("las"),
+        F.expr(
+            f"transform(array_sort(collect_list(struct({step_col} as s, lon as v))), x -> x.v)"
+        ).alias("los"),
+        F.min("lat").alias("la0"), F.max("lat").alias("la1"),
+        F.min("lon").alias("lo0"), F.max("lon").alias("lo1"),
+    ).persist()
+
+    def cover(df, pad: float):
+        if pad > 0.0:
+            cosmin = (
+                f"cos(radians(least(89.0e0, greatest(abs(la0), abs(la1)) + {flit(pad)})))"
+            )
+            lon_pad = f"({flit(pad)} / {cosmin})"
+            la_lo, la_hi = f"(la0 - {flit(pad)})", f"(la1 + {flit(pad)})"
+            lo_lo, lo_hi = f"(lo0 - {lon_pad})", f"(lo1 + {lon_pad})"
+        else:
+            la_lo, la_hi, lo_lo, lo_hi = "la0", "la1", "lo0", "lo1"
+        ix_lo, iy_lo = geo.quad_ixy(la_lo, lo_lo, res, SPARK)
+        ix_hi, iy_hi = geo.quad_ixy(la_hi, lo_hi, res, SPARK)
+        return (
+            df.selectExpr(
+                traj_id,
+                f"{ix_lo} as __ixl", f"{ix_hi} as __ixh",
+                f"explode(sequence({iy_lo}, {iy_hi})) as __cy",
+            )
+            .selectExpr(traj_id, "__cy", "explode(sequence(__ixl, __ixh)) as __cx")
+            .selectExpr(traj_id, geo.quad_pack("__cx", "__cy", res) + " as __cell")
+        )
+
+    a_cells = cover(rows, pad=r_deg).withColumnRenamed(traj_id, "ta")
+    b_cells = cover(rows, pad=0.0).withColumnRenamed(traj_id, "tb")
+    cand = a_cells.join(b_cells, "__cell").where("ta < tb").select("ta", "tb").distinct()
+    a = rows.selectExpr(f"{traj_id} as ta", "las as las_a", "los as los_a")
+    b = rows.selectExpr(f"{traj_id} as tb", "las as las_b", "los as los_b")
+    out = (
+        cand.join(a, "ta").join(b, "tb")
+        .selectExpr("ta", "tb", f"{frechet_expr(n_steps, SPARK)} as frechet_mm")
+        .where(F.col("frechet_mm") <= F.lit(int(round(max_dist_m * 1000))))
+        .selectExpr("ta as traj_a", "tb as traj_b", "frechet_mm")
+    )
+    from .dedup import _attach_cached
+
+    return _attach_cached(out, [rows])
+
+
+def frechet_join_oracle_sql(
+    trajs_sql_text: str,
+    max_dist_m: float,
+    n_steps: int,
+    traj_id: str = "traj_id",
+    step_col: str = "step",
+) -> str:
+    """DuckDB replay: brute all-pairs (proves the padded cover complete),
+    identical unrolled integer DP as chained CTE stages."""
+    from ..functions.portable import DUCK
+
+    k = int(n_steps)
+    ctes = [
+        f"tr as ({trajs_sql_text})",
+        f"""rows_ as (
+            select {traj_id} as tid,
+                   list(lat order by {step_col}) as las,
+                   list(lon order by {step_col}) as los
+            from tr group by {traj_id}
+        )""",
+        """pairs as (
+            select a.tid as ta, b.tid as tb,
+                   a.las as las_a, a.los as los_a,
+                   b.las as las_b, b.los as los_b
+            from rows_ a join rows_ b on a.tid < b.tid
+        )""",
+    ]
+    prev = "pairs"
+    for s, cols in enumerate(frechet_stage_exprs(k, DUCK)):
+        name = f"st{s}"
+        ctes.append(f"{name} as (select *, {', '.join(cols)} from {prev})")
+        prev = name
+    return (
+        "with " + ",\n".join(ctes) + f"""
+        select ta as traj_a, tb as traj_b, dp_{k}_{k} as frechet_mm
+        from {prev}
+        where dp_{k}_{k} <= {int(round(max_dist_m * 1000))}"""
+    )
+
+
 def edr_stage_exprs(n_steps: int, eps_mm: int, d: str) -> list[list[str]]:
     """Unrolled EDR (Edit Distance on Real sequence, Chen et al. 2005)
     dynamic program over fixed-length tracks — DTW's robust sibling: a

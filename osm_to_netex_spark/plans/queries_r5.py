@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.portable import DUCK
+from ..functions.portable import DUCK, SPARK
 from ..operators import dedup
 
 _ND_BITS = 4
@@ -159,9 +159,42 @@ def q_embed_recall_oracle(dim: int = 64) -> str:
         left join se on se.id_a = exact.id_a and se.id_b = exact.id_b"""
 
 
+# ---------------------------------------------------------------------------
+# Discrete Fréchet trajectory-similarity join (Hausdorff/DTW/EDR triad done)
+# ---------------------------------------------------------------------------
+_FRECHET_R = 20000.0  # max leash length (m)
+
+
+def q_frechet_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fréchet join over the geo_traj fixture: padded bbox-cover
+    candidates (complete: F >= d(A1,B1)) + mm-integer anti-diagonal DP
+    with the DTW staging's + swapped for max (trajsim.frechet_join)."""
+    from ..operators import trajsim
+    from . import queries as q
+
+    q.register_geometry_views(spark, sf_dir)
+    spark.sql(f"create or replace temp view geo_traj as {q.traj_sql(SPARK)}")
+    return trajsim.frechet_join(
+        spark.table("geo_traj"), max_dist_m=_FRECHET_R, n_steps=q._MM_STEPS, res=12
+    )
+
+
+def q_frechet_join_oracle() -> str:
+    from ..operators import trajsim
+    from . import queries as q
+
+    body = trajsim.frechet_join_oracle_sql(
+        f"select * from ({q.traj_sql(DUCK)}) _t",
+        max_dist_m=_FRECHET_R,
+        n_steps=q._MM_STEPS,
+    )
+    return f"{q.duck_geometry_ctes()}, __f as ({body}) select * from __f"
+
+
 def register_r5(QUERIES: dict) -> None:
     QUERIES["embedding_near_dup_ensemble"] = (
         q_embed_near_dup_ensemble,
         q_embed_near_dup_ensemble_oracle,
     )
     QUERIES["embedding_recall"] = (q_embed_recall, q_embed_recall_oracle)
+    QUERIES["frechet_join"] = (q_frechet_join, q_frechet_join_oracle)
