@@ -539,6 +539,7 @@ def per_query_timings() -> dict:
         "embedding_near_dup_ensemble",
         "embedding_recall",
         "frechet_join",
+        "st_dbscan",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

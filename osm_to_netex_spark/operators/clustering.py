@@ -201,6 +201,63 @@ def dbscan(
         points, points, radius_m=eps_m, res=res, left_id=id_col, right_id=id_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = f"{id_col}_a", f"{id_col}_b"
+    return _dbscan_labels(pairs, points, a, b, min_pts, id_col)
+
+
+def st_dbscan(
+    points: DataFrame,
+    eps_m: float,
+    eps_t_s: int,
+    min_pts: int,
+    res: int = 13,
+    id_col: str = "point_id",
+    t_col: str = "t_s",
+) -> DataFrame:
+    """Spatio-temporal DBSCAN (Birant & Kut 2007's ST neighborhood, on the
+    KDD'96 machinery): two points are eps-neighbors iff the spatial
+    distance is <= ``eps_m`` AND |Δt| <= ``eps_t_s`` seconds — a spatial
+    cluster revisited a week apart splits into per-visit clusters, which
+    plain DBSCAN smears into one.
+
+    Composition: the cell-pruned ``radius_join`` pair set (ids only across
+    the shuffle) post-filtered by the time band — a dimension-cheap join
+    of the two t columns, NOT a widened candidate key, so the spatial
+    prefilter's completeness and fan-out bounds carry over verbatim; core
+    counts / core-core components / border labeling are the shared
+    ``_dbscan_labels`` tail.  Self-pairs have Δt = 0 and survive, keeping
+    |N(p)| counting p itself."""
+    from pyspark import StorageLevel
+
+    from .distjoin import radius_join
+
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    tmap = points.select(F.col(id_col), F.col(t_col))
+    pairs = (
+        radius_join(
+            points, points, radius_m=eps_m, res=res, left_id=id_col, right_id=id_col
+        )
+        .join(tmap.select(F.col(id_col).alias(a), F.col(t_col).alias("__ta")), a)
+        .join(tmap.select(F.col(id_col).alias(b), F.col(t_col).alias("__tb")), b)
+        .where(F.abs(F.col("__ta") - F.col("__tb")) <= int(eps_t_s))
+        .select(a, b)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return _dbscan_labels(pairs, points, a, b, min_pts, id_col)
+
+
+def _dbscan_labels(
+    pairs: DataFrame,
+    points: DataFrame,
+    a: str,
+    b: str,
+    min_pts: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared DBSCAN tail: eps-pair set → (id, cluster, kind).  ``pairs``
+    must be persisted by the caller (it feeds three plan branches) and is
+    attached for caller release."""
+    from . import dedup
+
     ncnt = pairs.groupBy(a).agg(F.count("*").alias("n_eps"))
     core = ncnt.where(F.col("n_eps") >= min_pts).select(F.col(a).alias("cid"))
 
@@ -245,9 +302,12 @@ def dbscan_oracle_sql(
     eps_m: float,
     min_pts: int,
     id_col: str = "point_id",
+    extra_pair_pred: str = "",
 ) -> str:
     """DuckDB replay: brute eps-pairs (same haversine), recursive-CTE
-    reachability over core-core edges, same min-label conventions."""
+    reachability over core-core edges, same min-label conventions.
+    ``extra_pair_pred`` narrows the neighbor predicate (the ST-DBSCAN time
+    band) — appended verbatim to the pairs WHERE clause."""
     from ..functions.portable import DUCK, haversine_m
 
     dist = haversine_m("p.lat", "p.lon", "q.lat", "q.lon", DUCK)
@@ -256,7 +316,7 @@ def dbscan_oracle_sql(
         pairs as (
             select p.{id_col} as a, q.{id_col} as b
             from pts p cross join pts q
-            where {dist} <= {eps_m!r}e0
+            where {dist} <= {eps_m!r}e0 {extra_pair_pred}
         ),
         core as (select a as cid from pairs group by a having count(*) >= {min_pts}),
         ce as (

@@ -191,6 +191,61 @@ def q_frechet_join_oracle() -> str:
     return f"{q.duck_geometry_ctes()}, __f as ({body}) select * from __f"
 
 
+# ---------------------------------------------------------------------------
+# Spatio-temporal DBSCAN over timestamped points
+# ---------------------------------------------------------------------------
+_STDB_EPS_M = 2000.0
+_STDB_EPS_T = 3 * 86400  # 3-day time band (s)
+_STDB_MIN_PTS = 3
+_STDB_SPAN_S = 30 * 86400  # deterministic timestamps spread over 30 days
+
+
+def st_points_sql(d: str) -> str:
+    """geo_points + a deterministic integer-seconds timestamp per point
+    (portable hash over a 30-day span) — the ST-DBSCAN fixture."""
+    from . import queries as q
+
+    t = q._pr(["'st:t:'", "point_id"], d)
+    return (
+        f"select point_id, lat, lon, "
+        f"cast(floor({t} * {float(_STDB_SPAN_S)!r}e0) as bigint) as t_s "
+        f"from geo_points"
+    )
+
+
+def q_st_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-DBSCAN (eps 2 km, 3-day time band, min_pts 3): the dbscan
+    machinery with the Birant-Kut spatio-temporal neighbor predicate --
+    same-place different-week points no longer chain
+    (operators/clustering.py st_dbscan)."""
+    from ..operators import clustering
+    from . import queries as q
+
+    q.register_geometry_views(spark, sf_dir)
+    spark.sql(f"create or replace temp view st_points as {st_points_sql(SPARK)}")
+    return clustering.st_dbscan(
+        spark.table("st_points"),
+        eps_m=_STDB_EPS_M,
+        eps_t_s=_STDB_EPS_T,
+        min_pts=_STDB_MIN_PTS,
+        res=13,
+    )
+
+
+def q_st_dbscan_oracle() -> str:
+    from ..operators import clustering
+    from . import queries as q
+
+    pts = f"select * from ({q.points_sql(DUCK)}) __gp"
+    st = st_points_sql(DUCK).replace("from geo_points", f"from ({pts}) geo_points")
+    return clustering.dbscan_oracle_sql(
+        st,
+        eps_m=_STDB_EPS_M,
+        min_pts=_STDB_MIN_PTS,
+        extra_pair_pred=f"and abs(p.t_s - q.t_s) <= {_STDB_EPS_T}",
+    )
+
+
 def register_r5(QUERIES: dict) -> None:
     QUERIES["embedding_near_dup_ensemble"] = (
         q_embed_near_dup_ensemble,
@@ -198,3 +253,4 @@ def register_r5(QUERIES: dict) -> None:
     )
     QUERIES["embedding_recall"] = (q_embed_recall, q_embed_recall_oracle)
     QUERIES["frechet_join"] = (q_frechet_join, q_frechet_join_oracle)
+    QUERIES["st_dbscan"] = (q_st_dbscan, q_st_dbscan_oracle)
