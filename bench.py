@@ -540,6 +540,7 @@ def per_query_timings() -> dict:
         "embedding_recall",
         "frechet_join",
         "st_dbscan",
+        "rbo_eval",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -246,6 +246,111 @@ def q_st_dbscan_oracle() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between two retrieval rankings (Webber et al. 2010)
+# ---------------------------------------------------------------------------
+_RBO_P = 0.9
+_RBO_K = 15
+
+
+def _rbo_cum_weights() -> dict:
+    """cw[m] = sum_{d=m..k} (1-p) p^(d-1) / d, quantized to 1e12 units per
+    DEPTH TERM before the cumulative sum — identical integer literals in
+    both dialects, so the fold is order-free and exact."""
+    import math
+
+    w = {
+        d: int(math.floor((1.0 - _RBO_P) * _RBO_P ** (d - 1) / d * 1e12 + 0.5))
+        for d in range(1, _RBO_K + 1)
+    }
+    return {m: sum(w[d] for d in range(m, _RBO_K + 1)) for m in range(1, _RBO_K + 1)}
+
+
+def _tf_topk_sql(d: str) -> str:
+    """Plain term-frequency ranking of the SAME query-term bag bm25_topk
+    serves — the idf/length-normalization ablation RBO compares against."""
+    from ..functions import text as tx
+    from . import queries as q
+
+    toks = tx.tokens("text", d)
+    terms = ", ".join(f"'{t}'" for t in q._BM25_TERMS)
+    unnest = (
+        f"select doc_id, explode({toks}) as term from documents"
+        if d == SPARK
+        else f"select doc_id, unnest({toks}) as term from documents"
+    )
+    return f"""
+        select doc_id, cast(rn as bigint) as rb from (
+            select doc_id, row_number() over (order by tf desc, doc_id asc) as rn
+            from (select doc_id, cast(count(*) as bigint) as tf
+                  from ({unnest}) t where term in ({terms})
+                  group by doc_id) c
+        ) r where rn <= {_RBO_K}"""
+
+
+def q_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBO(p=0.9)@15 between the BM25 ranking and the plain-TF ranking of
+    the same query bag: the top-weighted rank-agreement number that says
+    how much the idf + length normalization actually reorders what a user
+    sees.  Sum swapped to per-matched-doc cumulative weights cw(max(ra,rb))
+    — one broadcast join of two k-row rankings, integer-exact."""
+    from pyspark.sql import Window
+
+    from ..operators import retrieval
+    from . import queries as q
+
+    q.register_geometry_views(spark, sf_dir)
+    docs = spark.table("documents")
+    bm = retrieval.bm25_topk(docs, q._BM25_TERMS, k=_RBO_K)
+    bm_r = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("ra"),
+    )
+    tf_r = spark.sql(_tf_topk_sql(SPARK))
+    cw = _rbo_cum_weights()
+    case = "case greatest(ra, rb) " + " ".join(
+        f"when {m} then {v}" for m, v in cw.items()
+    ) + " end"
+    joined = bm_r.join(tf_r, "doc_id")
+    return (
+        joined.agg(
+            F.count("*").cast("long").alias("n_overlap"),
+            F.coalesce(F.sum(F.expr(case)), F.lit(0)).cast("long").alias("rbo_q12"),
+        )
+        .crossJoin(bm_r.agg(F.count("*").cast("long").alias("n_a")))
+        .crossJoin(tf_r.agg(F.count("*").cast("long").alias("n_b")))
+        .select("n_a", "n_b", "n_overlap", "rbo_q12")
+    )
+
+
+def q_rbo_eval_oracle() -> str:
+    from ..operators import retrieval
+    from . import queries as q
+
+    cw = _rbo_cum_weights()
+    case = "case greatest(ra, rb) " + " ".join(
+        f"when {m} then {v}" for m, v in cw.items()
+    ) + " end"
+    bm = retrieval.bm25_topk_oracle_sql(q._BM25_TERMS, k=_RBO_K)
+    return f"""
+        with bm as ({bm}),
+        bm_r as (
+            select doc_id,
+                   cast(row_number() over (order by score desc, doc_id asc) as bigint) as ra
+            from bm
+        ),
+        tf_r as ({_tf_topk_sql(DUCK)}),
+        j as (select ra, rb from bm_r join tf_r using (doc_id))
+        select (select cast(count(*) as bigint) from bm_r) as n_a,
+               (select cast(count(*) as bigint) from tf_r) as n_b,
+               cast(count(*) as bigint) as n_overlap,
+               cast(coalesce(sum({case}), 0) as bigint) as rbo_q12
+        from j"""
+
+
 def register_r5(QUERIES: dict) -> None:
     QUERIES["embedding_near_dup_ensemble"] = (
         q_embed_near_dup_ensemble,
@@ -254,3 +359,4 @@ def register_r5(QUERIES: dict) -> None:
     QUERIES["embedding_recall"] = (q_embed_recall, q_embed_recall_oracle)
     QUERIES["frechet_join"] = (q_frechet_join, q_frechet_join_oracle)
     QUERIES["st_dbscan"] = (q_st_dbscan, q_st_dbscan_oracle)
+    QUERIES["rbo_eval"] = (q_rbo_eval, q_rbo_eval_oracle)

@@ -99,3 +99,34 @@ def test_recall_row_invariants(spark):
     ).count()
     dedup.unpersist_intermediates(ens)
     assert n_ens == row["n_hit_ensemble"]
+
+
+def test_rbo_matches_python_replay(spark):
+    """RBO math replayed in Python from the engine's own (already gated)
+    rankings: truncated RBO@k = (1-p) Σ_{d=1..k} p^(d-1) X_d / d with X_d =
+    |A_1..d ∩ B_1..d|, quantized per DEPTH term like the SQL."""
+    from osm_to_netex_spark.operators import retrieval
+    from osm_to_netex_spark.plans import queries as Q
+
+    Q.register_geometry_views(spark, SF)
+    bm = retrieval.bm25_topk(spark.table("documents"), Q._BM25_TERMS, k=R5._RBO_K)
+    a_ranked = [
+        r["doc_id"]
+        for r in sorted(bm.collect(), key=lambda r: (-r["score"], r["doc_id"]))
+    ]
+    tf_r = spark.sql(R5._tf_topk_sql("spark"))
+    b_by_rank = {r["rb"]: r["doc_id"] for r in tf_r.collect()}
+    b_ranked = [b_by_rank[d] for d in sorted(b_by_rank)]
+
+    p, k = R5._RBO_P, R5._RBO_K
+    want = 0
+    for d in range(1, k + 1):
+        x_d = len(set(a_ranked[:d]) & set(b_ranked[:d]))
+        want += x_d * int(math.floor((1.0 - p) * p ** (d - 1) / d * 1e12 + 0.5))
+
+    row = R5.q_rbo_eval(spark, SF).collect()[0]
+    assert row["rbo_q12"] == want
+    assert row["n_a"] == len(a_ranked) and row["n_b"] == len(b_ranked)
+    assert row["n_overlap"] == len(set(a_ranked) & set(b_ranked))
+    # bounded: rbo in [0, 1] up to truncation
+    assert 0 <= row["rbo_q12"] <= 10**12
