@@ -541,6 +541,7 @@ def per_query_timings() -> dict:
         "frechet_join",
         "st_dbscan",
         "rbo_eval",
+        "leakage_safe_split",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -351,6 +351,49 @@ def q_rbo_eval_oracle() -> str:
         from j"""
 
 
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (near-dup groups stay on one side)
+# ---------------------------------------------------------------------------
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic split keyed on the near-dup COMPONENT representative
+    instead of the doc's own id: every member of a MinHash-LSH duplicate
+    group lands on the same side, so train never leaks a near-copy of a
+    val/test doc — the split discipline a contamination audit assumes.
+    Singleton docs hash exactly as in corpus_split (same salt), so
+    adopting the leakage-safe split only moves grouped docs."""
+    from ..operators import sampling
+    from . import queries as q
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, n_perm=16, bands=4, jaccard_threshold=0.4)
+    comp = dedup.connected_components(pairs)  # eagerly checkpoints the edges
+    dedup.unpersist_intermediates(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .selectExpr("doc_id", "coalesce(component, doc_id) as group_key")
+        .withColumn(
+            "split",
+            F.expr(sampling.split_expr("group_key", sampling.DEFAULT_SPLITS, SPARK)),
+        )
+    )
+
+
+def q_leakage_safe_split_oracle() -> str:
+    from ..operators import sampling
+    from . import queries as q
+
+    comp = q.q_dedup_groups_oracle()
+    return f"""
+        select doc_id, group_key,
+               {sampling.split_expr("group_key", sampling.DEFAULT_SPLITS, DUCK)} as split
+        from (
+            select d.doc_id, coalesce(c.component, d.doc_id) as group_key
+            from documents d
+            left join ({comp}) c on c.doc_id = d.doc_id
+        ) g"""
+
+
 def register_r5(QUERIES: dict) -> None:
     QUERIES["embedding_near_dup_ensemble"] = (
         q_embed_near_dup_ensemble,
@@ -360,3 +403,4 @@ def register_r5(QUERIES: dict) -> None:
     QUERIES["frechet_join"] = (q_frechet_join, q_frechet_join_oracle)
     QUERIES["st_dbscan"] = (q_st_dbscan, q_st_dbscan_oracle)
     QUERIES["rbo_eval"] = (q_rbo_eval, q_rbo_eval_oracle)
+    QUERIES["leakage_safe_split"] = (q_leakage_safe_split, q_leakage_safe_split_oracle)

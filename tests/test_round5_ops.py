@@ -130,3 +130,36 @@ def test_rbo_matches_python_replay(spark):
     assert row["n_overlap"] == len(set(a_ranked) & set(b_ranked))
     # bounded: rbo in [0, 1] up to truncation
     assert 0 <= row["rbo_q12"] <= 10**12
+
+
+def test_leakage_safe_split_invariants(spark):
+    """(1) every near-dup component shares one split; (2) singleton docs
+    hash exactly as corpus_split's per-doc assignment; (3) all docs
+    covered exactly once."""
+    from collections import defaultdict
+
+    from osm_to_netex_spark.operators import sampling
+
+    rows = R5.q_leakage_safe_split(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs
+    by_group = defaultdict(set)
+    for r in rows:
+        by_group[r["group_key"]].add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
+    # at least one real multi-doc group in the fixture corpus, else the
+    # operator is vacuous here
+    sizes = defaultdict(int)
+    for r in rows:
+        sizes[r["group_key"]] += 1
+    assert max(sizes.values()) >= 2
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_split(
+            spark.read.parquet(f"{SF}/documents.parquet")
+        ).select("doc_id", "split").collect()
+    }
+    for r in rows:
+        if sizes[r["group_key"]] == 1 and r["group_key"] == r["doc_id"]:
+            assert r["split"] == plain[r["doc_id"]]
