@@ -542,6 +542,7 @@ def per_query_timings() -> dict:
         "st_dbscan",
         "rbo_eval",
         "leakage_safe_split",
+        "line_raster",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

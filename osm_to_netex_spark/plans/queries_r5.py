@@ -394,6 +394,98 @@ def q_leakage_safe_split_oracle() -> str:
         ) g"""
 
 
+# ---------------------------------------------------------------------------
+# Exact supercover line rasterization: cells a polyline actually crosses
+# ---------------------------------------------------------------------------
+_LR_RES = 11
+
+
+def _line_raster_sql(d: str, res: int = _LR_RES) -> str:
+    """Per occupied cell: how many polyline segments (and distinct zones)
+    actually CROSS it — the exact supercover, not a bbox smear.  A segment
+    crosses cell rect [x0,x1]×[y0,y1] iff the parametric t-intervals where
+    x(t) and y(t) lie inside the bounds intersect within [0,1] — the
+    slab test, exact in IEEE (identical divisions both engines), with the
+    degenerate axis (dx=0 / dy=0) handled by a containment case.
+
+    Scale: candidate cells are the segment's OWN bbox cells (no padding —
+    cover size is the segment's true cell extent); the slab test prunes
+    bbox corners the line misses; cell-keyed partial aggregation.  The
+    bbox explode is the seg_candidates shape, fan-out bounded for
+    street-scale segments at the res knob."""
+    from ..functions import geo
+    from . import queries as q
+
+    n = 2 ** res
+    cw, ch = 360.0 / n, 180.0 / n
+    polys = "geo_polys" if d == SPARK else f"({q.polys_sql(DUCK)})"
+    if d == SPARK:
+        segs = (
+            f"select zone_id, element_at(pos_list, cast(2*i - 1 as int)) as ay,"
+            f" element_at(pos_list, cast(2*i as int)) as ax,"
+            f" element_at(pos_list, cast(2*i + 1 as int)) as by_,"
+            f" element_at(pos_list, cast(2*i + 2 as int)) as bx"
+            f" from (select zone_id, pos_list,"
+            f" explode(sequence(1, size(pos_list) div 2 - 1)) as i from {polys})"
+        )
+    else:
+        segs = (
+            f"select zone_id, pos_list[2*t.i - 1] as ay, pos_list[2*t.i] as ax,"
+            f" pos_list[2*t.i + 1] as by_, pos_list[2*t.i + 2] as bx"
+            f" from {polys}, unnest(generate_series(1, len(pos_list) // 2 - 1)) t(i)"
+        )
+    ix_lo, iy_lo = geo.quad_ixy("least(ay, by_)", "least(ax, bx)", res, d)
+    ix_hi, iy_hi = geo.quad_ixy("greatest(ay, by_)", "greatest(ax, bx)", res, d)
+    if d == SPARK:
+        cells = (
+            f"select zone_id, ay, ax, by_, bx, cy, explode(sequence(ixl, ixh)) as cx"
+            f" from (select zone_id, ay, ax, by_, bx, {ix_lo} as ixl, {ix_hi} as ixh,"
+            f" explode(sequence({iy_lo}, {iy_hi})) as cy from ({segs}))"
+        )
+    else:
+        cells = (
+            f"select zone_id, ay, ax, by_, bx, cy.y as cy, cx.x as cx"
+            f" from ({segs}) s,"
+            f" unnest(generate_series({iy_lo}, {iy_hi})) cy(y),"
+            f" unnest(generate_series({ix_lo}, {ix_hi})) cx(x)"
+        )
+    x0 = f"(-180.0e0 + cast(cx as double) * {q.flit(cw)})"
+    x1 = f"(-180.0e0 + cast(cx + 1 as double) * {q.flit(cw)})"
+    y0 = f"(-90.0e0 + cast(cy as double) * {q.flit(ch)})"
+    y1 = f"(-90.0e0 + cast(cy + 1 as double) * {q.flit(ch)})"
+    slab = (
+        f"case when bx = ax then (ax >= {x0} and ax <= {x1}) "
+        f"when by_ = ay then (ay >= {y0} and ay <= {y1}) "
+        f"else greatest("
+        f"least(({x0} - ax) / (bx - ax), ({x1} - ax) / (bx - ax)), "
+        f"least(({y0} - ay) / (by_ - ay), ({y1} - ay) / (by_ - ay)), 0.0e0)"
+        f" <= least("
+        f"greatest(({x0} - ax) / (bx - ax), ({x1} - ax) / (bx - ax)), "
+        f"greatest(({y0} - ay) / (by_ - ay), ({y1} - ay) / (by_ - ay)), 1.0e0) end"
+    )
+    # the pure-vertical/-horizontal cases above skip the OTHER axis's slab:
+    # restore it by re-checking the bbox explode already bounds that axis
+    cell = geo.quad_pack("cx", "cy", res)
+    return f"""
+        select {cell} as cell,
+               cast(count(*) as bigint) as n_segs,
+               cast(count(distinct zone_id) as bigint) as n_zones
+        from ({cells}) c
+        where {slab}
+        group by 1"""
+
+
+def q_line_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import queries as q
+
+    q.register_geometry_views(spark, sf_dir)
+    return spark.sql(_line_raster_sql(SPARK))
+
+
+def q_line_raster_oracle() -> str:
+    return _line_raster_sql(DUCK)
+
+
 def register_r5(QUERIES: dict) -> None:
     QUERIES["embedding_near_dup_ensemble"] = (
         q_embed_near_dup_ensemble,
@@ -404,3 +496,4 @@ def register_r5(QUERIES: dict) -> None:
     QUERIES["st_dbscan"] = (q_st_dbscan, q_st_dbscan_oracle)
     QUERIES["rbo_eval"] = (q_rbo_eval, q_rbo_eval_oracle)
     QUERIES["leakage_safe_split"] = (q_leakage_safe_split, q_leakage_safe_split_oracle)
+    QUERIES["line_raster"] = (q_line_raster, q_line_raster_oracle)

@@ -163,3 +163,61 @@ def test_leakage_safe_split_invariants(spark):
     for r in rows:
         if sizes[r["group_key"]] == 1 and r["group_key"] == r["doc_id"]:
             assert r["split"] == plain[r["doc_id"]]
+
+
+def test_line_raster_matches_python_replay(spark):
+    """Exact supercover replay: slab test per (segment, bbox cell) with the
+    same IEEE divisions; also sanity — every emitted cell is in its
+    segment's bbox cover and endpoints' cells are always emitted."""
+    from collections import defaultdict
+
+    from osm_to_netex_spark.plans import queries as Q
+
+    res = R5._LR_RES
+    n = 2 ** res
+    cw, ch = 360.0 / n, 180.0 / n
+
+    def ixy(lat, lon):
+        ix = min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+        iy = min(max(int(math.floor((lat + 90.0) / 180.0 * n)), 0), n - 1)
+        return ix, iy
+
+    Q.register_geometry_views(spark, SF)
+    polys = spark.table("geo_polys").collect()
+    per_cell = defaultdict(lambda: [0, set()])
+    for r in polys:
+        pl = list(r["pos_list"])
+        pts = [(pl[2 * i], pl[2 * i + 1]) for i in range(len(pl) // 2)]
+        for (ay, ax), (by_, bx) in zip(pts, pts[1:]):
+            ixl, iyl = ixy(min(ay, by_), min(ax, bx))
+            ixh, iyh = ixy(max(ay, by_), max(ax, bx))
+            for cy in range(iyl, iyh + 1):
+                for cx in range(ixl, ixh + 1):
+                    x0, x1 = -180.0 + cx * cw, -180.0 + (cx + 1) * cw
+                    y0, y1 = -90.0 + cy * ch, -90.0 + (cy + 1) * ch
+                    if bx == ax:
+                        hit = x0 <= ax <= x1
+                    elif by_ == ay:
+                        hit = y0 <= ay <= y1
+                    else:
+                        dx, dy = bx - ax, by_ - ay
+                        t0 = max(min((x0 - ax) / dx, (x1 - ax) / dx),
+                                 min((y0 - ay) / dy, (y1 - ay) / dy), 0.0)
+                        t1 = min(max((x0 - ax) / dx, (x1 - ax) / dx),
+                                 max((y0 - ay) / dy, (y1 - ay) / dy), 1.0)
+                        hit = t0 <= t1
+                    if hit:
+                        key = res * (1 << 58) + cy * (1 << 29) + cx
+                        per_cell[key][0] += 1
+                        per_cell[key][1].add(r["zone_id"])
+    got = {
+        r["cell"]: (r["n_segs"], r["n_zones"])
+        for r in R5.q_line_raster(spark, SF).collect()
+    }
+    want = {k: (v[0], len(v[1])) for k, v in per_cell.items()}
+    assert got == want
+    # endpoint cells always emitted (t=0 / t=1 inside the clamp)
+    for r in polys:
+        pl = list(r["pos_list"])
+        ix, iy = ixy(pl[0], pl[1])
+        assert res * (1 << 58) + iy * (1 << 29) + ix in got
