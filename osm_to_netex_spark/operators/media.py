@@ -108,6 +108,14 @@ def _decode_pnm(
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * n_ch, offset=off)
     img = raster.reshape(h, w, n_ch).astype(np.float64)
     lum = img.sum(axis=2) / (n_ch * float(maxval))  # (h, w) in [0, 1]
+    return ("ppm" if magic == "P6" else "pgm", w, h, 1, _block_features(lum))
+
+
+def _block_features(lum: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM block means of a normalized-luminance plane over a 4x4
+    grid (row-major), float64 math cast to float32 — the shared feature
+    convention of every real decoder (PNM, PNG)."""
+    h, w = lum.shape
     side = int(FEATURE_DIM**0.5)
     feats = np.empty(FEATURE_DIM, dtype=np.float64)
     row_blocks = np.array_split(np.arange(h), side)
@@ -115,15 +123,110 @@ def _decode_pnm(
     for i in range(side):
         for j in range(side):
             feats[i * side + j] = lum[np.ix_(row_blocks[i], col_blocks[j])].mean()
-    return ("ppm" if magic == "P6" else "pgm", w, h, 1, feats.astype(np.float32))
+    return feats.astype(np.float32)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(
+    media_ref: str, payload: bytes
+) -> tuple[str, int, int, int, np.ndarray]:
+    """REAL pure-stdlib PNG decoder — zlib inflate (stdlib) + the five
+    scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) defiltered in
+    NumPy/Python.  Supports 8-bit depth, color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced — the
+    overwhelmingly common PNG shapes.  Luminance uses the color channels
+    only (alpha dropped), then the shared 4x4 block-mean features.
+
+    Per-pixel Python loops run only for Sub/Average/Paeth rows (the
+    left-neighbor recurrences); fixture images are small, and a Pillow
+    call drops into this slot unchanged when the library exists."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # 4 len + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    stride, bpp = w * n_ch, n_ch
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rpos = 0
+    for y in range(h):
+        ft = raw[rpos]
+        rpos += 1
+        cur = np.frombuffer(raw, np.uint8, stride, rpos).copy()
+        rpos += stride
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif ft == 2:  # Up — vectorized mod-256 add
+            cur = (cur.astype(np.int16) + prev).astype(np.uint8)
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + _png_paeth(a, b, c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter {ft}")
+        img[y] = cur
+        prev = cur
+    px = img.reshape(h, w, n_ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        px = plte[px[:, :, 0]]  # (h, w, 3)
+        n_col = 3
+    elif color_type == 4:
+        px, n_col = px[:, :, :1], 1
+    elif color_type == 6:
+        px, n_col = px[:, :, :3], 3
+    else:
+        n_col = n_ch
+    lum = px.astype(np.float64).sum(axis=2) / (n_col * 255.0)
+    return ("png", w, h, 1, _block_features(lum))
 
 
 def _real_decode(media_ref: str, payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
-    """Real decode path: binary PNM decodes for real (pure NumPy); any other
-    format falls back to the labeled deterministic stub — the container has
-    no image/audio libraries, so JPEG/PNG/video remain stubbed."""
+    """Real decode path: binary PNM and PNG decode for real (pure
+    NumPy/stdlib); any other format falls back to the labeled deterministic
+    stub — the container has no image/audio libraries, so JPEG/video remain
+    stubbed."""
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(media_ref, payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(media_ref, payload)
     return _fake_decode(media_ref, payload)
 
 
