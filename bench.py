@@ -543,6 +543,8 @@ def per_query_timings() -> dict:
         "rbo_eval",
         "leakage_safe_split",
         "line_raster",
+        "tpch_q6",
+        "tpch_q14",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -486,6 +486,67 @@ def q_line_raster_oracle() -> str:
     return _line_raster_sql(DUCK)
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q6 and Q14 shapes (filters-only agg; join with ratio-of-sums)
+# ---------------------------------------------------------------------------
+def _tpch_q6_sql(d: str) -> str:
+    """TPC-H Q6 shape — the forecasting-revenue-change scan: ONE fact table,
+    THREE pushed-down range predicates, no join, no group — the purest
+    predicate-pushdown / scan-throughput probe in the suite.  Revenue
+    (extendedprice × discount) quantized per row to int 1e-4 before the sum
+    (the engine's TPC-H idiom)."""
+    return """
+        select cast(count(*) as bigint) as n_lines,
+               cast(sum(cast(floor(l_extendedprice * l_discount
+                    * 1.0e4 + 0.5e0) as bigint)) as bigint) as revenue_q4
+        from lineitem
+        where l_shipdate >= timestamp '1996-01-01 00:00:00'
+          and l_shipdate <  timestamp '1997-01-01 00:00:00'
+          and l_discount >= 0.03e0 and l_discount <= 0.05e0
+          and l_quantity < 24.0e0"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import queries as q
+
+    q.register_geometry_views(spark, sf_dir)
+    return spark.sql(_tpch_q6_sql(SPARK))
+
+
+def q_tpch_q6_oracle() -> str:
+    return _tpch_q6_sql(DUCK)
+
+
+def _tpch_q14_sql(d: str) -> str:
+    """TPC-H Q14 shape — promo revenue share: fact→part join with a
+    CONDITIONAL numerator over the same aggregate pass (promo vs total), a
+    ratio of two integer-quantized sums, one final division; the testdata's
+    p_type carries real 'PROMO ...' values so the predicate is verbatim."""
+    promo = "p_type like 'PROMO%'"
+    rev = "cast(floor(l_extendedprice * (1.0e0 - l_discount) * 1.0e4 + 0.5e0) as bigint)"
+    return f"""
+        select cast(sum(case when {promo} then {rev} else 0 end) as bigint)
+                   as promo_rev_q4,
+               cast(sum({rev}) as bigint) as total_rev_q4,
+               round(100.0e0 * cast(sum(case when {promo} then {rev} else 0 end)
+                     as double) / cast(sum({rev}) as double), 9) as promo_pct
+        from lineitem
+        join part on p_partkey = l_partkey
+        where l_shipdate >= timestamp '1996-09-01 00:00:00'
+          and l_shipdate <  timestamp '1996-10-01 00:00:00'"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import queries as q
+
+    q.register_geometry_views(spark, sf_dir)
+    return spark.sql(_tpch_q14_sql(SPARK))
+
+
+def q_tpch_q14_oracle() -> str:
+    return _tpch_q14_sql(DUCK)
+
+
 def register_r5(QUERIES: dict) -> None:
     QUERIES["embedding_near_dup_ensemble"] = (
         q_embed_near_dup_ensemble,
@@ -497,3 +558,5 @@ def register_r5(QUERIES: dict) -> None:
     QUERIES["rbo_eval"] = (q_rbo_eval, q_rbo_eval_oracle)
     QUERIES["leakage_safe_split"] = (q_leakage_safe_split, q_leakage_safe_split_oracle)
     QUERIES["line_raster"] = (q_line_raster, q_line_raster_oracle)
+    QUERIES["tpch_q6"] = (q_tpch_q6, q_tpch_q6_oracle)
+    QUERIES["tpch_q14"] = (q_tpch_q14, q_tpch_q14_oracle)
