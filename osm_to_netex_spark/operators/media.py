@@ -1,9 +1,10 @@
 """Multimodal column plumbing: decode / feature-extract over media spans.
 
 Media payloads are opaque ``binary`` columns with typed metadata.  Binary
-PPM/PGM (Netpbm) payloads decode FOR REAL via a pure-NumPy decoder — no
+PPM/PGM (Netpbm), PNG (stdlib zlib + the five scanline filters), and
+baseline JPEG (Huffman + IDCT, pure NumPy) payloads decode FOR REAL — no
 external image libraries needed — so ``real_decode=True`` runs end to end in
-this container; formats whose libraries are absent (JPEG/PNG/video) fall back
+this container; formats whose libraries are absent (video/audio) fall back
 to a deterministic stub keyed on the payload sha256.  The Spark-side plumbing
 is identical either way: schema, Arrow batching via ``mapInPandas``,
 partition-sized batches, and the exact UDF signature a PIL/ffmpeg decoder
@@ -218,25 +219,237 @@ def _decode_png(
     return ("png", w, h, 1, _block_features(lum))
 
 
+# JPEG zigzag scan order (ITU T.81 Figure A.6): zigzag index -> block index
+_JPEG_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _jpeg_idct_matrix() -> np.ndarray:
+    """8x8 IDCT basis M with f = M.T @ F @ M (ITU T.81 A.3.3 scaling)."""
+    m = np.empty((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    RSTn markers are skipped (caller resets the DC predictors).  Advance is
+    LAZY: after the 8th bit of a byte, ``pos`` stays on the consumed byte
+    until the next read — so byte-align logic is uniform."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data, self.pos, self.bit = data, start, 0
+
+    def _advance(self) -> None:
+        # a 0xFF data byte is always followed by a stuffed 0x00 — skip both
+        if self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0x00:
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.bit == 8:
+            self._advance()
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_skip_rst(self) -> None:
+        """Byte-align (drop the encoder's 1-padding) and skip an RSTn
+        marker (ITU T.81 E.2.4)."""
+        self._advance()
+        if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict) -> int:
+    code, length = 0, 0
+    while True:
+        code = (code << 1) | bits.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+        if length > 16:
+            raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DC/AC magnitude extension (ITU T.81 F.2.2.1)."""
+    return v - ((1 << t) - 1) if t > 0 and v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg(
+    media_ref: str, payload: bytes
+) -> tuple[str, int, int, int, np.ndarray]:
+    """REAL pure-NumPy baseline JPEG decoder (ITU T.81 sequential DCT,
+    Huffman): DQT/SOF0/DHT/DRI/SOS parsing, MCU-interleaved Huffman entropy
+    decode, dequantize + dezigzag, float IDCT, nearest-neighbour chroma
+    upsampling, YCbCr→RGB — no external image libraries.  Progressive
+    (SOF2) and arithmetic coding are not supported (baseline covers the
+    overwhelming majority of real JPEGs).  Luminance uses the shared
+    channel-mean convention, then the 4x4 block-mean features."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos, qt, huff, frame, ri, sos = 2, {}, {}, None, 0, None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = np.frombuffer(seg, np.uint8, 64, s + 1).astype(np.int32)
+                s += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline (SOF0) JPEG supported")
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 0xF
+                counts = seg[s + 1 : s + 17]
+                syms = seg[s + 17 : s + 17 + sum(counts)]
+                table, code, k = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                s += 17 + sum(counts)
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cs] = (tabs >> 4, tabs & 0xF)
+            sos = (sel, pos + 2 + seglen)
+            break
+        pos += 2 + seglen
+    if frame is None or sos is None:
+        raise ValueError("truncated JPEG")
+    h, w, comps = frame
+    sel, data_start = sos
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcols = (w + mcu_w - 1) // mcu_w
+    mrows = (h + mcu_h - 1) // mcu_h
+    planes = {
+        cid: np.zeros((mrows * 8 * vs, mcols * 8 * hs), dtype=np.float64)
+        for cid, hs, vs, _ in comps
+    }
+    m = _jpeg_idct_matrix()
+    bits = _JpegBits(payload, data_start)
+    pred = {cid: 0 for cid, *_ in comps}
+    n_mcu = 0
+    for my in range(mrows):
+        for mx in range(mcols):
+            if ri and n_mcu and n_mcu % ri == 0:
+                bits.align_skip_rst()
+                pred = {cid: 0 for cid, *_ in comps}
+            n_mcu += 1
+            for cid, hs, vs, tq in comps:
+                dc_t, ac_t = huff[(0, sel[cid][0])], huff[(1, sel[cid][1])]
+                q = qt[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = _jpeg_huff_decode(bits, dc_t)
+                        diff = _jpeg_extend(bits.read_bits(t), t) if t else 0
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(bits, ac_t)
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            zz[k] = _jpeg_extend(bits.read_bits(size), size)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_JPEG_ZIGZAG] = zz * q
+                        f = m.T @ blk.reshape(8, 8) @ m + 128.0
+                        y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = f
+    # upsample every plane to full padded resolution, crop, color-convert
+    full = []
+    for cid, hs, vs, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, hmax // hs, axis=1), vmax // vs, axis=0)
+        full.append(np.clip(p[:h, :w], 0.0, 255.0))
+    if len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2).clip(0.0, 255.0)
+        lum = rgb.sum(axis=2) / (3 * 255.0)
+    else:
+        lum = full[0] / 255.0
+    return ("jpeg", w, h, 1, _block_features(lum))
+
+
 def _real_decode(media_ref: str, payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
-    """Real decode path: binary PNM and PNG decode for real (pure
-    NumPy/stdlib); any other format falls back to the labeled deterministic
-    stub — the container has no image/audio libraries, so JPEG/video remain
-    stubbed."""
+    """Real decode path: binary PNM, PNG, and baseline JPEG decode for real
+    (pure NumPy/stdlib); any other format falls back to the labeled
+    deterministic stub — the container has no media libraries, so
+    video/audio remain stubbed."""
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(media_ref, payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(media_ref, payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(media_ref, payload)
     return _fake_decode(media_ref, payload)
 
 
 def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """mapInPandas decode: (doc_id, media_ref, payload) → MEDIA_FEATURES.
 
-    real_decode=True decodes binary PPM/PGM payloads for real (pure-NumPy
-    Netpbm decoder, no external libs) and falls back to the deterministic
-    stub for formats whose libraries are absent from this container; a
-    PIL/ffmpeg call drops into ``_real_decode``'s slot when they exist.
+    real_decode=True decodes binary PPM/PGM, PNG, and baseline JPEG
+    payloads for real (pure NumPy/stdlib, no external libs) and falls back
+    to the deterministic stub for video/audio; an ffmpeg call drops into
+    ``_real_decode``'s slot when it exists.
     """
 
     def batches(it):
