@@ -433,13 +433,20 @@ def _real_decode(media_ref: str, payload: bytes) -> tuple[str, int, int, int, np
     """Real decode path: binary PNM, PNG, and baseline JPEG decode for real
     (pure NumPy/stdlib); any other format falls back to the labeled
     deterministic stub — the container has no media libraries, so
-    video/audio remain stubbed."""
-    if payload[:2] in (b"P5", b"P6"):
-        return _decode_pnm(media_ref, payload)
-    if payload[:8] == _PNG_SIG:
-        return _decode_png(media_ref, payload)
-    if payload[:2] == b"\xff\xd8":
-        return _decode_jpeg(media_ref, payload)
+    video/audio remain stubbed.  A payload that CLAIMS a supported magic
+    but fails to parse (truncated blob, unsupported variant) also falls
+    back to the stub rather than failing the batch: one corrupt blob must
+    not kill a 100 TB decode pass, and the stub keeps the row present and
+    deterministic for downstream joins."""
+    try:
+        if payload[:2] in (b"P5", b"P6"):
+            return _decode_pnm(media_ref, payload)
+        if payload[:8] == _PNG_SIG:
+            return _decode_png(media_ref, payload)
+        if payload[:2] == b"\xff\xd8":
+            return _decode_jpeg(media_ref, payload)
+    except Exception:
+        pass
     return _fake_decode(media_ref, payload)
 
 
