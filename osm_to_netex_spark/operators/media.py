@@ -2,10 +2,11 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata.  Binary
 PPM/PGM (Netpbm), PNG (stdlib zlib + the five scanline filters), and
-baseline JPEG (Huffman + IDCT, pure NumPy) payloads decode FOR REAL — no
-external image libraries needed — so ``real_decode=True`` runs end to end in
-this container; formats whose libraries are absent (video/audio) fall back
-to a deterministic stub keyed on the payload sha256.  The Spark-side plumbing
+baseline JPEG (Huffman + IDCT, pure NumPy), RIFF PCM WAV audio, and
+MJPEG-in-AVI video payloads decode FOR REAL — no external media libraries
+needed — so ``real_decode=True`` runs end to end in this container; codec
+formats that genuinely need external libraries (H.264, AAC, WebP, ...)
+fall back to a deterministic stub keyed on the payload sha256.  The Spark-side plumbing
 is identical either way: schema, Arrow batching via ``mapInPandas``,
 partition-sized batches, and the exact UDF signature a PIL/ffmpeg decoder
 drops into.
@@ -60,7 +61,9 @@ def _fake_decode(media_ref: str, payload: bytes) -> tuple[str, int, int, int, np
     the payload, so results are stable across runs/partitionings.
     """
     h = hashlib.sha256(payload).digest()
-    fmt = ["jpeg", "png", "webp"][h[0] % 3]
+    # explicitly stub-labeled so a stub row can never masquerade as a
+    # real decoder's output now that jpeg/png/wav/mjpeg decode for real
+    fmt = ["stub_jpeg", "stub_png", "stub_webp"][h[0] % 3]
     width = 64 + (h[1] % 16) * 32
     height = 64 + (h[2] % 16) * 32
     n_frames = 1 + h[3] % 4
@@ -429,14 +432,83 @@ def _decode_jpeg(
     return ("jpeg", w, h, 1, _block_features(lum))
 
 
+def _decode_wav(
+    media_ref: str, payload: bytes
+) -> tuple[str, int, int, int, np.ndarray]:
+    """REAL pure-stdlib WAV (RIFF PCM) decoder via the ``wave`` module:
+    8/16/32-bit integer PCM.  The audio feature convention mirrors the
+    image one: FEATURE_DIM block RMS energies of the normalized mono mix
+    over equal time windows.  Schema mapping: width = sample rate,
+    height = channel count, n_frames = PCM frame count."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as fh:
+        n_ch = fh.getnchannels()
+        rate = fh.getframerate()
+        width = fh.getsampwidth()
+        n = fh.getnframes()
+        raw = fh.readframes(n)
+    if width == 1:
+        samples = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        samples = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        samples = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError("unsupported PCM sample width")
+    mono = samples.reshape(-1, n_ch).mean(axis=1)
+    feats = np.empty(FEATURE_DIM, dtype=np.float64)
+    for i, blk in enumerate(np.array_split(mono, FEATURE_DIM)):
+        feats[i] = float(np.sqrt((blk * blk).mean())) if blk.size else 0.0
+    return ("wav", rate, n_ch, n, feats.astype(np.float32))
+
+
+def _decode_avi_mjpeg(
+    media_ref: str, payload: bytes
+) -> tuple[str, int, int, int, np.ndarray]:
+    """REAL MJPEG-in-AVI video decode: the RIFF container is parsed
+    directly ('movi' LIST; '..dc'/'..db' stream chunks), each frame is a
+    baseline JPEG decoded by ``_decode_jpeg``, and the clip's features are
+    the per-frame feature MEAN (the temporal pooling a frame-sampling
+    pipeline applies).  Codec video (H.264 etc.) still needs ffmpeg and
+    falls back to the stub."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid in (b"RIFF", b"LIST"):
+                walk(pos + 12, pos + 8 + size)
+            elif cid[2:4] in (b"dc", b"db") and body[:2] == b"\xff\xd8":
+                frames.append(body)
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    walk(0, len(payload))
+    if not frames:
+        raise ValueError("no MJPEG frames found")
+    per_frame = [_decode_jpeg(media_ref, f) for f in frames]
+    _, w, h, _, _ = per_frame[0]
+    feats = np.mean([p[4].astype(np.float64) for p in per_frame], axis=0)
+    return ("mjpeg", w, h, len(frames), feats.astype(np.float32))
+
+
 def _real_decode(media_ref: str, payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
-    """Real decode path: binary PNM, PNG, and baseline JPEG decode for real
-    (pure NumPy/stdlib); any other format falls back to the labeled
-    deterministic stub — the container has no media libraries, so
-    video/audio remain stubbed.  A payload that CLAIMS a supported magic
-    but fails to parse (truncated blob, unsupported variant) also falls
-    back to the stub rather than failing the batch: one corrupt blob must
-    not kill a 100 TB decode pass, and the stub keeps the row present and
+    """Real decode path — every media family has at least one real
+    pure-NumPy/stdlib decoder: images (binary PNM, PNG, baseline JPEG),
+    audio (RIFF PCM WAV), video (MJPEG-in-AVI).  Codec formats that
+    genuinely need external libraries (H.264, AAC, WebP, ...) fall back to
+    the labeled deterministic stub.  A payload that CLAIMS a supported
+    magic but fails to parse (truncated blob, unsupported variant) also
+    falls back rather than failing the batch: one corrupt blob must not
+    kill a 100 TB decode pass, and the stub keeps the row present and
     deterministic for downstream joins."""
     try:
         if payload[:2] in (b"P5", b"P6"):
@@ -445,6 +517,10 @@ def _real_decode(media_ref: str, payload: bytes) -> tuple[str, int, int, int, np
             return _decode_png(media_ref, payload)
         if payload[:2] == b"\xff\xd8":
             return _decode_jpeg(media_ref, payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _decode_wav(media_ref, payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            return _decode_avi_mjpeg(media_ref, payload)
     except Exception:
         pass
     return _fake_decode(media_ref, payload)

@@ -1174,7 +1174,7 @@ def q_media_meta_oracle() -> str:
             where span.kind = 'media'
         )
         select doc_id, media_ref,
-               (['jpeg', 'png', 'webp'])[{byte(0)} % 3 + 1] as format,
+               (['stub_jpeg', 'stub_png', 'stub_webp'])[{byte(0)} % 3 + 1] as format,
                64 + ({byte(1)} % 16) * 32 as width,
                64 + ({byte(2)} % 16) * 32 as height,
                1 + {byte(3)} % 4 as n_frames,

@@ -96,7 +96,7 @@ def test_real_decode_falls_back_to_stub_for_non_pnm(spark):
     assert tuple(real) == tuple(stub)
     # and the stub is the sha-keyed fake, not a PNM decode
     h = hashlib.sha256(payload).digest()
-    assert real["format"] == ["jpeg", "png", "webp"][h[0] % 3]
+    assert real["format"] == ["stub_jpeg", "stub_png", "stub_webp"][h[0] % 3]
 
 
 def test_phash_from_features_shared_across_paths(spark, corpus):
