@@ -545,6 +545,8 @@ def per_query_timings() -> dict:
         "line_raster",
         "tpch_q6",
         "tpch_q14",
+        "attribution",
+        "polyline_encode",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

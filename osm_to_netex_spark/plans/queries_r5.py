@@ -547,6 +547,159 @@ def q_tpch_q14_oracle() -> str:
     return _tpch_q14_sql(DUCK)
 
 
+# ---------------------------------------------------------------------------
+# Marketing attribution: first/last touch within a lookback window
+# ---------------------------------------------------------------------------
+_ATTR_WIN_US = 7 * 86400 * 1_000_000  # 7-day lookback, integer micros
+
+
+def _attribution_sql(d: str) -> str:
+    """Per conversion ('purchase'), the FIRST- and LAST-touch among the
+    user's 'click'/'view' events in a 7-day lookback, plus the touch count
+    — the single-pass form of first-/last-touch attribution.  (ts, type)
+    packs into one bigint (ts_us·2 + type bit), so both extremes are plain
+    min/max over a numeric RANGE frame — no struct aggregates, no
+    self-join; conversions with no touch in window coalesce to
+    ('none', 0).
+
+    Exactness: integer micros and packed bigints end to end; RANGE
+    CURRENT ROW includes equal-ts peers identically in both engines, and
+    min/max over packed values is total-ordered.
+
+    Scale: ONE user-keyed sort serves all three window aggregates; the
+    corpus crosses the shuffle once."""
+    # NTZ-safe integer micros (the temporal.py idiom): timestampdiff is
+    # timezone-free, matching DuckDB's epoch_us on the same NTZ values
+    ts_us = (
+        "cast(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+        " as bigint)"
+        if d == SPARK
+        else "cast(epoch_us(ts) as bigint)"
+    )
+    win = f"range between {_ATTR_WIN_US} preceding and current row"
+    w = f"over (partition by user_id order by ts_us {win})"
+    dv = "div" if d == SPARK else "//"
+    return f"""
+        with ev as (
+            select user_id, event_id, event_type, {ts_us} as ts_us
+            from events where event_type in ('purchase', 'click', 'view')
+        ),
+        base as (
+            select user_id, event_id, event_type, ts_us,
+                   case when event_type in ('click', 'view') then 1 else 0 end
+                       as is_touch,
+                   case when event_type in ('click', 'view') then
+                        ts_us * 2 + (case when event_type = 'view' then 1
+                                          else 0 end) end as packed
+            from ev
+        ),
+        wnd as (
+            select user_id, event_id, event_type, ts_us,
+                   min(case when is_touch = 1 then packed end) {w} as first_p,
+                   max(case when is_touch = 1 then packed end) {w} as last_p,
+                   sum(is_touch) {w} as n_touches
+            from base
+        )
+        select event_id, user_id, ts_us,
+               coalesce(case when first_p % 2 = 1 then 'view'
+                             when first_p is not null then 'click' end,
+                        'none') as first_touch,
+               cast(coalesce(first_p {dv} 2, 0) as bigint) as first_ts_us,
+               coalesce(case when last_p % 2 = 1 then 'view'
+                             when last_p is not null then 'click' end,
+                        'none') as last_touch,
+               cast(coalesce(last_p {dv} 2, 0) as bigint) as last_ts_us,
+               cast(n_touches as bigint) as n_touches
+        from wnd where event_type = 'purchase'"""
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import queries as q
+
+    q.register_geometry_views(spark, sf_dir)
+    return spark.sql(_attribution_sql(SPARK))
+
+
+def q_attribution_oracle() -> str:
+    return _attribution_sql(DUCK)
+
+
+# ---------------------------------------------------------------------------
+# Google Encoded Polyline (interchange format for zone rings / tracks)
+# ---------------------------------------------------------------------------
+def _polyline_encode_sql(d: str) -> str:
+    """Per zone, the Google Encoded Polyline Algorithm Format string of its
+    ring: 1e-5 quantize (floor(x·1e5+0.5) both dialects), same-axis deltas,
+    zigzag, 5-bit little-endian chunks with continuation bit, +63 ASCII —
+    verified against the algorithm's published worked example
+    ('_p~iF~ps|U_ulLnnqC_mqNvxq`@').  The wire format map APIs exchange
+    routes in, as a pure scan-parallel projection.
+
+    Scale: zone-table-sized; zero joins, zero shuffles beyond the scan."""
+    if d == SPARK:
+        chunk = (
+            "case when i = 0 or shiftright(v, 5*i) > 0 then "
+            "char(cast((shiftright(v, 5*i) & 31) + "
+            "(case when shiftright(v, 5*(i+1)) > 0 then 32 else 0 end) + 63 as int)) "
+            "else '' end"
+        )
+        enc = f"concat_ws('', transform(sequence(0, 6), i -> {chunk}))"
+        return f"""
+            select zone_id, cast(size(pos_list) div 2 as bigint) as n_pts,
+                   concat_ws('', transform(zz, v -> {enc})) as polyline
+            from (
+              select zone_id, pos_list,
+                     transform(dl, x -> case when x >= 0 then 2*x else -2*x - 1 end) as zz
+              from (
+                select zone_id, pos_list,
+                       transform(sequence(1, size(pos_list)), i ->
+                         element_at(qq, cast(i as int)) -
+                         (case when i > 2 then element_at(qq, cast(i - 2 as int))
+                               else cast(0 as bigint) end)) as dl
+                from (
+                  select zone_id, pos_list,
+                         transform(pos_list, x ->
+                           cast(floor(x * 1.0e5 + 0.5e0) as bigint)) as qq
+                  from geo_polys)))"""
+    from . import queries as q
+
+    chunk = (
+        "case when i = 0 or (v >> (5*i)) > 0 then "
+        "chr(cast(((v >> (5*i)) & 31) + "
+        "(case when (v >> (5*(i+1))) > 0 then 32 else 0 end) + 63 as integer)) "
+        "else '' end"
+    )
+    enc = f"list_aggregate(list_transform(generate_series(0, 6), i -> {chunk}), 'string_agg', '')"
+    return f"""
+        select zone_id, cast(len(pos_list) // 2 as bigint) as n_pts,
+               list_aggregate(list_transform(zz, v -> {enc}), 'string_agg', '')
+                   as polyline
+        from (
+          select zone_id, pos_list,
+                 list_transform(dl, x -> case when x >= 0 then 2*x else -2*x - 1 end) as zz
+          from (
+            select zone_id, pos_list,
+                   list_transform(generate_series(1, len(pos_list)), i ->
+                     qq[i] - (case when i > 2 then qq[i-2]
+                                   else cast(0 as bigint) end)) as dl
+            from (
+              select zone_id, pos_list,
+                     list_transform(pos_list, x ->
+                       cast(floor(x * 1.0e5 + 0.5e0) as bigint)) as qq
+              from ({q.polys_sql(DUCK)}) geo_polys)))"""
+
+
+def q_polyline_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import queries as q
+
+    q.register_geometry_views(spark, sf_dir)
+    return spark.sql(_polyline_encode_sql(SPARK))
+
+
+def q_polyline_encode_oracle() -> str:
+    return _polyline_encode_sql(DUCK)
+
+
 def register_r5(QUERIES: dict) -> None:
     QUERIES["embedding_near_dup_ensemble"] = (
         q_embed_near_dup_ensemble,
@@ -560,3 +713,5 @@ def register_r5(QUERIES: dict) -> None:
     QUERIES["line_raster"] = (q_line_raster, q_line_raster_oracle)
     QUERIES["tpch_q6"] = (q_tpch_q6, q_tpch_q6_oracle)
     QUERIES["tpch_q14"] = (q_tpch_q14, q_tpch_q14_oracle)
+    QUERIES["attribution"] = (q_attribution, q_attribution_oracle)
+    QUERIES["polyline_encode"] = (q_polyline_encode, q_polyline_encode_oracle)

@@ -221,3 +221,89 @@ def test_line_raster_matches_python_replay(spark):
         pl = list(r["pos_list"])
         ix, iy = ixy(pl[0], pl[1])
         assert res * (1 << 58) + iy * (1 << 29) + ix in got
+
+
+def test_attribution_matches_python_replay(spark):
+    """First/last-touch attribution replayed in plain Python: per purchase,
+    scan the user's click/view events in [ts-7d, ts] (inclusive — RANGE
+    CURRENT ROW includes equal-ts peers) with the packed-bigint tiebreak."""
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "user_id", "event_id", "event_type",
+            "cast(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) as bigint) as ts_us",
+        )
+        .where("event_type in ('purchase','click','view')")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    win = R5._ATTR_WIN_US
+    want = {}
+    for u, evs in by_user.items():
+        touches = [
+            (e["ts_us"] * 2 + (1 if e["event_type"] == "view" else 0))
+            for e in evs
+            if e["event_type"] in ("click", "view")
+        ]
+        for e in evs:
+            if e["event_type"] != "purchase":
+                continue
+            inw = [p for p in touches if e["ts_us"] - win <= p // 2 <= e["ts_us"]]
+            if inw:
+                fp, lp = min(inw), max(inw)
+                want[e["event_id"]] = (
+                    "view" if fp % 2 else "click", fp // 2,
+                    "view" if lp % 2 else "click", lp // 2, len(inw),
+                )
+            else:
+                want[e["event_id"]] = ("none", 0, "none", 0, 0)
+    got = {
+        r["event_id"]: (
+            r["first_touch"], r["first_ts_us"],
+            r["last_touch"], r["last_ts_us"], r["n_touches"],
+        )
+        for r in R5.q_attribution(spark, SF).collect()
+    }
+    assert got == want
+    assert any(v[0] != "none" for v in got.values())
+
+
+def _py_polyline(coords):
+    out, prev = [], [0, 0]
+    for la, lo in coords:
+        for ax, v in enumerate((la, lo)):
+            q = math.floor(v * 1e5 + 0.5)
+            d = q - prev[ax]
+            prev[ax] = q
+            z = 2 * d if d >= 0 else -2 * d - 1
+            while z >= 0x20:
+                out.append(chr((z & 31 | 32) + 63))
+                z >>= 5
+            out.append(chr(z + 63))
+    return "".join(out)
+
+
+def test_polyline_encode_matches_canonical_algorithm(spark):
+    """The query's strings equal the canonical Google polyline encoder run
+    in Python on the same rings — including the algorithm's published
+    worked example."""
+    from osm_to_netex_spark.plans import queries as Q
+
+    assert _py_polyline([(38.5, -120.2), (40.7, -120.95), (43.252, -126.453)]) == (
+        "_p~iF~ps|U_ulLnnqC_mqNvxq`@"
+    )
+    Q.register_geometry_views(spark, SF)
+    rings = {
+        r["zone_id"]: list(r["pos_list"])
+        for r in spark.table("geo_polys").collect()
+    }
+    got = {
+        r["zone_id"]: (r["n_pts"], r["polyline"])
+        for r in R5.q_polyline_encode(spark, SF).collect()
+    }
+    assert set(got) == set(rings)
+    for zid, pl in rings.items():
+        coords = [(pl[2 * i], pl[2 * i + 1]) for i in range(len(pl) // 2)]
+        assert got[zid] == (len(coords), _py_polyline(coords))
