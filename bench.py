@@ -547,6 +547,7 @@ def per_query_timings() -> dict:
         "tpch_q14",
         "attribution",
         "polyline_encode",
+        "polyline_roundtrip",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -700,6 +700,98 @@ def q_polyline_encode_oracle() -> str:
     return _polyline_encode_sql(DUCK)
 
 
+def _polyline_roundtrip_sql(d: str) -> str:
+    """Self-checking inverse: decode every zone's encoded polyline back to
+    quantized coordinates entirely in SQL (chunk regrouping by
+    continuation bit via one cumulative window, 5-bit shifts, zigzag
+    undo, per-axis prefix sums) and emit the max abs error vs the
+    quantized original ring — 0 for every zone proves encode/decode are
+    exact inverses inside BOTH engines, not just in the Python replay.
+
+    Scale: string explode is ∝ encoded length over the zone DIMENSION;
+    windows partition by zone; the corpus is never touched."""
+    enc = _polyline_encode_sql(d)
+    if d == SPARK:
+        chars = (
+            "select zone_id, i, ascii(substring(polyline, i, 1)) - 63 as code "
+            "from (select zone_id, polyline, "
+            "explode(sequence(1, length(polyline))) as i from enc)"
+        )
+        shift = "cast(shiftleft(cast(1 as bigint), cast(5 * (i - min_i) as int)) as bigint)"
+        dv = "div"
+        orig = (
+            "select zone_id, cast((k - 1) as bigint) div 2 as pt, (k - 1) % 2 as axis, "
+            "cast(floor(element_at(pos_list, cast(k as int)) * 1.0e5 + 0.5e0) as bigint) as q5 "
+            "from (select zone_id, pos_list, "
+            "explode(sequence(1, size(pos_list))) as k from geo_polys)"
+        )
+    else:
+        from . import queries as q
+
+        chars = (
+            "select zone_id, t.i as i, ascii(polyline[t.i]) - 63 as code "
+            "from enc, unnest(generate_series(1, length(polyline))) t(i)"
+        )
+        shift = "(cast(1 as bigint) << cast(5 * (i - min_i) as integer))"
+        dv = "//"
+        orig = (
+            f"select zone_id, cast((t.k - 1) as bigint) // 2 as pt, (t.k - 1) % 2 as axis, "
+            f"cast(floor(pos_list[t.k] * 1.0e5 + 0.5e0) as bigint) as q5 "
+            f"from ({q.polys_sql(DUCK)}) geo_polys, "
+            f"unnest(generate_series(1, len(pos_list))) t(k)"
+        )
+    return f"""
+        with enc as ({enc}),
+        chars as ({chars}),
+        grp as (
+            select zone_id, i, code,
+                   coalesce(sum(case when code < 32 then 1 else 0 end)
+                       over (partition by zone_id order by i
+                             rows between unbounded preceding and 1 preceding),
+                       0) as g
+            from chars
+        ),
+        vals as (
+            select zone_id, g,
+                   cast(sum((code % 32) * {shift}) as bigint) as z
+            from (select zone_id, i, code, g,
+                         min(i) over (partition by zone_id, g) as min_i
+                  from grp) t
+            group by zone_id, g
+        ),
+        deltas as (
+            select zone_id, g,
+                   case when z % 2 = 1 then -((z + 1) {dv} 2)
+                        else z {dv} 2 end as dd
+            from vals
+        ),
+        coords as (
+            select zone_id, g {dv} 2 as pt, g % 2 as axis,
+                   sum(dd) over (partition by zone_id, g % 2 order by g) as q
+            from deltas
+        ),
+        orig as ({orig}),
+        joined as (
+            select o.zone_id, abs(c.q - o.q5) as err
+            from orig o join coords c
+              on c.zone_id = o.zone_id and c.pt = o.pt and c.axis = o.axis
+        )
+        select zone_id, cast(count(*) as bigint) as n_vals,
+               cast(max(err) as bigint) as max_abs_err
+        from joined group by zone_id"""
+
+
+def q_polyline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import queries as q
+
+    q.register_geometry_views(spark, sf_dir)
+    return spark.sql(_polyline_roundtrip_sql(SPARK))
+
+
+def q_polyline_roundtrip_oracle() -> str:
+    return _polyline_roundtrip_sql(DUCK)
+
+
 def register_r5(QUERIES: dict) -> None:
     QUERIES["embedding_near_dup_ensemble"] = (
         q_embed_near_dup_ensemble,
@@ -715,3 +807,4 @@ def register_r5(QUERIES: dict) -> None:
     QUERIES["tpch_q14"] = (q_tpch_q14, q_tpch_q14_oracle)
     QUERIES["attribution"] = (q_attribution, q_attribution_oracle)
     QUERIES["polyline_encode"] = (q_polyline_encode, q_polyline_encode_oracle)
+    QUERIES["polyline_roundtrip"] = (q_polyline_roundtrip, q_polyline_roundtrip_oracle)

@@ -307,3 +307,8 @@ def test_polyline_encode_matches_canonical_algorithm(spark):
     for zid, pl in rings.items():
         coords = [(pl[2 * i], pl[2 * i + 1]) for i in range(len(pl) // 2)]
         assert got[zid] == (len(coords), _py_polyline(coords))
+
+
+def test_polyline_roundtrip_exact_inverse(spark):
+    rows = R5.q_polyline_roundtrip(spark, SF).collect()
+    assert rows and all(r["max_abs_err"] == 0 for r in rows)
