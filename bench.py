@@ -548,6 +548,7 @@ def per_query_timings() -> dict:
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",
+        "kendall_tau",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

@@ -792,6 +792,85 @@ def q_polyline_roundtrip_oracle() -> str:
     return _polyline_roundtrip_sql(DUCK)
 
 
+# ---------------------------------------------------------------------------
+# Kendall tau-b rank correlation per source (completes the rank pair)
+# ---------------------------------------------------------------------------
+def _kendall_sql(d: str) -> str:
+    """Kendall's τ-b with full tie correction over the SAME variable pair
+    as spearman (n_chars vs distinct-token count, per source): τ-b =
+    (C − D) / sqrt((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2 and n1/n2 the
+    x-/y-tie pair counts — the concordance-based complement to Spearman's
+    rank-Pearson (τ weights pair ORDER agreement, not rank distance,
+    and is the robust choice under heavy ties).
+
+    Exactness: C, D, and every tie count are exact bigints from integer
+    comparisons; ONE sqrt of exact integer products and one division at
+    the end, rounded to 1e-9.
+
+    Scale: the pairwise join is GROUP-bounded (doc_id_a < doc_id_b within
+    source — the Theil-Sen posture, never cross-source); tie counts are
+    two dimension-sized aggregates."""
+    from ..functions import text as tx
+
+    toks = tx.tokens("text", d)
+    ntypes = (
+        f"cast(size(array_distinct({toks})) as bigint)"
+        if d == SPARK
+        else f"cast(len(list_distinct({toks})) as bigint)"
+    )
+    return f"""
+        with base as (
+            select source, doc_id, cast(n_chars as bigint) as x, {ntypes} as y
+            from documents
+        ),
+        cd as (
+            select a.source,
+                   cast(sum(case when (a.x - b.x) * (a.y - b.y) > 0
+                            then 1 else 0 end) as bigint) as c_pairs,
+                   cast(sum(case when (a.x - b.x) * (a.y - b.y) < 0
+                            then 1 else 0 end) as bigint) as d_pairs
+            from base a join base b
+              on b.source = a.source and a.doc_id < b.doc_id
+            group by a.source
+        ),
+        n_tot as (select source, cast(count(*) as bigint) as n from base group by source),
+        tx_ as (
+            select source,
+                   cast(sum(c * (c - 1) / 2) as bigint) as n1
+            from (select source, x, cast(count(*) as bigint) as c
+                  from base group by source, x) t group by source
+        ),
+        ty_ as (
+            select source,
+                   cast(sum(c * (c - 1) / 2) as bigint) as n2
+            from (select source, y, cast(count(*) as bigint) as c
+                  from base group by source, y) t group by source
+        )
+        select n_tot.source, n_tot.n,
+               cast(c_pairs - d_pairs as bigint) as c_minus_d,
+               round(cast(c_pairs - d_pairs as double)
+                     / nullif(sqrt((cast(n_tot.n as double) * cast(n_tot.n - 1 as double) / 2.0e0
+                                    - cast(n1 as double))
+                                   * (cast(n_tot.n as double) * cast(n_tot.n - 1 as double) / 2.0e0
+                                      - cast(n2 as double))),
+                              0.0e0), 9) as tau_b
+        from n_tot
+        join cd on cd.source = n_tot.source
+        join tx_ on tx_.source = n_tot.source
+        join ty_ on ty_.source = n_tot.source"""
+
+
+def q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import queries as q
+
+    q.register_geometry_views(spark, sf_dir)
+    return spark.sql(_kendall_sql(SPARK))
+
+
+def q_kendall_oracle() -> str:
+    return _kendall_sql(DUCK)
+
+
 def register_r5(QUERIES: dict) -> None:
     QUERIES["embedding_near_dup_ensemble"] = (
         q_embed_near_dup_ensemble,
@@ -808,3 +887,4 @@ def register_r5(QUERIES: dict) -> None:
     QUERIES["attribution"] = (q_attribution, q_attribution_oracle)
     QUERIES["polyline_encode"] = (q_polyline_encode, q_polyline_encode_oracle)
     QUERIES["polyline_roundtrip"] = (q_polyline_roundtrip, q_polyline_roundtrip_oracle)
+    QUERIES["kendall_tau"] = (q_kendall, q_kendall_oracle)

@@ -6,6 +6,8 @@ prove the math on a small corpus."""
 import hashlib
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from osm_to_netex_spark.operators import dedup
@@ -312,3 +314,47 @@ def test_polyline_encode_matches_canonical_algorithm(spark):
 def test_polyline_roundtrip_exact_inverse(spark):
     rows = R5.q_polyline_roundtrip(spark, SF).collect()
     assert rows and all(r["max_abs_err"] == 0 for r in rows)
+
+
+def test_kendall_matches_python_replay(spark):
+    """τ-b replayed in Python (scipy-free): exact pair scan per source with
+    full tie correction."""
+    import re as _re
+    from collections import defaultdict
+
+    def toks(t):
+        return [w for w in _re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source", "n_chars", "text")
+        .collect()
+    )
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append((int(r["n_chars"]), len(set(toks(r["text"])))))
+    want = {}
+    for s, xy in by_src.items():
+        n = len(xy)
+        c = d = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                p = (xy[i][0] - xy[j][0]) * (xy[i][1] - xy[j][1])
+                c += p > 0
+                d += p < 0
+        from collections import Counter
+
+        n0 = n * (n - 1) / 2
+        n1 = sum(v * (v - 1) // 2 for v in Counter(x for x, _ in xy).values())
+        n2 = sum(v * (v - 1) // 2 for v in Counter(y for _, y in xy).values())
+        den = math.sqrt((n0 - n1) * (n0 - n2))
+        want[s] = (n, c - d, round((c - d) / den, 9) if den else None)
+    got = {
+        r["source"]: (r["n"], r["c_minus_d"], r["tau_b"])
+        for r in R5.q_kendall(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][:2] == want[s][:2]
+        assert got[s][2] == pytest.approx(want[s][2], abs=1e-9)
+        assert -1.0 <= got[s][2] <= 1.0
