@@ -549,6 +549,7 @@ def per_query_timings() -> dict:
         "polyline_encode",
         "polyline_roundtrip",
         "kendall_tau",
+        "match_quality",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

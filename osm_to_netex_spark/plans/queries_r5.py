@@ -871,6 +871,66 @@ def q_kendall_oracle() -> str:
     return _kendall_sql(DUCK)
 
 
+# ---------------------------------------------------------------------------
+# Map-matching quality diagnostics per trajectory
+# ---------------------------------------------------------------------------
+def q_match_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per trajectory over the gated map_match output: matched-step count,
+    total/mean emission (how far the track sits from its matched segments)
+    and the switch count (path smoothness) — the acceptance numbers a
+    map-matching pipeline monitors.  One traj-keyed window + groupBy on
+    the (tiny) match table; composes the already-gated operator."""
+    from pyspark.sql import Window
+
+    from . import queries as q
+
+    mm = q.q_map_match(spark, sf_dir)
+    w = Window.partitionBy("traj_id").orderBy("step")
+    st = mm.select(
+        "traj_id", "step", "emis_mm",
+        F.when(
+            (F.lag("zone_id").over(w).isNotNull())
+            & (
+                (F.lag("zone_id").over(w) != F.col("zone_id"))
+                | (F.lag("seg_idx").over(w) != F.col("seg_idx"))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("sw"),
+    )
+    return st.groupBy("traj_id").agg(
+        F.count("*").cast("long").alias("n_steps"),
+        F.sum("emis_mm").cast("long").alias("total_emis_mm"),
+        F.sum("sw").cast("long").alias("n_switches"),
+        F.round(
+            F.sum("emis_mm").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_emis_mm"),
+    )
+
+
+def q_match_quality_oracle() -> str:
+    from . import queries as q
+
+    return f"""
+        with mm as ({q.q_map_match_oracle()})
+        select traj_id,
+               cast(count(*) as bigint) as n_steps,
+               cast(sum(emis_mm) as bigint) as total_emis_mm,
+               cast(sum(sw) as bigint) as n_switches,
+               round(cast(sum(emis_mm) as double)
+                     / cast(count(*) as double), 6) as mean_emis_mm
+        from (
+            select traj_id, emis_mm,
+                   case when lag(zone_id) over w is not null
+                             and (lag(zone_id) over w <> zone_id
+                                  or lag(seg_idx) over w <> seg_idx)
+                        then 1 else 0 end as sw
+            from mm
+            window w as (partition by traj_id order by step)
+        ) t group by traj_id"""
+
+
 def register_r5(QUERIES: dict) -> None:
     QUERIES["embedding_near_dup_ensemble"] = (
         q_embed_near_dup_ensemble,
@@ -888,3 +948,4 @@ def register_r5(QUERIES: dict) -> None:
     QUERIES["polyline_encode"] = (q_polyline_encode, q_polyline_encode_oracle)
     QUERIES["polyline_roundtrip"] = (q_polyline_roundtrip, q_polyline_roundtrip_oracle)
     QUERIES["kendall_tau"] = (q_kendall, q_kendall_oracle)
+    QUERIES["match_quality"] = (q_match_quality, q_match_quality_oracle)

@@ -358,3 +358,31 @@ def test_kendall_matches_python_replay(spark):
         assert got[s][:2] == want[s][:2]
         assert got[s][2] == pytest.approx(want[s][2], abs=1e-9)
         assert -1.0 <= got[s][2] <= 1.0
+
+
+def test_match_quality_invariants(spark):
+    """Diagnostics consistency vs the matched steps themselves: switch
+    count replayed in Python from the map_match output, totals agree."""
+    from collections import defaultdict
+
+    from osm_to_netex_spark.plans import queries as Q
+
+    mm = defaultdict(list)
+    for r in Q.q_map_match(spark, SF).collect():
+        mm[r["traj_id"]].append((r["step"], r["zone_id"], r["seg_idx"], r["emis_mm"]))
+    want = {}
+    for t, steps in mm.items():
+        steps.sort()
+        sw = sum(
+            1
+            for a, b in zip(steps, steps[1:])
+            if (a[1], a[2]) != (b[1], b[2])
+        )
+        tot = sum(s[3] for s in steps)
+        want[t] = (len(steps), tot, sw, round(tot / len(steps), 6))
+    got = {
+        r["traj_id"]: (r["n_steps"], r["total_emis_mm"], r["n_switches"],
+                       r["mean_emis_mm"])
+        for r in R5.q_match_quality(spark, SF).collect()
+    }
+    assert got == want
