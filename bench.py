@@ -550,6 +550,7 @@ def per_query_timings() -> dict:
         "polyline_roundtrip",
         "kendall_tau",
         "match_quality",
+        "cdc_chunks",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

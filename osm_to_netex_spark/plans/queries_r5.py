@@ -931,6 +931,86 @@ def q_match_quality_oracle() -> str:
         ) t group by traj_id"""
 
 
+# ---------------------------------------------------------------------------
+# Content-defined chunking (FastCDC-style) + sub-document dedup stats
+# ---------------------------------------------------------------------------
+_CDC_W = 16      # local hash window (chars)
+_CDC_MASK = 64   # boundary iff window-hash % mask == 0 (expected chunk ~64)
+
+
+def _cdc_chunks_sql(d: str) -> str:
+    """Content-defined chunk boundaries per document: a position ends a
+    chunk iff the portable hash of the LAST 16 characters is ≡ 0 mod 64 —
+    boundaries depend only on a local window, so an insertion re-chunks
+    only its neighbourhood (the CDC property fixed-window span dedup
+    lacks), and identical passages align to identical chunks across
+    documents.  Output: one corpus row (n_chunks, n_distinct,
+    n_cross_doc, mean_len) — the sub-document duplication report.
+
+    Exactness: boundary decisions and chunk ids are the portable md5 hash;
+    lengths are ints; ONE rounded division for mean_len.
+
+    Scale: per-doc HOFs (one md5 per character position — scan-parallel,
+    no joins); the chunk table aggregates map-side; cross-doc dup is a
+    chunk-hash-keyed count-distinct, dimension-sized."""
+    from ..functions.portable import phash60
+
+    n = "length(text)"
+    win_h = phash60(f"substring(text, i - {_CDC_W - 1}, {_CDC_W})", d)
+    chunk_h = phash60("substring(text, element_at(cuts, cast(k as int)) + 1, "
+                      "element_at(cuts, cast(k + 1 as int)) - element_at(cuts, cast(k as int)))", d) \
+        if d == SPARK else phash60("substring(text, cuts[k] + 1, cuts[k + 1] - cuts[k])", d)
+    if d == SPARK:
+        empty = "slice(sequence(cast(0 as bigint), cast(0 as bigint)), 1, 0)"
+        bnd = (f"if({n} >= {_CDC_W}, "
+               f"filter(sequence(cast({_CDC_W} as bigint), cast({n} as bigint)), "
+               f"i -> {win_h} % {_CDC_MASK} = 0), {empty})")
+        cuts = (f"concat(array(cast(0 as bigint)), {bnd}, "
+                f"array(cast({n} as bigint)))")
+        chunks = (
+            f"filter(transform(sequence(1, size(cuts) - 1), k -> named_struct("
+            f"'len', element_at(cuts, cast(k + 1 as int)) - element_at(cuts, cast(k as int)), "
+            f"'h', {chunk_h})), c -> c.len > 0)"
+        )
+        doc = (f"select doc_id, explode({chunks}) as c from "
+               f"(select doc_id, text, {cuts} as cuts from documents)")
+    else:
+        bnd = (f"list_filter(generate_series({_CDC_W}, {n}), "
+               f"i -> {win_h} % {_CDC_MASK} = 0)")
+        cuts = f"([cast(0 as bigint)] || {bnd} || [cast({n} as bigint)])"
+        chunks = (
+            f"list_filter(list_transform(generate_series(1, len(cuts) - 1), "
+            f"k -> struct_pack(len := cuts[k + 1] - cuts[k], h := {chunk_h})), "
+            f"c -> c.len > 0)"
+        )
+        doc = (f"select doc_id, unnest({chunks}) as c from "
+               f"(select doc_id, text, {cuts} as cuts from documents)")
+    hh = "c.h" if d == SPARK else "c['h']"
+    ll = "c.len" if d == SPARK else "c['len']"
+    return f"""
+        with ch as (select doc_id, {hh} as h, {ll} as len from ({doc}) t),
+        cross_doc as (
+            select h from ch group by h having count(distinct doc_id) > 1
+        )
+        select cast(count(*) as bigint) as n_chunks,
+               cast(count(distinct h) as bigint) as n_distinct,
+               (select cast(count(*) as bigint) from cross_doc) as n_cross_doc,
+               round(cast(sum(len) as double) / cast(count(*) as double), 6)
+                   as mean_len
+        from ch"""
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import queries as q
+
+    q.register_geometry_views(spark, sf_dir)
+    return spark.sql(_cdc_chunks_sql(SPARK))
+
+
+def q_cdc_chunks_oracle() -> str:
+    return _cdc_chunks_sql(DUCK)
+
+
 def register_r5(QUERIES: dict) -> None:
     QUERIES["embedding_near_dup_ensemble"] = (
         q_embed_near_dup_ensemble,
@@ -949,3 +1029,4 @@ def register_r5(QUERIES: dict) -> None:
     QUERIES["polyline_roundtrip"] = (q_polyline_roundtrip, q_polyline_roundtrip_oracle)
     QUERIES["kendall_tau"] = (q_kendall, q_kendall_oracle)
     QUERIES["match_quality"] = (q_match_quality, q_match_quality_oracle)
+    QUERIES["cdc_chunks"] = (q_cdc_chunks, q_cdc_chunks_oracle)

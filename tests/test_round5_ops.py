@@ -386,3 +386,56 @@ def test_match_quality_invariants(spark):
         for r in R5.q_match_quality(spark, SF).collect()
     }
     assert got == want
+
+
+def _phash60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_cdc_chunks_matches_python_replay_and_cdc_property(spark):
+    """Full Python replay of the boundary rule + chunking on sf0.001, and
+    the CDC property itself: inserting a char early in a doc re-chunks
+    only the neighbourhood (suffix chunks unchanged), unlike fixed
+    windows."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+    def chunks_of(text):
+        w, mask = R5._CDC_W, R5._CDC_MASK
+        bnd = [
+            i for i in range(w, len(text) + 1)
+            if _phash60_py(text[i - w : i]) % mask == 0
+        ]
+        cuts = [0] + bnd + [len(text)]
+        out = []
+        for a, b in zip(cuts, cuts[1:]):
+            if b - a > 0:
+                out.append((b - a, _phash60_py(text[a:b])))
+        return out
+
+    all_chunks = [c for t in docs.values() for c in chunks_of(t)]
+    from collections import defaultdict
+
+    by_hash = defaultdict(set)
+    for d, t in docs.items():
+        for _ln, h in chunks_of(t):
+            by_hash[h].add(d)
+    want = (
+        len(all_chunks),
+        len({h for _, h in all_chunks}),
+        sum(1 for v in by_hash.values() if len(v) > 1),
+        round(sum(ln for ln, _ in all_chunks) / len(all_chunks), 6),
+    )
+    row = R5.q_cdc_chunks(spark, SF).collect()[0]
+    assert (row["n_chunks"], row["n_distinct"], row["n_cross_doc"],
+            row["mean_len"]) == want
+
+    # CDC property: a 1-char insertion at position 5 leaves every chunk
+    # after the first boundary+window untouched
+    text = max(docs.values(), key=len)
+    mutated = text[:5] + "X" + text[5:]
+    tail = [h for _, h in chunks_of(text)][2:]
+    tail_mut = [h for _, h in chunks_of(mutated)][-len(tail):] if tail else []
+    assert tail == tail_mut
