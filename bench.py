@@ -551,6 +551,7 @@ def per_query_timings() -> dict:
         "kendall_tau",
         "match_quality",
         "cdc_chunks",
+        "cdc_dedup_pairs",
     ]
     from osm_to_netex_spark.operators.dedup import unpersist_intermediates
 

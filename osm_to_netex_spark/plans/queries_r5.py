@@ -1011,6 +1011,53 @@ def q_cdc_chunks_oracle() -> str:
     return _cdc_chunks_sql(DUCK)
 
 
+_CDC_MAX_DF = 50   # postings guardrail: drop chunk hashes in > max_df docs
+_CDC_MIN_SHARED = 2
+
+
+def _cdc_pairs_sql(d: str) -> str:
+    """Document pairs sharing ≥ 2 content-defined chunks — the EXACT
+    shared-passage pair finder (a quote or boilerplate block shared by two
+    docs aligns to identical chunks regardless of position).  Complements
+    the similarity family: MinHash finds high-overlap docs, this finds
+    specific copied passages at any overall similarity.
+
+    Scale: postings self-join keyed on chunk hash with the containment
+    guardrail (df ≤ 50 — drop boilerplate chunks every doc shares);
+    pair fan-out Θ(Σ df²) over the FILTERED postings."""
+    doc_sql = _cdc_chunks_sql(d)
+    # reuse only the chunk explode (everything before the final agg)
+    body = doc_sql.split("with ch as (", 1)[1].split("),\n        cross_doc", 1)[0]
+    return f"""
+        with raw as ({body}),
+        ch as (select distinct doc_id, h from raw),
+        keep as (
+            select h from ch group by h
+            having count(*) <= {_CDC_MAX_DF}
+        ),
+        p as (
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   cast(count(*) as bigint) as n_shared
+            from ch a
+            join keep k on k.h = a.h
+            join ch b on b.h = a.h and a.doc_id < b.doc_id
+            group by a.doc_id, b.doc_id
+        )
+        select doc_a, doc_b, n_shared from p
+        where n_shared >= {_CDC_MIN_SHARED}"""
+
+
+def q_cdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import queries as q
+
+    q.register_geometry_views(spark, sf_dir)
+    return spark.sql(_cdc_pairs_sql(SPARK))
+
+
+def q_cdc_pairs_oracle() -> str:
+    return _cdc_pairs_sql(DUCK)
+
+
 def register_r5(QUERIES: dict) -> None:
     QUERIES["embedding_near_dup_ensemble"] = (
         q_embed_near_dup_ensemble,
@@ -1030,3 +1077,4 @@ def register_r5(QUERIES: dict) -> None:
     QUERIES["kendall_tau"] = (q_kendall, q_kendall_oracle)
     QUERIES["match_quality"] = (q_match_quality, q_match_quality_oracle)
     QUERIES["cdc_chunks"] = (q_cdc_chunks, q_cdc_chunks_oracle)
+    QUERIES["cdc_dedup_pairs"] = (q_cdc_pairs, q_cdc_pairs_oracle)

@@ -439,3 +439,30 @@ def test_cdc_chunks_matches_python_replay_and_cdc_property(spark):
     tail = [h for _, h in chunks_of(text)][2:]
     tail_mut = [h for _, h in chunks_of(mutated)][-len(tail):] if tail else []
     assert tail == tail_mut
+
+
+def test_cdc_pairs_finds_planted_shared_passage(spark):
+    """Two synthetic docs sharing one long passage (different surroundings)
+    must pair; unrelated docs must not."""
+    import pyspark.sql.functions as F
+
+    # non-repetitive passage: a periodic string can have zero boundary
+    # windows; varied words guarantee ~len/64 boundaries in expectation
+    passage = " ".join(
+        hashlib.md5(f"w{i}".encode()).hexdigest()[:6] for i in range(120)
+    )
+    rows = [
+        ("a", "AAA " * 30 + passage + " tail-a " * 10),
+        ("b", "BBB " * 25 + passage + " tail-b " * 12),
+        ("c", "totally unrelated content " * 30),
+    ]
+    spark.createDataFrame(rows, "doc_id string, text string").createOrReplaceTempView(
+        "documents"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in spark.sql(R5._cdc_pairs_sql("spark")).collect()
+    }
+    spark.catalog.dropTempView("documents")
+    assert ("a", "b") in out and out[("a", "b")] >= 2
+    assert all({p[0], p[1]} != {"a", "c"} and {p[0], p[1]} != {"b", "c"} for p in out)
