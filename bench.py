@@ -545,6 +545,8 @@ def per_query_timings() -> dict:
         "line_raster",
         "tpch_q6",
         "tpch_q14",
+        "tpch_q17",
+        "tpch_q15",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

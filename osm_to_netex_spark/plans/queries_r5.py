@@ -1058,6 +1058,74 @@ def q_cdc_pairs_oracle() -> str:
     return _cdc_pairs_sql(DUCK)
 
 
+def _tpch_q17_sql(d: str) -> str:
+    """TPC-H Q17 shape — small-quantity-order revenue: the CORRELATED
+    scalar-subquery pattern (l_quantity < 0.2 · per-part average), planned
+    as a per-part aggregate joined back to the fact.  The fractional
+    predicate is made integer-exact: l_quantity is integral in this data,
+    so q < 0.2·(sum/cnt) ⟺ 5·q·cnt < sum — bigint comparison, no float
+    average anywhere (a parallel double avg would be fold-order-dependent).
+
+    Scale: one map-side-combined per-part aggregate, broadcast back; the
+    fact is scanned twice (agg + probe) — the standard Q17 plan."""
+    return """
+        select cast(count(*) as bigint) as n_lines,
+               cast(sum(cast(floor(l_extendedprice * 1.0e4 + 0.5e0) as bigint))
+                    as bigint) as revenue_q4
+        from lineitem
+        join part on p_partkey = l_partkey
+        join (select l_partkey as pk,
+                     cast(sum(cast(l_quantity as bigint)) as bigint) as sq,
+                     cast(count(*) as bigint) as cnt
+              from lineitem group by l_partkey) a on a.pk = l_partkey
+        where p_brand in ('Brand#1', 'Brand#2', 'Brand#3')
+          and 5 * cast(l_quantity as bigint) * cnt < sq"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import queries as q
+
+    q.register_geometry_views(spark, sf_dir)
+    return spark.sql(_tpch_q17_sql(SPARK))
+
+
+def q_tpch_q17_oracle() -> str:
+    return _tpch_q17_sql(DUCK)
+
+
+def _tpch_q15_sql(d: str) -> str:
+    """TPC-H Q15 shape — top supplier(s) by 3-month revenue: the
+    argmax-over-aggregate pattern (view + global max + equality join in the
+    original), planned as one supplier aggregate reused for both the max
+    and the probe.  Revenue integer-quantized per row before the sum, so
+    the global max and the equality filter are exact bigint comparisons —
+    ties kept, as the spec requires."""
+    return """
+        with rev as (
+            select l_suppkey as supplier_no,
+                   cast(sum(cast(floor(l_extendedprice * (1.0e0 - l_discount)
+                        * 1.0e4 + 0.5e0) as bigint)) as bigint) as total_q4
+            from lineitem
+            where l_shipdate >= timestamp '1996-01-01 00:00:00'
+              and l_shipdate <  timestamp '1996-04-01 00:00:00'
+            group by l_suppkey
+        )
+        select s_suppkey, s_name, total_q4
+        from supplier join rev on supplier_no = s_suppkey
+        where total_q4 = (select max(total_q4) from rev)"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import queries as q
+
+    q.register_geometry_views(spark, sf_dir)
+    return spark.sql(_tpch_q15_sql(SPARK))
+
+
+def q_tpch_q15_oracle() -> str:
+    return _tpch_q15_sql(DUCK)
+
+
 def register_r5(QUERIES: dict) -> None:
     QUERIES["embedding_near_dup_ensemble"] = (
         q_embed_near_dup_ensemble,
@@ -1078,3 +1146,5 @@ def register_r5(QUERIES: dict) -> None:
     QUERIES["match_quality"] = (q_match_quality, q_match_quality_oracle)
     QUERIES["cdc_chunks"] = (q_cdc_chunks, q_cdc_chunks_oracle)
     QUERIES["cdc_dedup_pairs"] = (q_cdc_pairs, q_cdc_pairs_oracle)
+    QUERIES["tpch_q17"] = (q_tpch_q17, q_tpch_q17_oracle)
+    QUERIES["tpch_q15"] = (q_tpch_q15, q_tpch_q15_oracle)
