@@ -547,6 +547,16 @@ def per_query_timings() -> dict:
         "tpch_q14",
         "tpch_q17",
         "tpch_q15",
+        "tpch_q2",
+        "tpch_q8",
+        "tpch_q9",
+        "tpch_q11",
+        "tpch_q13",
+        "tpch_q16",
+        "tpch_q19",
+        "tpch_q20",
+        "tpch_q21",
+        "tpch_q22",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

@@ -7598,9 +7598,11 @@ QUERIES["keep_best"] = (q_keep_best, q_keep_best_oracle)
 # round-4 additions live in their own module (this file is large enough)
 from .queries_r4 import register_r4  # noqa: E402
 from .queries_r5 import register_r5  # noqa: E402
+from .queries_r5b import register_r5b  # noqa: E402
 
 register_r4(QUERIES)
 register_r5(QUERIES)
+register_r5b(QUERIES)
 
 
 # ---------------------------------------------------------------------------
