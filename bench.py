@@ -557,6 +557,11 @@ def per_query_timings() -> dict:
         "tpch_q20",
         "tpch_q21",
         "tpch_q22",
+        "hillshade",
+        "flow_dir",
+        "flow_accum",
+        "harmonic_centrality",
+        "exp_smooth",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

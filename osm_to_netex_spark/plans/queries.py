@@ -7599,10 +7599,12 @@ QUERIES["keep_best"] = (q_keep_best, q_keep_best_oracle)
 from .queries_r4 import register_r4  # noqa: E402
 from .queries_r5 import register_r5  # noqa: E402
 from .queries_r5b import register_r5b  # noqa: E402
+from .queries_r5c import register_r5c  # noqa: E402
 
 register_r4(QUERIES)
 register_r5(QUERIES)
 register_r5b(QUERIES)
+register_r5c(QUERIES)
 
 
 # ---------------------------------------------------------------------------
