@@ -562,6 +562,11 @@ def per_query_timings() -> dict:
         "flow_accum",
         "harmonic_centrality",
         "exp_smooth",
+        "viewshed",
+        "cost_distance",
+        "rake_keyphrases",
+        "sprt",
+        "json_extract_stats",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",
