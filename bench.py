@@ -567,6 +567,8 @@ def per_query_timings() -> dict:
         "rake_keyphrases",
         "sprt",
         "json_extract_stats",
+        "way_split",
+        "local_moran",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",
