@@ -569,6 +569,9 @@ def per_query_timings() -> dict:
         "json_extract_stats",
         "way_split",
         "local_moran",
+        "compaction_plan",
+        "hbos_outliers",
+        "path_trigrams",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

@@ -7602,6 +7602,7 @@ from .queries_r5b import register_r5b  # noqa: E402
 from .queries_r5c import register_r5c  # noqa: E402
 from .queries_r5d import register_r5d  # noqa: E402
 from .queries_r5e import register_r5e  # noqa: E402
+from .queries_r5f import register_r5f  # noqa: E402
 
 register_r4(QUERIES)
 register_r5(QUERIES)
@@ -7609,6 +7610,7 @@ register_r5b(QUERIES)
 register_r5c(QUERIES)
 register_r5d(QUERIES)
 register_r5e(QUERIES)
+register_r5f(QUERIES)
 
 
 # ---------------------------------------------------------------------------
