@@ -572,6 +572,8 @@ def per_query_timings() -> dict:
         "compaction_plan",
         "hbos_outliers",
         "path_trigrams",
+        "cuped",
+        "eb_shrinkage",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

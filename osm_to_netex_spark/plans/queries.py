@@ -7603,6 +7603,7 @@ from .queries_r5c import register_r5c  # noqa: E402
 from .queries_r5d import register_r5d  # noqa: E402
 from .queries_r5e import register_r5e  # noqa: E402
 from .queries_r5f import register_r5f  # noqa: E402
+from .queries_r5g import register_r5g  # noqa: E402
 
 register_r4(QUERIES)
 register_r5(QUERIES)
@@ -7611,6 +7612,7 @@ register_r5c(QUERIES)
 register_r5d(QUERIES)
 register_r5e(QUERIES)
 register_r5f(QUERIES)
+register_r5g(QUERIES)
 
 
 # ---------------------------------------------------------------------------
