@@ -574,6 +574,8 @@ def per_query_timings() -> dict:
         "path_trigrams",
         "cuped",
         "eb_shrinkage",
+        "t_closeness",
+        "areal_interp",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

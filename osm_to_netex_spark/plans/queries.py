@@ -7604,6 +7604,7 @@ from .queries_r5d import register_r5d  # noqa: E402
 from .queries_r5e import register_r5e  # noqa: E402
 from .queries_r5f import register_r5f  # noqa: E402
 from .queries_r5g import register_r5g  # noqa: E402
+from .queries_r5h import register_r5h  # noqa: E402
 
 register_r4(QUERIES)
 register_r5(QUERIES)
@@ -7613,6 +7614,7 @@ register_r5d(QUERIES)
 register_r5e(QUERIES)
 register_r5f(QUERIES)
 register_r5g(QUERIES)
+register_r5h(QUERIES)
 
 
 # ---------------------------------------------------------------------------
