@@ -576,6 +576,7 @@ def per_query_timings() -> dict:
         "eb_shrinkage",
         "t_closeness",
         "areal_interp",
+        "spatial_structure",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

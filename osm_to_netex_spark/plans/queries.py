@@ -7605,6 +7605,7 @@ from .queries_r5e import register_r5e  # noqa: E402
 from .queries_r5f import register_r5f  # noqa: E402
 from .queries_r5g import register_r5g  # noqa: E402
 from .queries_r5h import register_r5h  # noqa: E402
+from .queries_r5i import register_r5i  # noqa: E402
 
 register_r4(QUERIES)
 register_r5(QUERIES)
@@ -7615,6 +7616,7 @@ register_r5e(QUERIES)
 register_r5f(QUERIES)
 register_r5g(QUERIES)
 register_r5h(QUERIES)
+register_r5i(QUERIES)
 
 
 # ---------------------------------------------------------------------------
