@@ -577,6 +577,9 @@ def per_query_timings() -> dict:
         "t_closeness",
         "areal_interp",
         "spatial_structure",
+        "embedding_drift",
+        "bq_search",
+        "densify",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",
