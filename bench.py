@@ -580,6 +580,8 @@ def per_query_timings() -> dict:
         "embedding_drift",
         "bq_search",
         "densify",
+        "strahler",
+        "watershed",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",
