@@ -582,6 +582,8 @@ def per_query_timings() -> dict:
         "densify",
         "strahler",
         "watershed",
+        "terrain_indices",
+        "brier_decomp",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

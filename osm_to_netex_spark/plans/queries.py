@@ -7608,6 +7608,7 @@ from .queries_r5h import register_r5h  # noqa: E402
 from .queries_r5i import register_r5i  # noqa: E402
 from .queries_r5j import register_r5j  # noqa: E402
 from .queries_r5k import register_r5k  # noqa: E402
+from .queries_r5l import register_r5l  # noqa: E402
 
 register_r4(QUERIES)
 register_r5(QUERIES)
@@ -7621,6 +7622,7 @@ register_r5h(QUERIES)
 register_r5i(QUERIES)
 register_r5j(QUERIES)
 register_r5k(QUERIES)
+register_r5l(QUERIES)
 
 
 # ---------------------------------------------------------------------------
