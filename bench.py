@@ -584,6 +584,8 @@ def per_query_timings() -> dict:
         "watershed",
         "terrain_indices",
         "brier_decomp",
+        "edge_profiles",
+        "novelty_curve",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

@@ -7609,6 +7609,7 @@ from .queries_r5i import register_r5i  # noqa: E402
 from .queries_r5j import register_r5j  # noqa: E402
 from .queries_r5k import register_r5k  # noqa: E402
 from .queries_r5l import register_r5l  # noqa: E402
+from .queries_r5m import register_r5m  # noqa: E402
 
 register_r4(QUERIES)
 register_r5(QUERIES)
@@ -7623,6 +7624,7 @@ register_r5i(QUERIES)
 register_r5j(QUERIES)
 register_r5k(QUERIES)
 register_r5l(QUERIES)
+register_r5m(QUERIES)
 
 
 # ---------------------------------------------------------------------------
