@@ -586,6 +586,8 @@ def per_query_timings() -> dict:
         "brier_decomp",
         "edge_profiles",
         "novelty_curve",
+        "mutual_knn",
+        "spatial_qa",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

@@ -7610,6 +7610,7 @@ from .queries_r5j import register_r5j  # noqa: E402
 from .queries_r5k import register_r5k  # noqa: E402
 from .queries_r5l import register_r5l  # noqa: E402
 from .queries_r5m import register_r5m  # noqa: E402
+from .queries_r5n import register_r5n  # noqa: E402
 
 register_r4(QUERIES)
 register_r5(QUERIES)
@@ -7625,6 +7626,7 @@ register_r5j(QUERIES)
 register_r5k(QUERIES)
 register_r5l(QUERIES)
 register_r5m(QUERIES)
+register_r5n(QUERIES)
 
 
 # ---------------------------------------------------------------------------
