@@ -588,6 +588,8 @@ def per_query_timings() -> dict:
         "novelty_curve",
         "mutual_knn",
         "spatial_qa",
+        "lcp_path",
+        "langid_confusion",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

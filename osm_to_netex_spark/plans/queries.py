@@ -7611,6 +7611,7 @@ from .queries_r5k import register_r5k  # noqa: E402
 from .queries_r5l import register_r5l  # noqa: E402
 from .queries_r5m import register_r5m  # noqa: E402
 from .queries_r5n import register_r5n  # noqa: E402
+from .queries_r5o import register_r5o  # noqa: E402
 
 register_r4(QUERIES)
 register_r5(QUERIES)
@@ -7627,6 +7628,7 @@ register_r5k(QUERIES)
 register_r5l(QUERIES)
 register_r5m(QUERIES)
 register_r5n(QUERIES)
+register_r5o(QUERIES)
 
 
 # ---------------------------------------------------------------------------
