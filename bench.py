@@ -590,6 +590,7 @@ def per_query_timings() -> dict:
         "spatial_qa",
         "lcp_path",
         "langid_confusion",
+        "pareto_abc",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",
