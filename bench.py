@@ -591,6 +591,10 @@ def per_query_timings() -> dict:
         "lcp_path",
         "langid_confusion",
         "pareto_abc",
+        "anisotropy",
+        "rich_club",
+        "degree_assortativity",
+        "power_analysis",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",
