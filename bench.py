@@ -595,6 +595,8 @@ def per_query_timings() -> dict:
         "rich_club",
         "degree_assortativity",
         "power_analysis",
+        "quantile_norm",
+        "hits_scores",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

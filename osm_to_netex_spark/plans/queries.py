@@ -7614,6 +7614,7 @@ from .queries_r5n import register_r5n  # noqa: E402
 from .queries_r5o import register_r5o  # noqa: E402
 from .queries_r5p import register_r5p  # noqa: E402
 from .queries_r5q import register_r5q  # noqa: E402
+from .queries_r5r import register_r5r  # noqa: E402
 
 register_r4(QUERIES)
 register_r5(QUERIES)
@@ -7633,6 +7634,7 @@ register_r5n(QUERIES)
 register_r5o(QUERIES)
 register_r5p(QUERIES)
 register_r5q(QUERIES)
+register_r5r(QUERIES)
 
 
 # ---------------------------------------------------------------------------
