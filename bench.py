@@ -597,6 +597,8 @@ def per_query_timings() -> dict:
         "power_analysis",
         "quantile_norm",
         "hits_scores",
+        "median_polish",
+        "forecast_backtest",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

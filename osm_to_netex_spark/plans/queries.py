@@ -7615,6 +7615,7 @@ from .queries_r5o import register_r5o  # noqa: E402
 from .queries_r5p import register_r5p  # noqa: E402
 from .queries_r5q import register_r5q  # noqa: E402
 from .queries_r5r import register_r5r  # noqa: E402
+from .queries_r5s import register_r5s  # noqa: E402
 
 register_r4(QUERIES)
 register_r5(QUERIES)
@@ -7635,6 +7636,7 @@ register_r5o(QUERIES)
 register_r5p(QUERIES)
 register_r5q(QUERIES)
 register_r5r(QUERIES)
+register_r5s(QUERIES)
 
 
 # ---------------------------------------------------------------------------
