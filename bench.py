@@ -599,6 +599,7 @@ def per_query_timings() -> dict:
         "hits_scores",
         "median_polish",
         "forecast_backtest",
+        "facility_select",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",
