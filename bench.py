@@ -600,6 +600,8 @@ def per_query_timings() -> dict:
         "median_polish",
         "forecast_backtest",
         "facility_select",
+        "location_quotient",
+        "beta_diversity",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

@@ -7617,6 +7617,7 @@ from .queries_r5q import register_r5q  # noqa: E402
 from .queries_r5r import register_r5r  # noqa: E402
 from .queries_r5s import register_r5s  # noqa: E402
 from .queries_r5t import register_r5t  # noqa: E402
+from .queries_r5u import register_r5u  # noqa: E402
 
 register_r4(QUERIES)
 register_r5(QUERIES)
@@ -7639,6 +7640,7 @@ register_r5q(QUERIES)
 register_r5r(QUERIES)
 register_r5s(QUERIES)
 register_r5t(QUERIES)
+register_r5u(QUERIES)
 
 
 # ---------------------------------------------------------------------------
