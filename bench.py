@@ -602,6 +602,7 @@ def per_query_timings() -> dict:
         "facility_select",
         "location_quotient",
         "beta_diversity",
+        "user_streaks",
         "attribution",
         "polyline_encode",
         "polyline_roundtrip",

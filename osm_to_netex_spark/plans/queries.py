@@ -7618,6 +7618,7 @@ from .queries_r5r import register_r5r  # noqa: E402
 from .queries_r5s import register_r5s  # noqa: E402
 from .queries_r5t import register_r5t  # noqa: E402
 from .queries_r5u import register_r5u  # noqa: E402
+from .queries_r5v import register_r5v  # noqa: E402
 
 register_r4(QUERIES)
 register_r5(QUERIES)
@@ -7641,6 +7642,7 @@ register_r5r(QUERIES)
 register_r5s(QUERIES)
 register_r5t(QUERIES)
 register_r5u(QUERIES)
+register_r5v(QUERIES)
 
 
 # ---------------------------------------------------------------------------
